@@ -1,0 +1,210 @@
+"""Join operators (SURVEY.md §2C Q11-Q13 + as-of join).
+
+In the reference these are the classic tag-and-merge reduce-side joins —
+expressible by user executables over its (map -> partition -> sort ->
+reduce) skeleton. Natively, Catalyst picks broadcast/sort-merge/shuffle-hash
+per side; we hint broadcast for dimension tables because at 100 TB the fact
+side must never shuffle for a kilobyte-scale dim.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_spark.functions.exact import dsum
+from mapreduce_spark.registry import register
+from mapreduce_spark.sources.tables import load_table
+
+
+# Q11 repartition (shuffle) equi-join — both sides large => sort-merge join
+@register(
+    "join_equi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer x orders on custkey, then per-customer aggregation. At scale
+    both sides shuffle on the join key once; the following groupBy reuses
+    the same partitioning (no second shuffle for c_custkey)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "spend"))
+    )
+
+
+# Q12 broadcast (map-side) join — dim tables ship to every executor
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem against 3 broadcast dims — zero shuffle on
+    the fact table until the final small aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# Q13 existence joins
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with at least one >300k order. Semi joins send
+    only the key column of the probe side through the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no >300k order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_outer",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, count(c.c_custkey) AS n_customers
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched dimension rows (count=0)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@register(
+    "cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny inputs (both broadcastable)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    statuses = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(statuses)
+
+
+@register(
+    "asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           c.ts AS click_ts,
+           date_diff('microsecond', c.ts, p.ts) AS wait_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY.md §2 'absent' list):
+    each purchase matched to the user's latest click at-or-before it.
+
+    Implemented as the union+window idiom: tag both streams, sort within
+    user by (ts, clicks-first), carry the last click forward with
+    last(ignorenulls), keep purchase rows that found a click. One shuffle
+    on user_id — same cost class as a repartition join, and skew-safe via
+    AQE. Equivalent to DuckDB's ASOF JOIN (inclusive >=).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("ts").alias("click_ts_src"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("is_purchase"),
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("click_ts_src"),
+    )
+    from pyspark.sql.window import Window
+
+    # clicks-first at equal ts => inclusive match (p.ts >= c.ts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_purchase"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "click_ts", F.last("click_ts_src", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("is_purchase") == 1) & F.col("click_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+            # microsecond diff: boundary-count == floored-diff at the data's
+            # own resolution, so both engines agree exactly
+            F.expr("timestampdiff(MICROSECOND, click_ts, ts)").alias("wait_us"),
+        )
+    )

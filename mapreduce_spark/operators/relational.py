@@ -1,0 +1,586 @@
+"""Relational core operators (SURVEY.md §2C Q1-Q10, Q14-Q16, Q18 + extras).
+
+Every operator here is expressible as a user executable in the reference's
+(map -> hash-partition -> sort -> group -> reduce) algebra
+(/root/reference/mapreduce/worker/__main__.py:94-155); we express them
+natively so Catalyst gets pushdown/pruning/partial-aggregation for free.
+
+Scale notes per query are inline; the common rules:
+- no collect()/toPandas() anywhere — plans stay distributed end to end;
+- aggregates use exact decimal sums (functions.exact) so results are
+  order-independent — mandatory at 1000-executor parallelism;
+- filters/projections sit directly on the scan so they push into parquet.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_spark.functions.exact import davg, dsum
+from mapreduce_spark.functions.text import tokens
+from mapreduce_spark.registry import register
+from mapreduce_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Q1 scan + projection
+@register(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: ReadSchema carries only the 4 columns."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# Q2 substring filter (the reference's grep workload,
+# /root/reference/tests/testdata/exec/grep_map.py:28)
+@register(
+    "filter_grep",
+    oracle="""
+    SELECT doc_id, text FROM documents WHERE lower(text) LIKE '%data%'
+    """,
+)
+def filter_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring filter — grep as a pushed-down predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.lower(F.col("text")).contains("data")).select("doc_id", "text")
+
+
+# Q3 comparison/boolean predicates
+@register(
+    "filter_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag = 'R'
+      AND l_shipdate >= TIMESTAMP '1995-06-01'
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates; all three push into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+
+
+# Q4 scalar row transforms (string/math/date)
+@register(
+    "map_transform",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority)                      AS priority_uc,
+           substring(o_orderpriority, 1, 1)            AS priority_code,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_tag,
+           CAST(year(o_orderdate) AS INTEGER)          AS order_year,
+           round(o_totalprice * 1.1, 2)                AS price_with_tax
+    FROM orders
+    """,
+)
+def map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow per-row transform; whole-stage codegen, zero shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("priority_uc"),
+        F.substring("o_orderpriority", 1, 1).alias("priority_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_tag"),
+        F.year("o_orderdate").alias("order_year"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("price_with_tax"),
+    )
+
+
+# Q5 word count — the reference's flagship workload
+# (/root/reference/tests/testdata/exec/wc_map.sh, wc_reduce.sh)
+@register(
+    "wordcount",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    t -> t <> '')) AS word
+          FROM documents)
+    GROUP BY word
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenize -> explode -> count. Partial aggregation (map-side combine)
+    happens before the shuffle — the upgrade the reference lacked (its wc
+    mapper emits every `word\\t1` across the network)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# Q6 hash aggregation (TPC-H Q1 shape)
+@register(
+    "groupby_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter -> hash agg (partial+final) on 2 keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# Q7 composite grouping keys
+@register(
+    "groupby_multikey",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           count(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority, CAST(year(o_orderdate) AS INTEGER)
+    """,
+)
+def groupby_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-part composite key incl. a computed key (year)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        "o_orderstatus", "o_orderpriority", F.year("o_orderdate").alias("order_year")
+    ).agg(
+        F.count("*").alias("cnt"),
+        dsum("o_totalprice", "total"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+# Q8 distinct
+@register(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup = groupBy-all-cols; partial distinct runs map-side."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_linenumber")
+        .distinct()
+    )
+
+
+# Q9 global sort
+@register(
+    "sort_global",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier ORDER BY s_acctbal DESC, s_suppkey
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order via range partitioning + local sort (sampled boundaries).
+    The reference only ever sorts within a partition
+    (/root/reference/mapreduce/worker/__main__.py:130-136)."""
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    )
+
+
+# Q10 top-k
+@register(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit compiles to TakeOrderedAndProject: per-partition heap
+    top-k, then a k-row merge on one task — no global sort materialized.
+    Tie-break on o_orderkey keeps the answer engine-independent."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# Q14 union all
+@register(
+    "union_all",
+    oracle="""
+    SELECT o_custkey AS entity_id, o_totalprice AS amount, 'order' AS src FROM orders
+    UNION ALL
+    SELECT c_custkey AS entity_id, c_acctbal AS amount, 'customer' AS src FROM customer
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: concatenation, no shuffle, partitions appended."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("order").alias("src"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_acctbal").alias("amount"),
+        F.lit("customer").alias("src"),
+    )
+    return o.unionByName(c)
+
+
+# Q15 set intersection / difference
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    INTERSECT
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics) — shuffle both sides on the full row."""
+    big_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    pos_cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return big_orders.intersect(pos_cust)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics)."""
+    all_cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_spenders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return all_cust.subtract(big_spenders)
+
+
+# Q16 controlled hash partitioning (rows-only: layout, not SQL-expressible)
+@register("partition_by_hash", oracle=None)
+def partition_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit repartition(16, key) — the reference's md5-mod-R shuffle
+    write (/root/reference/mapreduce/worker/__main__.py:106-117) as a
+    declarative hash partitioning. Emits per-partition row counts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        li.repartition(16, "l_orderkey")
+        .withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# Q18 distinct aggregation
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct: Catalyst expands to a single grouped plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# -- extras beyond the lettered inventory ----------------------------------
+
+@register(
+    "having_filter",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1.5
+        FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above 1.5x the mean price. The threshold is computed with the
+    exact decimal sum so both engines derive the identical double, then a
+    broadcast-scalar comparison (no driver round-trip: a real subquery)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1.5
+            FROM orders)
+        """
+    )
+
+
+@register(
+    "case_when_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS tier,
+           count(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation over the bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("tier")
+    )
+    return o.groupBy(tier).agg(
+        F.count("*").alias("cnt"), dsum("o_totalprice", "total")
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all key subsets)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns (explicit value list => single pass,
+    no extra distinct-values job)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count("*"))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           CAST(length(p_name) AS INTEGER)   AS name_len,
+           upper(p_brand)                    AS brand_uc,
+           replace(p_type, ' ', '_')         AS type_slug,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_brand)                  AS brand_rev,
+           trim(concat(' ', p_name, ' '))    AS name_trim
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (length/upper/replace/lpad/reverse/trim)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)       AS y,
+           CAST(month(o_orderdate) AS INTEGER)      AS m,
+           CAST(day(o_orderdate) AS INTEGER)        AS d,
+           CAST(dayofweek(o_orderdate) AS INTEGER)  AS dow,
+           date_trunc('month', o_orderdate)         AS month_start
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction; Spark dayofweek is 1=Sunday, DuckDB 0=Sunday,
+    normalized here by subtracting 1."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05)                    AS disc_dev,
+           CAST(ceil(l_extendedprice) AS BIGINT)     AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT)    AS price_floor,
+           round(sqrt(l_quantity), 6)                AS qty_sqrt,
+           round(ln(l_extendedprice), 6)             AS price_ln,
+           round(power(l_tax, 2), 6)                 AS tax_sq
+    FROM lineitem
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery; transcendentals rounded to 6 dp to absorb any last-ulp
+    libm divergence across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_tax", 2), 6).alias("tax_sq"),
+    )
+
+
+@register(
+    "quantile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles (linear interpolation — both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+    )
+
+
+@register(
+    "collect_sorted",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list -> array_sort -> join: deterministic string aggregation
+    (collect order is nondeterministic; the sort restores determinism)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )

@@ -1,0 +1,128 @@
+"""Window-function operators (SURVEY.md §2C Q17 + frames/lag).
+
+Reference basis: the MR secondary-sort idiom (composite key + sorted
+reduce) makes per-group ranking expressible in the reference's algebra;
+here they are native window functions — one shuffle on the partition key,
+sort within partitions, single pass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from mapreduce_spark.registry import register
+from mapreduce_spark.sources.tables import load_table
+
+
+# Q17 ranking within groups
+@register(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. Deterministic tie-break on o_orderkey.
+    At scale this is the canonical top-k-per-group: shuffle once on the
+    partition key; AQE splits skewed customers."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS cum_spend
+    FROM orders
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (explicit ROWS frame). Decimal sum keeps
+    the prefix sums exact at any accumulation order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+@register(
+    "window_lag",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us
+    FROM events
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() inter-event gaps per user (microsecond-exact both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        prev.alias("prev_ts"),
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "window_share",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           round(o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_orderstatus) AS DOUBLE), 8) AS status_share
+    FROM orders
+    """,
+)
+def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-group-total: unbounded window aggregate (exact denominator,
+    one deterministic double division, rounded)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus")
+    denom = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") / denom, 8).alias("status_share"),
+    )
