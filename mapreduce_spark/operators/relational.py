@@ -83,20 +83,27 @@ def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(o_orderpriority, 1, 1)            AS priority_code,
            concat(o_orderstatus, '-', o_orderpriority) AS status_tag,
            CAST(year(o_orderdate) AS INTEGER)          AS order_year,
-           round(o_totalprice * 1.1, 2)                AS price_with_tax
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)), 2)
+                AS DOUBLE)                              AS price_with_tax
     FROM orders
     """,
 )
 def map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Narrow per-row transform; whole-stage codegen, zero shuffles."""
+    """Narrow per-row transform; whole-stage codegen, zero shuffles.
+
+    price_with_tax is computed in exact decimal on BOTH engines (double
+    `o_totalprice * 1.1` disagrees in the last cent between engines), then
+    cast to double once — the same discipline as functions/exact.py.
+    """
     o = load_table(spark, sf_dir, "orders")
+    tax = F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1.1).cast("decimal(3,2)")
     return o.select(
         "o_orderkey",
         F.upper("o_orderpriority").alias("priority_uc"),
         F.substring("o_orderpriority", 1, 1).alias("priority_code"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_tag"),
         F.year("o_orderdate").alias("order_year"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("price_with_tax"),
+        F.round(tax, 2).cast("double").alias("price_with_tax"),
     )
 
 
@@ -383,17 +390,21 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders above 1.5x the mean price. The threshold is computed with the
-    exact decimal sum so both engines derive the identical double, then a
-    broadcast-scalar comparison (no driver round-trip: a real subquery)."""
+    exact decimal sum so both engines derive the identical double; the
+    1-row aggregate is broadcast against the fact scan (no driver
+    round-trip, no session temp-view side effects)."""
     o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > (
-            SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 1.5
-            FROM orders)
-        """
+    thr = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+            * 1.5
+        ).alias("_thr")
+    )
+    return (
+        o.join(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("_thr"))
+        .select("o_orderkey", "o_totalprice")
     )
 
 
@@ -465,7 +476,7 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.count("*"))
+        .agg(F.count(F.lit(1)))
         .na.fill(0, ["F", "O", "P"])
     )
 
@@ -505,13 +516,14 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INTEGER)      AS m,
            CAST(day(o_orderdate) AS INTEGER)        AS d,
            CAST(dayofweek(o_orderdate) AS INTEGER)  AS dow,
-           date_trunc('month', o_orderdate)         AS month_start
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
     FROM orders
     """,
 )
 def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date part extraction; Spark dayofweek is 1=Sunday, DuckDB 0=Sunday,
-    normalized here by subtracting 1."""
+    normalized here by subtracting 1. month_start is cast to DATE on both
+    sides (Spark date_trunc yields TIMESTAMP, DuckDB yields DATE)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -519,7 +531,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
         (F.dayofweek("o_orderdate") - 1).alias("dow"),
-        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
     )
 
 
@@ -556,17 +568,65 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantile_exact",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.5) AS median_qty,
-           quantile_cont(l_quantity, 0.9) AS p90_qty
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous quantiles (linear interpolation — both engines)."""
+    """Exact continuous quantiles via the value-distribution method.
+
+    Spark's `percentile` buffers every value of a group in one executor —
+    a scale-killer when a group holds billions of rows. Instead we exploit
+    fixed-point measures (l_quantity has ~50 distinct values): aggregate to
+    (group, value, count) — map-side partial agg shrinks this to
+    |groups|x|values| rows — then compute the interpolated quantile from
+    cumulative counts. Exact at any data size; the window runs over the
+    tiny distribution, never the raw rows.
+    """
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+    dist = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dist = (
+        dist.withColumn("cum_end", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("l_returnflag")))
+        .withColumn("cum_start", F.col("cum_end") - F.col("cnt") + 1)
+    )
+
+    def value_at(rank):  # value whose cumulative rank range covers `rank`
+        return F.max(
+            F.when((rank >= F.col("cum_start")) & (rank <= F.col("cum_end")), F.col("l_quantity"))
+        )
+
+    def rank_lo(q):  # 1-based interpolation position, floored/ceiled
+        return F.floor(F.lit(1.0) + (F.col("n") - 1) * F.lit(q))
+
+    def rank_hi(q):
+        return F.ceil(F.lit(1.0) + (F.col("n") - 1) * F.lit(q))
+
+    agg = dist.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        value_at(rank_lo(0.5)).alias("v_lo_50"),
+        value_at(rank_hi(0.5)).alias("v_hi_50"),
+        value_at(rank_lo(0.9)).alias("v_lo_90"),
+        value_at(rank_hi(0.9)).alias("v_hi_90"),
+    )
+
+    def interp(q, lo, hi, alias):
+        pos = F.lit(1.0) + (F.col("n") - 1) * F.lit(q)
+        frac = pos - F.floor(pos)
+        return F.round(F.col(lo) + frac * (F.col(hi) - F.col(lo)), 6).alias(alias)
+
+    return agg.select(
+        "l_returnflag",
+        interp(0.5, "v_lo_50", "v_hi_50", "median_qty"),
+        interp(0.9, "v_lo_90", "v_hi_90", "p90_qty"),
     )
 
 

@@ -29,17 +29,12 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Modules that register queries on import.
+# Modules that register queries on import. Every name here MUST exist —
+# a missing module is a real breakage, not something to except away.
 _QUERY_MODULES = [
     "mapreduce_spark.operators.relational",
     "mapreduce_spark.operators.joins",
     "mapreduce_spark.operators.windows",
-    "mapreduce_spark.operators.textops",
-    "mapreduce_spark.operators.dedup",
-    "mapreduce_spark.operators.similarity",
-    "mapreduce_spark.operators.multimodal",
-    "mapreduce_spark.operators.mr",
-    "mapreduce_spark.streaming.events",
 ]
 
 
