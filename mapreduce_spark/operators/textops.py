@@ -1,0 +1,236 @@
+"""Text-analysis operators over the ``documents`` table.
+
+LLM-training-data pipeline primitives: per-document statistics, n-gram
+language ID, quality scoring, token/subword counting, content
+fingerprinting. The reference's entire text surface is line-oriented
+executables (/root/reference/tests/testdata/exec/wc_map.sh); these are the
+table-native generalizations an LLM data pipeline needs at 100 TB.
+
+Scale rules applied throughout:
+- tokenization/shingling stays JVM-side (higher-order array functions,
+  no Python UDF in any hot path);
+- every per-document query is embarrassingly parallel (zero shuffles);
+- corpus-level rollups aggregate with map-side combine.
+
+Every numeric ratio is rounded to 6 dp on BOTH engines so the value-hash
+compare is immune to last-ulp libm divergence.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from mapreduce_spark.functions.hashing import md5_long, md5_long_sql
+from mapreduce_spark.functions.text import SQL_TOKENS, shingles, sql_shingles, tokens
+from mapreduce_spark.registry import register
+from mapreduce_spark.sources.tables import load_table
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Shared constant keeps the Spark plan and the oracle in sync.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "la", "los", "de", "que", "y", "un"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une"],
+}
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    """Occurrence count of any of ``words`` in the token array (JVM-side)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _sql_hits(words: list[str]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({in_list})))"
+
+
+_SQL_TOKS_CTE = f"WITH t AS (SELECT doc_id, lang, {SQL_TOKENS.format(col='text')} AS toks FROM documents)"
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_stats",
+    oracle=f"""
+    {_SQL_TOKS_CTE}
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           round(CAST(list_aggregate(list_transform(toks, s -> len(s)), 'sum') AS DOUBLE)
+                 / len(toks), 6) AS avg_token_len,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — zero-shuffle, codegen'd array ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        char_sum.alias("_chars"),
+    ).filter(F.col("n_tokens") > 0)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("_chars").cast("double") / F.col("n_tokens"), 6).alias("avg_token_len"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+_LANG_CASE_SQL = """
+    CASE WHEN hits_en = 0 AND hits_de = 0 AND hits_es = 0 AND hits_fr = 0 THEN 'unknown'
+         WHEN hits_en >= greatest(hits_de, hits_es, hits_fr) THEN 'en'
+         WHEN hits_de >= greatest(hits_es, hits_fr) THEN 'de'
+         WHEN hits_es >= hits_fr THEN 'es'
+         ELSE 'fr' END
+"""
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    {_SQL_TOKS_CTE},
+    h AS (SELECT doc_id,
+                 CAST({_sql_hits(STOPWORDS['en'])} AS BIGINT) AS hits_en,
+                 CAST({_sql_hits(STOPWORDS['de'])} AS BIGINT) AS hits_de,
+                 CAST({_sql_hits(STOPWORDS['es'])} AS BIGINT) AS hits_es,
+                 CAST({_sql_hits(STOPWORDS['fr'])} AS BIGINT) AS hits_fr
+          FROM t)
+    SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+           {_LANG_CASE_SQL} AS lang_guess
+    FROM h
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic argmax, en>de>es>fr
+    tie-break). The classic fastText/langid trick reduced to its
+    SQL-expressible core: score token overlap against per-language
+    profiles. Zero shuffles; scoring is a codegen'd array filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id",
+        _hits(toks, STOPWORDS["en"]).cast("bigint").alias("hits_en"),
+        _hits(toks, STOPWORDS["de"]).cast("bigint").alias("hits_de"),
+        _hits(toks, STOPWORDS["es"]).cast("bigint").alias("hits_es"),
+        _hits(toks, STOPWORDS["fr"]).cast("bigint").alias("hits_fr"),
+    )
+    return d.withColumn("lang_guess", F.expr(_LANG_CASE_SQL))
+
+
+# --------------------------------------------------------------------------
+@register(
+    "quality_score",
+    oracle=f"""
+    {_SQL_TOKS_CTE},
+    q AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+                 CAST({_sql_hits(STOPWORDS['en'])} AS DOUBLE) / len(toks) AS stop_ratio
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id, n_tokens,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(distinct_ratio, 6) AS distinct_ratio,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+                 + 0.4 * distinct_ratio
+                 + 0.2 * (1.0 - stop_ratio), 6) AS quality
+    FROM q
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + lexical diversity +
+    stopword-density penalty (the C4/Gopher-rules family of filters reduced
+    to deterministic arithmetic). Per-row only — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("_dr"),
+        (_hits(toks, STOPWORDS["en"]).cast("double") / F.size(toks)).alias("_sr"),
+    ).filter(F.col("n_tokens") > 0)
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_sr"), 6).alias("stop_ratio"),
+        F.round(F.col("_dr"), 6).alias("distinct_ratio"),
+        F.round(
+            0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            + 0.4 * F.col("_dr")
+            + 0.2 * (1.0 - F.col("_sr")),
+            6,
+        ).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "token_count",
+    oracle=f"""
+    {_SQL_TOKS_CTE}
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(list_aggregate(list_transform(toks,
+                s -> CAST(floor((len(s) + 1) / 2) AS BIGINT)), 'sum')) AS BIGINT)
+             AS total_subwords
+    FROM t GROUP BY lang
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budget per language: whitespace tokens plus a BPE-ish
+    subword estimate (ceil(len/2) units per token — a deterministic stand-in
+    for a real tokenizer's ~2-chars-per-token rate). Rolls up with map-side
+    partial aggregation; result is |langs| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    subwords = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.floor((F.length(t) + 1) / 2).cast("bigint"),
+    )
+    return (
+        docs.select("lang", F.size(toks).cast("bigint").alias("_nt"), subwords.alias("_sw"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.sum("_sw").alias("total_subwords"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    {_SQL_TOKS_CTE}
+    SELECT doc_id,
+           {md5_long_sql("array_to_string(toks, ' ')")} AS fp64,
+           list_min(list_transform({sql_shingles('toks', 3)},
+                                   s -> {md5_long_sql('s')})) AS shingle_min
+    FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: 60-bit hash of the normalized token stream plus
+    the minimum 3-shingle hash (a 1-permutation MinHash — the building
+    block operators/dedup.py bands into LSH buckets). Oracle-reproducible
+    because both engines share md5 (functions/hashing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sh = shingles(toks, 3)
+    return docs.select(
+        "doc_id",
+        md5_long(F.array_join(toks, " ")).alias("fp64"),
+        F.array_min(F.transform(sh, md5_long)).alias("shingle_min"),
+    )

@@ -35,6 +35,7 @@ _QUERY_MODULES = [
     "mapreduce_spark.operators.relational",
     "mapreduce_spark.operators.joins",
     "mapreduce_spark.operators.windows",
+    "mapreduce_spark.operators.textops",
 ]
 
 
