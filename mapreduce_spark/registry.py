@@ -36,6 +36,7 @@ _QUERY_MODULES = [
     "mapreduce_spark.operators.joins",
     "mapreduce_spark.operators.windows",
     "mapreduce_spark.operators.textops",
+    "mapreduce_spark.operators.dedup",
 ]
 
 
