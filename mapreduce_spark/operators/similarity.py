@@ -1,0 +1,271 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Three tiers, mirroring a production ANN stack:
+
+- ``similarity_topk``     exact brute-force cosine top-k — the correctness
+                          baseline; |Q| x |V| with the query side broadcast
+- ``similarity_ann_lsh``  random-hyperplane LSH: candidates share a
+                          (table, bucket) key with the query -> bucket join
+- ``similarity_ann_ivf``  IVF: vectors assigned to their nearest seed
+                          centroid; queries probe the nprobe closest
+                          centroid lists only
+
+The approximate tiers trade recall for a candidate set that scales with
+neighbor density instead of |V| — the 100 TB path. All vector math is
+JVM-side (functions/vectors.py) and bit-reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from mapreduce_spark.functions.vectors import (
+    cosine,
+    dot_literal,
+    hyperplane,
+    sql_cosine_pair,
+    sql_dot_literal,
+)
+from mapreduce_spark.registry import register
+from mapreduce_spark.sources.tables import load_table
+
+N_QUERIES = 5        # query set: vec_id < N_QUERIES
+TOP_K = 10
+LSH_TABLES = 4
+LSH_PLANES = 4
+IVF_CENT_MOD = 100   # centroids: vec_id % IVF_CENT_MOD == IVF_CENT_REM
+IVF_CENT_REM = 7
+IVF_NPROBE = 2
+
+
+def _rank_topk(scored: DataFrame) -> DataFrame:
+    """row_number over (cosine desc, vec_id) per query; keep TOP_K."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+_SQL_RANK = f"""
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               round({sql_cosine_pair('q.qe', 'v.embedding')}, 6) AS cosine
+        FROM q JOIN embeddings v ON v.vec_id <> q.query_id)
+    {_SQL_RANK}
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the small query set against the full
+    vector table (one pass over V, no shuffle of V), then per-query top-k
+    via window rank. The plan every ANN variant is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored)
+
+
+# ---------------------------------------------------------------------------
+def _bucket_col(table: int) -> Column:
+    bits = F.lit(0).cast("bigint")
+    for p in range(LSH_PLANES):
+        bits = bits + F.when(
+            dot_literal(F.col("embedding"), hyperplane(table, p)) >= 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    return bits
+
+
+def _sql_bucket(table: int) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {sql_dot_literal('embedding', hyperplane(table, p))} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(LSH_PLANES)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+_SQL_BUCKETS_CTE = (
+    "bk AS (SELECT vec_id, "
+    + ", ".join(f"{_sql_bucket(t)} AS bucket{t}" for t in range(LSH_TABLES))
+    + " FROM embeddings),\n"
+    + "buckets AS ("
+    + " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_idx, bucket{t} AS bucket FROM bk"
+        for t in range(LSH_TABLES)
+    )
+    + ")"
+)
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id
+        FROM buckets qb JOIN buckets vb
+          ON qb.table_idx = vb.table_idx AND qb.bucket = vb.bucket
+         AND vb.vec_id <> qb.vec_id
+        WHERE qb.vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6) AS cosine
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id)
+    {_SQL_RANK}
+    """,
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via hyperplane LSH: score only vectors that share
+    a (table, bucket) key with the query. The candidate join is a key
+    equi-join on the bucket — per-query work tracks bucket occupancy
+    (|V| / 2^planes per table), not |V|."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tables_arr = F.array(
+        *[
+            F.struct(F.lit(t).alias("table_idx"), _bucket_col(t).alias("bucket"))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    buckets = emb.select("vec_id", F.explode(tables_arr).alias("tb")).select(
+        "vec_id", "tb.table_idx", "tb.bucket"
+    )
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES)
+    cand = (
+        qb.alias("q")
+        .join(
+            buckets.alias("v"),
+            (F.col("q.table_idx") == F.col("v.table_idx"))
+            & (F.col("q.bucket") == F.col("v.bucket"))
+            & (F.col("v.vec_id") != F.col("q.vec_id")),
+        )
+        .select(F.col("q.vec_id").alias("query_id"), F.col("v.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ev = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ve"))
+    scored = (
+        cand.join(F.broadcast(eq), "query_id")
+        .join(ev, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("ve")), 6).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_ann_ivf",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({sql_cosine_pair('v.embedding', 'c.ce')}, 6) DESC,
+                                c.cid) AS rn
+            FROM embeddings v, cent c)
+        WHERE rn = 1),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({sql_cosine_pair('q.embedding', 'c.ce')}, 6) DESC,
+                                c.cid) AS rn
+            FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES})
+        WHERE rn <= {IVF_NPROBE}),
+    cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id
+        FROM probe p JOIN assign a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6) AS cosine
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id)
+    {_SQL_RANK}
+    """,
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic seed centroids (vec_id % 100 == 7, a
+    1-iteration k-means stand-in), every vector assigned to its nearest
+    centroid (broadcast centroids — one pass over V), queries probe the
+    nprobe=2 nearest centroid lists. Candidate join is an equi-join on
+    centroid id; per-query cost is the probed lists, not |V|."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    def nearest(df: DataFrame, id_col: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            F.col(id_col),
+            "cid",
+            F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("_c"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("_c").desc(), F.col("cid"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep)
+            .select(id_col, "cid")
+        )
+
+    assign = nearest(emb, "vec_id", 1)
+    probe = nearest(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        "query_id",
+        IVF_NPROBE,
+    )
+    cand = (
+        probe.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ev = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ve"))
+    scored = (
+        cand.join(F.broadcast(eq), "query_id")
+        .join(ev, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qe"), F.col("ve")), 6).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored)

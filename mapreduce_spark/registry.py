@@ -37,6 +37,7 @@ _QUERY_MODULES = [
     "mapreduce_spark.operators.windows",
     "mapreduce_spark.operators.textops",
     "mapreduce_spark.operators.dedup",
+    "mapreduce_spark.operators.similarity",
 ]
 
 
