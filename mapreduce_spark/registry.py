@@ -38,6 +38,7 @@ _QUERY_MODULES = [
     "mapreduce_spark.operators.textops",
     "mapreduce_spark.operators.dedup",
     "mapreduce_spark.operators.similarity",
+    "mapreduce_spark.operators.mr",
 ]
 
 
