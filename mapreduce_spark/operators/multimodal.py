@@ -1,0 +1,249 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+The pattern a 100 TB multimodal training pipeline needs: media travels as
+an opaque ``binary`` column with typed metadata alongside; decode /
+feature-extract / frame-sample run as Arrow-batched ``mapInPandas`` stages
+(never row-at-a-time Python UDFs). The container has no image/audio codec
+libraries, so the DECODE step is a clearly-marked stub gated behind an
+import-try (real codecs drop in without touching the plumbing), while the
+Spark-side plumbing — binary columns through Arrow, batch iterators,
+multi-row-per-input output shapes, schema declarations — is real and
+oracle-verified end to end.
+
+Payloads here are synthesized deterministically from ``documents.text``
+(UTF-8 bytes), so a DuckDB oracle reproduces every hash by hashing the
+text; the corpus is pure ASCII, making byte offsets == char offsets for
+the frame-slicing oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_spark.registry import register
+from mapreduce_spark.sources.tables import load_table
+
+FRAME_BYTES = 16     # fake "frame" size for frame sampling
+FRAME_STRIDE = 4     # keep every 4th frame
+N_FAKE_DIMS = 4      # fake feature-vector width
+
+_SQL_MEDIA_CTE = """
+    WITH media AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(text AS BLOB) AS payload,
+               text AS _text,
+               octet_length(CAST(text AS BLOB)) AS n_bytes
+        FROM documents)
+"""
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest shape: (doc_id, media_type, payload binary, meta struct).
+
+    Real pipelines read payload bytes from object storage via
+    ``spark.read.format("binaryFile")``; here payloads are synthesized
+    from text so the whole path is self-contained and oracle-checkable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit("utf-8-synthetic").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_ingest",
+    oracle=_SQL_MEDIA_CTE
+    + """
+    SELECT doc_id, media_type, payload, CAST(n_bytes AS INTEGER) AS n_bytes
+    FROM media
+    """,
+)
+def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column ingest: typed media rows with opaque payloads.
+    Pure projection — zero shuffles, payload bytes never touch Python."""
+    m = media_table(spark, sf_dir)
+    return m.select("doc_id", "media_type", "payload", F.col("meta.n_bytes").alias("n_bytes"))
+
+
+# ---------------------------------------------------------------------------
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real encoder: dim i is an md5-derived
+    value in [0, 1). Replace with a real model under the same signature."""
+    out = []
+    for i in range(N_FAKE_DIMS):
+        h = int(hashlib.md5(payload + f"|{i}".encode()).hexdigest()[:15], 16)
+        out.append((h % 1000) / 1000.0)
+    return out
+
+
+def _sql_fake_dim(i: int) -> str:
+    return (
+        f"CAST(CAST('0x' || substring(md5(_text || '|{i}'), 1, 15) AS BIGINT) % 1000 "
+        f"AS DOUBLE) / 1000.0"
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=_SQL_MEDIA_CTE
+    + f"""
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           md5(_text) AS content_md5,
+           {", ".join(f"{_sql_fake_dim(i)} AS f{i}" for i in range(N_FAKE_DIMS))}
+    FROM media
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow-batched
+    mapInPandas: payload bytes cross to Python ONCE per batch (not per
+    row), the extractor runs vectorized over the batch, output is a flat
+    typed schema. The extractor itself is a deterministic md5 fake (no
+    codec libs in this container) — swapping in a real encoder changes
+    only ``_fake_features``."""
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = [_fake_features(p) for p in payloads]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(
+                        lambda p: hashlib.md5(p).hexdigest()
+                    ),
+                }
+            )
+            for i in range(N_FAKE_DIMS):
+                out[f"f{i}"] = [f[i] for f in feats]
+            yield out
+
+    schema = "doc_id long, n_bytes long, content_md5 string, " + ", ".join(
+        f"f{i} double" for i in range(N_FAKE_DIMS)
+    )
+    return m.mapInPandas(extract, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frames",
+    oracle=_SQL_MEDIA_CTE
+    + f"""
+    SELECT m.doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           md5(substring(_text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+    FROM media m, UNNEST(range(0, n_bytes // {FRAME_BYTES})) AS u(i)
+    WHERE m.media_type = 'video' AND i % {FRAME_STRIDE} = 0
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' payloads: mapInPandas emitting MANY rows
+    per input row (the explode-shaped batch contract) — every
+    {FRAME_STRIDE}th full {FRAME_BYTES}-byte frame, identified by hash.
+    The media_type filter prunes before bytes ever reach Python."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "video").select(
+        "doc_id", "payload"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(
+                            payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int64"),
+                 "frame_md5": pd.Series(hashes, dtype="object")}
+            )
+
+    return m.mapInPandas(sample, schema="doc_id long, frame_idx long, frame_md5 string")
+
+
+# ---------------------------------------------------------------------------
+try:  # real decoder would slot in here; the container ships no codecs
+    from PIL import Image  # noqa: F401
+
+    _HAS_DECODER = True
+except ImportError:
+    _HAS_DECODER = False
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           'stub:no-decoder' AS status,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode with the codec step stubbed: the batch plumbing, typed
+    output schema, and partition behavior are real; the decode itself
+    returns status='stub:no-decoder' with NULL dimensions because PIL is
+    absent here. With PIL installed the same query decodes for real
+    (status='ok') — the oracle below pins the stub path this container
+    exercises."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image").select(
+        "doc_id", "payload"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            status, width, height = [], [], []
+            for payload in pdf["payload"]:
+                if _HAS_DECODER:
+                    try:
+                        img = Image.open(io.BytesIO(payload))
+                        status.append("ok")
+                        width.append(img.width)
+                        height.append(img.height)
+                    except Exception:
+                        status.append("error:undecodable")
+                        width.append(None)
+                        height.append(None)
+                else:
+                    status.append("stub:no-decoder")
+                    width.append(None)
+                    height.append(None)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "status": status,
+                 "width": pd.Series(width, dtype="Int32"),
+                 "height": pd.Series(height, dtype="Int32")}
+            )
+
+    return m.mapInPandas(decode, schema="doc_id long, status string, width int, height int")

@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     "mapreduce_spark.operators.dedup",
     "mapreduce_spark.operators.similarity",
     "mapreduce_spark.operators.mr",
+    "mapreduce_spark.operators.multimodal",
 ]
 
 
