@@ -40,6 +40,7 @@ _QUERY_MODULES = [
     "mapreduce_spark.operators.similarity",
     "mapreduce_spark.operators.mr",
     "mapreduce_spark.operators.multimodal",
+    "mapreduce_spark.streaming.events",
 ]
 
 

@@ -1,0 +1,218 @@
+"""Structured Streaming over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2 "absent" list) — these
+are north-star extensions expressed with the real Structured Streaming
+machinery: ``readStream`` file source -> event-time transformations ->
+``writeStream`` with an ``availableNow`` trigger draining to a memory sink.
+``availableNow`` processes everything currently in the directory and
+terminates, so each query returns a deterministic batch-equivalent result
+the DuckDB oracle can replay — while the code path (micro-batch planner,
+state store, watermarks, applyInPandasWithState) is the exact one a live
+unbounded stream would execute. On a real cluster the same plans run
+continuously with kafka/file sources and real sinks.
+
+Scale notes: windowed aggregation state is per (window, key) — bounded by
+watermark expiry; sessionization state is per active user session, expiring
+on the gap timeout. Both shuffle once on the grouping key.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_spark.functions.exact import dsum
+from mapreduce_spark.registry import register
+from mapreduce_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the same nanos->ntz
+    normalization as the batch loader (sources/tables.py)."""
+    batch = load_table(spark, sf_dir, "events")  # drives conf + final schema
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source requires a directory: stream the sf dir with a
+    # glob filter selecting only the events table file(s).
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    # Watermarks require TIMESTAMP (with local tz); the session tz is UTC
+    # so this cast is instant-preserving, and results cast back to ntz.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream.select(*batch.columns)
+
+
+def _drain(df: DataFrame, name: str, spark: SparkSession, output_mode: str) -> DataFrame:
+    """Run the streaming plan to completion (availableNow) into a memory
+    sink and return the materialized result."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "stream_window_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type, computed by the
+    streaming micro-batch engine (complete output mode => every window is
+    emitted when the bounded stream drains, making the result exactly the
+    batch answer). Decimal-exact sums keep the hash stable at any
+    parallelism."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain(agg, "mem_stream_window_counts", spark, "complete")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "stream_sessionize",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM d),
+    agg AS (
+        SELECT user_id, sid,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY 1, 2),
+    mx AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+    SELECT a.user_id,
+           CAST(a.session_start AS TIMESTAMP) AS session_start,
+           CAST(a.session_end AS TIMESTAMP) AS session_end,
+           CAST(a.n_events AS BIGINT) AS n_events
+    FROM agg a JOIN mx ON a.user_id = mx.user_id AND a.sid < mx.last_sid
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState: per-user
+    state carries the OPEN session across micro-batches; a session is
+    emitted when a later event arrives more than {SESSION_GAP_MIN} minutes
+    after it closes it. The still-open final session per user stays in
+    state (a live stream would close it later), which the oracle mirrors
+    by excluding each user's last session. State size = one open session
+    per active user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
+
+    out_schema = (
+        "user_id long, session_start timestamp_ntz, session_end timestamp_ntz, "
+        "n_events long"
+    )
+    state_schema = "start long, last long, n long"
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        (user_id,) = key
+        events = pd.concat(list(pdfs), ignore_index=True)
+        events = events.sort_values(["ts", "event_id"])
+        # timestamps as integer microseconds for exact state round-trips
+        ts_us = (events["ts"].astype("int64") // 1000).tolist()
+        if state.exists:
+            cur_start, cur_last, cur_n = state.get
+        else:
+            cur_start = cur_last = cur_n = None
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            if cur_start is None:
+                cur_start, cur_last, cur_n = t, t, 1
+            elif t - cur_last > gap_us:
+                closed.append((cur_start, cur_last, cur_n))
+                cur_start, cur_last, cur_n = t, t, 1
+            else:
+                cur_last = t
+                cur_n += 1
+        state.update((cur_start, cur_last, cur_n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id] * len(closed), dtype="int64"),
+                    "session_start": pd.to_datetime(
+                        [c[0] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
+                }
+            )
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(sessions, "mem_stream_sessionize", spark, "append")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique FROM (
+        SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+        ORDER BY event_id, ts)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once idiom: dropDuplicates on the event key inside
+    the stream (state = seen keys, watermark-expired on a live stream),
+    then a running count per type. events' ids are already unique, so this
+    equals the batch distinct — the point is the streaming dedup plan."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    return _drain(agg, "mem_stream_dedup", spark, "complete")
