@@ -1,0 +1,70 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf"}. Each query is forced end-to-end with the noop sink
+(full computation, no driver-side row transfer). Run:
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the shuffle-heavy relational trio, a scan, both canonical
+# reference workloads, windows, and the LLM-pipeline operators.
+HEADLINE = [
+    "groupby_agg",
+    "join_equi",
+    "join_broadcast",
+    "window_running",
+    "wordcount",
+    "topk",
+    "agg_distinct",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_stats",
+]
+
+
+def main() -> int:
+    from mapreduce_spark.registry import get_queries
+    from mapreduce_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = get_queries()
+
+    # JVM/codegen warmup on a tiny query so q1 doesn't pay session startup.
+    qs["topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

