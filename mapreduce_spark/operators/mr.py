@@ -59,13 +59,23 @@ class MapReduceJob:
     with directories replaced by RDDs/DataFrames.
     """
 
-    def __init__(self, mapper: str, reducer: str, num_reducers: int = 4):
+    def __init__(
+        self,
+        mapper: str,
+        reducer: str,
+        num_reducers: int = 4,
+        env: dict[str, str] | None = None,
+    ):
         self.mapper = mapper
         self.reducer = reducer
         self.num_reducers = num_reducers
+        # Environment passed to both executables — the analog of invoking
+        # the reference's mapper with CLI args (grep_map.py accepts the
+        # query as argv[1]; our exec/ scripts read it from the env).
+        self.env = env or {}
 
     def run(self, lines):
-        mapped = lines.pipe(self.mapper)
+        mapped = lines.pipe(self.mapper, env=self.env)
         shuffled = (
             mapped.map(lambda line: (line, None))
             .repartitionAndSortWithinPartitions(
@@ -74,7 +84,7 @@ class MapReduceJob:
             )
             .keys()
         )
-        return shuffled.pipe(self.reducer)
+        return shuffled.pipe(self.reducer, env=self.env)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,108 @@
+"""Invariant tests for the dedup + similarity families at sf0.001.
+
+The DuckDB value-hash equivalence is the driver's gate; these tests pin
+the *semantic invariants* a user relies on (thresholds honored, candidate
+generation via key joins not cartesian, exact-vs-ANN containment).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreduce_spark.operators import dedup as D
+from mapreduce_spark.operators import similarity as S
+from mapreduce_spark.registry import get_queries
+from mapreduce_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return get_queries()
+
+
+def test_dedup_exact_partitions_all_docs(spark, sf_dir, qs):
+    out = qs["dedup_exact"](spark, sf_dir)
+    total_docs = load_table(spark, sf_dir, "documents").count()
+    agg = out.agg(
+        F.sum("n_copies").alias("n"), F.count(F.lit(1)).alias("groups")
+    ).collect()[0]
+    assert agg["n"] == total_docs  # every doc in exactly one content group
+    assert agg["groups"] <= total_docs
+
+
+def test_dedup_minhash_thresholds_and_ordering(spark, sf_dir, qs):
+    rows = qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+    assert rows, "corpus contains seeded near-dups; expected pairs"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert D.JACCARD_THRESHOLD <= r["jaccard"] <= 1.0
+
+
+def test_dedup_minhash_no_cartesian_in_plan(spark, sf_dir, qs):
+    plan = qs["dedup_minhash_lsh"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_ngram_jaccard_threshold(spark, sf_dir, qs):
+    for r in qs["dedup_ngram_jaccard"](spark, sf_dir).collect():
+        assert r["jaccard"] >= D.NGRAM_JACCARD_MIN
+
+
+def test_dedup_simhash_identical_docs_same_signature(spark, sf_dir, qs):
+    sig = qs["dedup_simhash"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = sig.join(docs, "doc_id").select("text", "simhash")
+    n_texts = joined.select("text").distinct().count()
+    n_pairs = joined.distinct().count()
+    assert n_pairs == n_texts  # same text → same simhash, always
+    for r in sig.limit(200).collect():
+        assert 0 <= r["simhash"] < (1 << D.SIMHASH_BITS)
+
+
+def test_dedup_embedding_cosine_threshold(spark, sf_dir, qs):
+    for r in qs["dedup_embedding"](spark, sf_dir).collect():
+        assert r["vec_a"] < r["vec_b"]
+        assert r["cosine"] >= D.COSINE_THRESHOLD
+
+
+def test_similarity_topk_shape_and_order(spark, sf_dir, qs):
+    rows = qs["similarity_topk"](spark, sf_dir).collect()
+    assert len(rows) == S.N_QUERIES * S.TOP_K
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for query_id, group in by_q.items():
+        group.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in group] == list(range(1, S.TOP_K + 1))
+        cosines = [r["cosine"] for r in group]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["vec_id"] != query_id for r in group)
+
+
+def test_ann_results_subset_of_exact_scores(spark, sf_dir, qs):
+    # ANN cosines are exact cosines of a candidate subset: every ANN hit's
+    # score must equal the exact score for that (query, vec) pair.
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in qs["similarity_topk"](spark, sf_dir).collect()
+    }
+    for name in ("similarity_ann_lsh", "similarity_ann_ivf"):
+        rows = qs[name](spark, sf_dir).collect()
+        assert rows, name
+        hits = sum(
+            1
+            for r in rows
+            if (r["query_id"], r["vec_id"]) in exact
+            and exact[(r["query_id"], r["vec_id"])] == r["cosine"]
+        )
+        # recall vs exact top-k: tuned families should recover a majority
+        assert hits / len(rows) > 0.3, f"{name} recall collapsed: {hits}/{len(rows)}"
+
+
+def test_ann_no_cartesian_candidate_join(spark, sf_dir, qs):
+    # LSH candidates must come from the bucket equi-join; IVF probes
+    # ARE a (tiny, broadcast) nested-loop against centroids by design.
+    plan = qs["similarity_ann_lsh"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

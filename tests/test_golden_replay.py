@@ -1,0 +1,65 @@
+"""Reference-corpus golden replay (SURVEY §5 strategy point 3).
+
+Runs the engine's MR-compat pipeline over the reference's OWN input corpus
+(/root/reference/tests/testdata/input/file01-08) and compares against the
+reference's golden outputs — the same check its integration tests make:
+word count order-insensitive (/root/reference/tests/test_integration_02.py:
+83-87) and grep line-set (/root/reference/tests/test_integration_01.py:81-85).
+Honors the fine print: empty-string keys (golden line 1 is `\t9`),
+first-tab key split, `tr '[ \t]'` tokenization (brackets are delimiters).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from mapreduce_spark.operators.mr import EXEC_DIR, MapReduceJob
+from tests.conftest import REF_CORRECT, REF_INPUT
+
+pytestmark = pytest.mark.skipif(
+    not pathlib.Path(REF_INPUT).is_dir(), reason="reference corpus not present"
+)
+
+
+def _golden(name: str) -> list[str]:
+    text = pathlib.Path(REF_CORRECT, name).read_text()
+    return [line for line in text.split("\n") if line != ""]
+
+
+def test_wordcount_matches_reference_golden(spark):
+    lines = spark.sparkContext.textFile(REF_INPUT, minPartitions=4)
+    job = MapReduceJob(
+        mapper=f"python3 {EXEC_DIR}/wc_map.py",
+        reducer=f"python3 {EXEC_DIR}/wc_reduce.py",
+        num_reducers=2,
+    )
+    got = sorted(job.run(lines).collect())
+    assert got == sorted(_golden("word_count_correct.txt"))
+
+
+def test_wordcount_empty_key_counted(spark):
+    # The reference's trademark edge case: 9 blank/delimiter-only segments
+    # across the corpus → golden's first line is "\t9".
+    lines = spark.sparkContext.textFile(REF_INPUT, minPartitions=4)
+    job = MapReduceJob(
+        mapper=f"python3 {EXEC_DIR}/wc_map.py",
+        reducer=f"python3 {EXEC_DIR}/wc_reduce.py",
+        num_reducers=1,
+    )
+    out = dict(line.split("\t", 1) for line in job.run(lines).collect())
+    golden = dict(line.split("\t", 1) for line in _golden("word_count_correct.txt"))
+    assert out[""] == golden[""]
+
+
+def test_grep_matches_reference_golden(spark):
+    lines = spark.sparkContext.textFile(REF_INPUT, minPartitions=4)
+    job = MapReduceJob(
+        mapper=f"python3 {EXEC_DIR}/grep_map.py",
+        reducer=f"python3 {EXEC_DIR}/grep_reduce.py",
+        num_reducers=1,
+        env={"GREP_QUERY": "product"},  # the reference's default query
+    )
+    got = sorted(job.run(lines).collect())
+    assert got == sorted(_golden("grep_correct.txt"))

