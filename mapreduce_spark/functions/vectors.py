@@ -34,6 +34,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def norm(a: Column) -> Column:
+    """Euclidean norm, same fold order as cosine's denominator.
+
+    Precompute this ONCE per vector before a pairwise join: cosine_n
+    then evaluates one dot per pair instead of three, bit-identically —
+    sqrt(dot(v, v)) is the same IEEE operation sequence either way."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine_n(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from precomputed norms (bit-identical to ``cosine``)."""
+    return dot(a, b) / (na * nb)
+
+
 def dot_literal(vec: Column, plane: list[float]) -> Column:
     """Dot product against a Python-literal plane vector."""
     planes = F.array(*[F.lit(x) for x in plane])

@@ -22,9 +22,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from mapreduce_spark.functions.vectors import (
-    cosine,
+    cosine_n,
     dot_literal,
     hyperplane,
+    norm,
     sql_cosine_pair,
     sql_dot_literal,
 )
@@ -60,6 +61,33 @@ _SQL_RANK = f"""
 """
 
 
+def _score_pairs(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact cosine for candidate (query_id, vec_id) pairs, with per-vector
+    norms computed once on each join input instead of per pair."""
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    eq = embn.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    ev = embn.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("ve"),
+        F.col("nrm").alias("vn"),
+    )
+    return (
+        cand.join(F.broadcast(eq), "query_id")
+        .join(ev, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_n(F.col("qe"), F.col("ve"), F.col("qn"), F.col("vn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 @register(
     "similarity_topk",
@@ -77,16 +105,22 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the small query set against the full
     vector table (one pass over V, no shuffle of V), then per-query top-k
     via window rank. The plan every ANN variant is measured against."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine"),
+            F.round(
+                cosine_n(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")), 6
+            ).alias("cosine"),
         )
     )
     return _rank_topk(scored)
@@ -170,17 +204,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("q.vec_id").alias("query_id"), F.col("v.vec_id").alias("vec_id"))
         .distinct()
     )
-    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    ev = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ve"))
-    scored = (
-        cand.join(F.broadcast(eq), "query_id")
-        .join(ev, "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("qe"), F.col("ve")), 6).alias("cosine"),
-        )
-    )
+    scored = _score_pairs(emb, cand)
     return _rank_topk(scored)
 
 
@@ -226,15 +250,20 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=2 nearest centroid lists. Candidate join is an equi-join on
     centroid id; per-query cost is the probed lists, not |V|."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    cent = embn.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
     )
 
     def nearest(df: DataFrame, id_col: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cent)).select(
             F.col(id_col),
             "cid",
-            F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("_c"),
+            F.round(
+                cosine_n(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn")), 6
+            ).alias("_c"),
         )
         w = Window.partitionBy(id_col).orderBy(F.col("_c").desc(), F.col("cid"))
         return (
@@ -243,10 +272,10 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(id_col, "cid")
         )
 
-    assign = nearest(emb, "vec_id", 1)
+    assign = nearest(embn, "vec_id", 1)
     probe = nearest(
-        emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), "embedding"
+        embn.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "embedding", "nrm"
         ),
         "query_id",
         IVF_NPROBE,
@@ -257,15 +286,5 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
         .distinct()
     )
-    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    ev = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ve"))
-    scored = (
-        cand.join(F.broadcast(eq), "query_id")
-        .join(ev, "vec_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("qe"), F.col("ve")), 6).alias("cosine"),
-        )
-    )
+    scored = _score_pairs(emb, cand)
     return _rank_topk(scored)
