@@ -1,0 +1,86 @@
+"""Physical-plan audits for the headline queries (the 100 TB checklist).
+
+Correctness is the driver's DuckDB gate; these tests pin the PLAN SHAPE
+that survives a 1000-executor / 100 TB scale-up: pushdown reaches the
+scan, projections prune columns, dimension joins broadcast, top-k never
+globally sorts, pairwise operators never go cartesian.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_spark.plans import audit
+from mapreduce_spark.registry import get_queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return get_queries()
+
+
+def test_filter_predicate_pushdown_reaches_scan(spark, sf_dir, qs):
+    df = qs["filter_predicate"](spark, sf_dir)
+    assert audit.scans_with_pushed_filters(df) >= 1
+
+
+def test_scan_project_prunes_columns(spark, sf_dir, qs):
+    df = qs["scan_project"](spark, sf_dir)
+    schemas = audit.scan_read_schemas(df)
+    assert schemas and all(len(s) <= 4 for s in schemas), (
+        f"projection should prune the 16-col lineitem scan, read {schemas}"
+    )
+
+
+def test_groupby_agg_single_shuffle_with_partial_agg(spark, sf_dir, qs):
+    df = qs["groupby_agg"](spark, sf_dir)
+    assert audit.exchange_count(df) <= 2  # agg + declared output order
+    plan = audit.simple_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
+
+
+def test_join_broadcast_no_fact_shuffle(spark, sf_dir, qs):
+    df = qs["join_broadcast"](spark, sf_dir)
+    assert audit.broadcast_join_count(df) >= 3  # region/nation/supplier dims
+    assert audit.sortmerge_join_count(df) == 0  # the fact table never shuffles for a join
+
+
+def test_join_equi_reuses_one_shuffle_key(spark, sf_dir, qs):
+    df = qs["join_equi"](spark, sf_dir)
+    # customer⋈orders on custkey then groupBy custkey: Catalyst must not
+    # add a second hash-exchange for the aggregation.
+    assert audit.exchange_count(df) <= 3
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir, qs):
+    df = qs["topk"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in audit.simple_plan(df)
+    assert audit.exchange_count(df) == 0  # no range-partition sort of all rows
+
+
+def test_pairwise_operators_never_cartesian(spark, sf_dir, qs):
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding",
+                 "similarity_ann_lsh"):
+        assert not audit.has_cartesian(qs[name](spark, sf_dir)), name
+
+
+def test_wordcount_partial_aggregates_before_shuffle(spark, sf_dir, qs):
+    df = qs["wordcount"](spark, sf_dir)
+    assert audit.exchange_count(df) <= 2  # count agg + declared order
+    assert audit.simple_plan(df).count("HashAggregate") >= 2
+
+
+def test_quantile_exact_aggregates_distribution_not_rows(spark, sf_dir, qs):
+    # the scale-safe quantile: windows run over the (group, value) counts,
+    # so a partial aggregate must appear BELOW the window in the plan
+    plan = audit.simple_plan(qs["quantile_exact"](spark, sf_dir))
+    assert "HashAggregate" in plan and "Window" in plan
+    # tree prints top-down: a (partial) aggregate must sit BELOW the window,
+    # proving the window runs over the compacted distribution, not raw rows
+    assert plan.rindex("HashAggregate") > plan.index("Window")
+
+
+def test_operators_are_codegened(spark, sf_dir, qs):
+    # hot relational paths must stay inside whole-stage codegen
+    for name in ("groupby_agg", "join_equi", "window_running"):
+        assert audit.whole_stage_codegen_count(qs[name](spark, sf_dir)) >= 1, name
