@@ -131,6 +131,36 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wordcount_salted",
+    oracle="""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    t -> t <> '')) AS word
+          FROM documents)
+    GROUP BY word
+    """,
+)
+def wordcount_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof wordcount: natural text is Zipfian ("the"-class keys
+    overload single reducers — the same exposure as the reference's
+    md5-mod-R shuffle, SURVEY §4.3). Two-phase salted aggregation: count
+    per (word, salt) with a random 4-way salt — splitting each hot key
+    across 4 reducers — then merge the partial counts per word. Same
+    answer as `wordcount` (identical oracle), bounded per-reducer load at
+    any scale. The salt column never leaves the first aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_salts = 4
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
+        .groupBy("word", "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+        .groupBy("word")
+        .agg(F.sum("_partial").alias("cnt"))
+    )
+
+
 # Q6 hash aggregation (TPC-H Q1 shape)
 @register(
     "groupby_agg",
