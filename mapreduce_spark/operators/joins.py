@@ -208,3 +208,54 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("timestampdiff(MICROSECOND, click_ts, ts)").alias("wait_us"),
         )
     )
+
+
+@register(
+    "range_join",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           count(*) AS n_clicks_before
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE
+     AND c.ts <= e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join (SURVEY.md §2 'absent' list — Spark has no native
+    one): for each error event, count the same user's clicks in the
+    preceding 10 minutes.
+
+    A naive formulation is an inequality theta-join — a cartesian per user
+    that dies at scale. This is the BANDED range join: both sides get a
+    10-minute bucket key, the error side fans out to (bucket-1, bucket) —
+    the only buckets a window this long can touch — and the join is a pure
+    equi-join on (user_id, bucket), refined by the exact range predicate.
+    Work tracks true pair density per band, never |user events|^2.
+    """
+    band_us = 10 * 60 * 1_000_000  # band width == window length, microseconds
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        us.alias("c_us"),
+        F.floor(us / band_us).alias("bucket"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.col("user_id"),
+        us.alias("e_us"),
+        F.explode(
+            F.array(F.floor(us / band_us) - 1, F.floor(us / band_us))
+        ).alias("bucket"),
+    )
+    return (
+        errors.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_us") >= F.col("e_us") - band_us) & (F.col("c_us") <= F.col("e_us"))
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_before"))
+    )

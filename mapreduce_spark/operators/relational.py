@@ -674,3 +674,98 @@ def collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured + collection functions (SURVEY.md §2 "absent" list:
+# JSON/array/map functions have no reference analog — native Spark surface).
+@register(
+    "json_functions",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events.props payload column:
+    get_json_object pulls $.k out of each JSON string JVM-side (no Python),
+    then a standard aggregate. At scale the JSON parse is per-row
+    map-side work that pipelines inside codegen before the tiny shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+        )
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  s -> s <> '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           toks[1] AS first_tok,
+           list_max(toks) AS max_tok,
+           list_contains(toks, 'the') AS has_the,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/collection function surface over the token array: size,
+    distinct count, element access, max, membership, slice of the sorted
+    distinct set. All JVM-side collection expressions — zero shuffles,
+    pure map-side pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 0)
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.col("toks")[0].alias("first_tok"),
+        F.array_max("toks").alias("max_tok"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("toks")), 1, 3), ","
+        ).alias("first3_sorted"),
+    )
+
+
+@register(
+    "sample_hash",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+                                     CAST(l_linenumber AS VARCHAR)), 1, 15)
+               AS BIGINT) % 100 < 5
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample via content hashing — the reproducible way
+    to sample 100 TB (rand() samples differ per run/engine; hash samples
+    are stable, shardable, and join-consistent across tables keyed the
+    same way). Pure map-side filter; no shuffle, no state."""
+    from mapreduce_spark.functions.hashing import md5_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+    return li.filter(md5_long(key) % 100 < 5).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
