@@ -216,3 +216,33 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
     return _drain(agg, "mem_stream_dedup", spark, "complete")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the live event stream joins a static
+    dimension table (customer) that Spark broadcasts per micro-batch —
+    the standard pattern for decorating a stream with slowly-changing
+    reference data. No stream state is needed for the join itself; the
+    downstream aggregate keeps per-nation running totals. At scale the
+    static side refreshes per batch and stays broadcast; the stream never
+    shuffles for the join."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("nationkey")
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")
+    )
+    return _drain(agg, "mem_stream_static_join", spark, "complete")

@@ -35,6 +35,7 @@ LLM_PIPELINE = [
     "multimodal_ingest", "multimodal_features", "multimodal_frames",
     "multimodal_decode",
     "stream_window_counts", "stream_sessionize", "stream_dedup",
+    "stream_static_join",
 ]
 
 
