@@ -67,6 +67,27 @@ def micro_sf(spark, tmp_path_factory) -> str:
         ],
         "doc_id long, lang string, text string",
     )
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write(
+        "events",
+        [
+            # user 1: two clicks then an error and a purchase
+            (1, t(10, 0), 1, "click", 1.0, "{}"),
+            (2, t(10, 8), 1, "click", 1.0, "{}"),
+            (3, t(10, 12), 1, "error", 1.0, "{}"),
+            (4, t(10, 15), 1, "purchase", 9.0, "{}"),
+            # user 2: error with no clicks at all
+            (5, t(10, 0), 2, "error", 1.0, "{}"),
+            # user 3: click exactly 10 min before the error (boundary, in)
+            (6, t(9, 50), 3, "click", 1.0, "{}"),
+            (7, t(10, 0), 3, "error", 1.0, "{}"),
+            # user 4: click at the same instant as the error (boundary, in)
+            (8, t(10, 0), 4, "click", 1.0, "{}"),
+            (9, t(10, 0), 4, "error", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
     return str(root)
 
 
@@ -137,6 +158,25 @@ def test_union_and_set_ops_exact(spark, micro_sf):
     exc = get_queries()["set_except"](spark, micro_sf)
     assert {r["custkey"] for r in inter.collect()} == {10}
     assert {r["custkey"] for r in exc.collect()} == {20, 30}
+
+
+def test_asof_join_exact(spark, micro_sf):
+    # the one purchase (user 1 @ 10:15) matches the LATEST click <= it
+    # (10:08), not the earlier 10:00 one
+    df = get_queries()["asof_join"](spark, micro_sf)
+    got = [(r["event_id"], r["user_id"], r["wait_us"]) for r in df.collect()]
+    assert got == [(4, 1, 7 * 60 * 1_000_000)]
+
+
+def test_range_join_exact_boundaries(spark, micro_sf):
+    # clicks within [error_ts - 10min, error_ts], both boundaries inclusive:
+    # user 1: only the 10:08 click (10:00 is 12min before the 10:12 error)
+    # user 2: no clicks -> no output row
+    # user 3: click exactly 10min before  -> counted (lower boundary)
+    # user 4: click at the same instant   -> counted (upper boundary)
+    df = get_queries()["range_join"](spark, micro_sf)
+    got = {(r["event_id"], r["user_id"]): r["n_clicks_before"] for r in df.collect()}
+    assert got == {(3, 1): 1, (7, 3): 1, (9, 4): 1}
 
 
 def test_sample_hash_deterministic(spark, micro_sf):
