@@ -769,3 +769,34 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(md5_long(key) % 100 < 5).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT user_id,
+           NULLIF(count(*) FILTER (WHERE event_type = 'click'), 0) AS n_click,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: per-user (event_type -> count) map built with
+    map_from_entries over the per-type counts, then element_at lookup
+    (NULL when the key is absent — mirrored by NULLIF in the oracle) and
+    size(). The collect_list is bounded by |event types| per user, so the
+    map stays tiny at any scale; one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("type_counts")
+    )
+    return m.select(
+        "user_id",
+        F.element_at("type_counts", "click").alias("n_click"),
+        F.size("type_counts").alias("n_types"),
+    )
