@@ -45,6 +45,24 @@ def test_dedup_minhash_no_cartesian_in_plan(spark, sf_dir, qs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_dedup_cluster_is_consistent_partition(spark, sf_dir, qs):
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in qs["dedup_cluster"](spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+    ]
+    total_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(labels) == total_docs  # every doc labeled, incl. singletons
+    for doc, root in labels.items():
+        assert root <= doc  # cluster id is the component minimum
+        assert labels[root] == root  # roots are fixed points (keepers)
+    for a, b in pairs:
+        assert labels[a] == labels[b], f"near-dup pair ({a},{b}) split"
+
+
 def test_dedup_ngram_jaccard_threshold(spark, sf_dir, qs):
     for r in qs["dedup_ngram_jaccard"](spark, sf_dir).collect():
         assert r["jaccard"] >= D.NGRAM_JACCARD_MIN
