@@ -126,3 +126,63 @@ def window_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.round(F.col("o_totalprice") / denom, 8).alias("status_share"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_10m_value
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, not row-count): per event,
+    the user's total event value over the trailing 10 minutes. Ordered by
+    integer microseconds so the frame bound is exact in both engines;
+    decimal-exact sum keeps the rolling total order-independent. One
+    shuffle on user_id; frame state is bounded by the 10-minute span."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "rolling_10m_value"
+        ),
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quartile bucketing + percentile rank by order value.
+    Deterministic tie-break on o_orderkey makes ntile assignment
+    engine-independent. A single unpartitioned window is the one operator
+    class that inherently serializes; at 100 TB use the quantile_exact
+    distribution method to derive bucket boundaries instead — this query
+    exists for API parity on moderately-sized results."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
