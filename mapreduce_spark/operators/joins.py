@@ -259,3 +259,49 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "user_id")
         .agg(F.count(F.lit(1)).alias("n_clicks_before"))
     )
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT o.o_custkey, count(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted skew join — the manual fallback when a hot key
+    would overload one reducer and AQE's skew splitting isn't available
+    (e.g. bucketed inputs, or a deliberately pinned plan). The build side
+    (orders) is replicated once per salt via explode; the probe side
+    (lineitem) draws a deterministic salt from md5(orderkey) — never
+    rand(), so the query replays identically. The join key becomes
+    (key, salt): a hot orderkey's rows spread across N_SALTS reducers
+    instead of one. Same answer as the unsalted join (identical oracle);
+    cost = build side x N_SALTS, the standard tradeoff."""
+    from mapreduce_spark.functions.hashing import md5_long
+
+    n_salts = 4
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        (md5_long(F.col("l_orderkey").cast("string")) % n_salts).alias("_salt"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(F.array(*[F.lit(s) for s in range(n_salts)])).alias("_salt"),
+    )
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt),
+            "inner",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "revenue"),
+        )
+    )
