@@ -246,3 +246,64 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")
     )
     return _drain(agg, "mem_stream_static_join", spark, "complete")
+
+
+# ---------------------------------------------------------------------------
+STREAM_JOIN_WINDOW_MIN = 30
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           date_diff('microsecond', c.ts, p.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+     AND c.ts <= p.ts
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every purchase matched to ALL of the
+    user's clicks in the preceding {STREAM_JOIN_WINDOW_MIN} minutes — both
+    sides are live streams, so the engine buffers each side in state and
+    the event-time constraint plus watermarks bound how long rows wait for
+    late matches (state is purged once the window can no longer match).
+    The drained availableNow result equals the batch interval join, which
+    is exactly what the oracle computes."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user_id").alias("user_id"),
+        F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_us"),
+    )
+    return _drain(joined, "mem_stream_stream_join", spark, "append")

@@ -77,6 +77,31 @@ def test_stream_sessionize_closed_sessions_only(spark, sf_dir, qs):
     assert joined.count() == 0  # no emitted session contains the user's last event
 
 
+def test_stream_stream_join_equals_batch(spark, sf_dir, qs):
+    from mapreduce_spark.streaming.events import STREAM_JOIN_WINDOW_MIN
+
+    streamed = qs["stream_stream_join"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id")
+    cols = ["purchase_id", "click_id"]
+    assert _rows(streamed.select(cols), cols) == _rows(batch.select(cols), cols)
+
+
 def test_multimodal_ingest_schema_and_sizes(spark, sf_dir, qs):
     df = qs["multimodal_ingest"](spark, sf_dir)
     dtypes = dict(df.dtypes)
