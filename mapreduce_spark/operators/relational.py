@@ -800,3 +800,63 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("type_counts", "click").alias("n_click"),
         F.size("type_counts").alias("n_types"),
     )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM w
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (the inverse of pivot_status): aggregate to a
+    wide per-flag row, then unpivot the measure columns into (metric,
+    value) pairs. unpivot is a zero-shuffle row explosion — the reshape
+    happens after the aggregation, so only |groups| x |metrics| rows move."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", "sum_qty"), dsum("l_extendedprice", "sum_price")
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT l_returnflag, l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+                                     CAST(l_linenumber AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000 <
+          CASE l_returnflag WHEN 'R' THEN 50 WHEN 'N' THEN 100 ELSE 200 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (R 5%, N 10%,
+    A 20%) applied through the same content hash as sample_hash, so rare
+    strata can be over-sampled reproducibly — the balanced-training-mix
+    primitive. Map-side filter only; rates live in one CASE expression."""
+    from mapreduce_spark.functions.hashing import md5_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+    rate = (
+        F.when(F.col("l_returnflag") == "R", 50)
+        .when(F.col("l_returnflag") == "N", 100)
+        .otherwise(200)
+    )
+    return li.filter(md5_long(key) % 1000 < rate).select(
+        "l_returnflag", "l_orderkey", "l_linenumber"
+    )
