@@ -53,6 +53,25 @@ def test_wordcount_empty_key_counted(spark):
     assert out[""] == golden[""]
 
 
+def test_reference_own_executables_match_golden(spark):
+    """The strongest parity proof: the reference's ACTUAL unmodified shell
+    executables (wc_map.sh / wc_reduce.sh) run inside our pipe layer over
+    its own corpus and reproduce its golden output — a user of the
+    reference can run their existing executables on this engine unchanged
+    (SURVEY M3)."""
+    ref_exec = pathlib.Path("/root/reference/tests/testdata/exec")
+    if not (ref_exec / "wc_map.sh").exists():
+        pytest.skip("reference executables not present")
+    lines = spark.sparkContext.textFile(REF_INPUT, minPartitions=4)
+    job = MapReduceJob(
+        mapper=f"bash {ref_exec}/wc_map.sh",
+        reducer=f"bash {ref_exec}/wc_reduce.sh",
+        num_reducers=2,
+    )
+    got = sorted(job.run(lines).collect())
+    assert got == sorted(_golden("word_count_correct.txt"))
+
+
 def test_grep_matches_reference_golden(spark):
     lines = spark.sparkContext.textFile(REF_INPUT, minPartitions=4)
     job = MapReduceJob(
