@@ -234,3 +234,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long(F.array_join(toks, " ")).alias("fp64"),
         F.array_min(F.transform(sh, md5_long)).alias("shingle_min"),
     )
+
+
+# --------------------------------------------------------------------------
+NGRAM_N = 3
+NGRAM_TOP_K = 20
+
+
+@register(
+    "char_ngram_freq",
+    oracle=f"""
+    WITH grams AS (
+        SELECT unnest(list_transform(range(1, length(lower(text)) - {NGRAM_N - 2}),
+                                     i -> substring(lower(text), i, {NGRAM_N}))) AS gram
+        FROM documents WHERE length(text) >= {NGRAM_N})
+    SELECT gram, count(*) AS freq FROM grams
+    GROUP BY gram ORDER BY freq DESC, gram LIMIT {NGRAM_TOP_K}
+    """,
+)
+def char_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-{NGRAM_TOP_K} character {NGRAM_N}-grams — the
+    statistic behind n-gram language ID (lang_id uses fixed marker grams;
+    this computes the empirical distribution those markers come from).
+    Grams are generated JVM-side with transform-over-sequence (no explode
+    of Python objects); partial aggregation collapses counts before the
+    shuffle and the top-k is a TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    # substring with a per-element start index needs the SQL lambda form
+    d = docs.filter(F.length("text") >= NGRAM_N).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(lower(text)) - {NGRAM_N - 1}), "
+                f"i -> substring(lower(text), i, {NGRAM_N}))"
+            )
+        ).alias("gram")
+    )
+    return (
+        d.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "gram")
+        .limit(NGRAM_TOP_K)
+    )
