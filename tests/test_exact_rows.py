@@ -64,6 +64,9 @@ def micro_sf(spark, tmp_path_factory) -> str:
             (0, "en", "Hello world hello"),
             (1, "en", ""),
             (2, "de", "world world"),
+            # identical pair -> deterministic near-dup (jaccard 1.0)
+            (3, "en", "the quick brown fox jumps"),
+            (4, "en", "The quick brown fox jumps"),
         ],
         "doc_id long, lang string, text string",
     )
@@ -97,7 +100,10 @@ def rows(df, *cols):
 
 def test_wordcount_exact(spark, micro_sf):
     df = get_queries()["wordcount"](spark, micro_sf)
-    assert rows(df, "word", "cnt") == [("hello", 2), ("world", 3)]
+    assert rows(df, "word", "cnt") == [
+        ("brown", 2), ("fox", 2), ("hello", 2), ("jumps", 2),
+        ("quick", 2), ("the", 2), ("world", 3),
+    ]
 
 
 def test_wordcount_salted_equals_plain(spark, micro_sf):
@@ -183,3 +189,30 @@ def test_sample_hash_deterministic(spark, micro_sf):
     a = get_queries()["sample_hash"](spark, micro_sf)
     b = get_queries()["sample_hash"](spark, micro_sf)
     assert rows(a, "l_orderkey", "l_linenumber") == rows(b, "l_orderkey", "l_linenumber")
+
+
+def test_dedup_exact_finds_identical_pair(spark, micro_sf):
+    # docs 3 and 4 differ only in case -> same normalized content hash
+    df = get_queries()["dedup_exact"](spark, micro_sf)
+    groups = {r["keeper_doc_id"]: r["n_copies"] for r in df.collect()}
+    assert groups[3] == 2  # keeper is min(3,4), both copies counted
+    assert sum(groups.values()) == 5  # every doc in exactly one group
+
+
+def test_dedup_minhash_finds_identical_pair_only(spark, micro_sf):
+    # identical shingle sets -> identical signatures -> guaranteed LSH
+    # candidate with jaccard exactly 1.0; no other doc pair qualifies
+    df = get_queries()["dedup_minhash_lsh"](spark, micro_sf)
+    got = [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in df.collect()]
+    assert got == [(3, 4, 1.0)]
+
+
+def test_dedup_cluster_merges_identical_pair(spark, micro_sf):
+    labels = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in get_queries()["dedup_cluster"](spark, micro_sf).collect()
+    }
+    assert labels[4] == (3, False)  # 4 joins 3's cluster, 3 is keeper
+    assert labels[3] == (3, True)
+    for d in (0, 1, 2):
+        assert labels[d] == (d, True)  # singletons keep themselves
