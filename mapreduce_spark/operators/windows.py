@@ -186,3 +186,83 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("spend_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+RESAMPLE_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "resample_ffill",
+    oracle=f"""
+    WITH b AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / {RESAMPLE_BUCKET_US}) AS BIGINT) AS bucket,
+               ts, event_id, value
+        FROM events),
+    last_in_bucket AS (
+        SELECT user_id, bucket, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM b) WHERE rn = 1),
+    bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+               FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM bounds),
+    j AS (SELECT g.user_id, g.bucket, l.value
+          FROM grid g LEFT JOIN last_in_bucket l
+            ON l.user_id = g.user_id AND l.bucket = g.bucket)
+    SELECT user_id,
+           make_timestamp(bucket * {RESAMPLE_BUCKET_US}) AS bucket_ts,
+           last_value(value IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS value_ffill
+    FROM j
+    """,
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a 1-hour grid with forward fill — the
+    gap-filling primitive for irregular event streams. Per user: bucket
+    events, keep the latest value per bucket (deterministic (ts, event_id)
+    tie-break), synthesize the full bucket range with sequence+explode
+    (grid generation is per-row, no driver loop), left-join real buckets,
+    and carry the last observation forward with last(ignorenulls).
+    Scale shape: one shuffle on user_id shared by the bucket-dedup window,
+    the grid join, and the fill window; grid size is span/bucket per user,
+    independent of event count."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.select(
+        "user_id",
+        F.floor(us / RESAMPLE_BUCKET_US).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last_in_bucket = (
+        b.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select("user_id", F.explode(F.sequence("_mn", "_mx")).alias("bucket"))
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(last_in_bucket, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.expr(
+                f"timestampadd(MICROSECOND, bucket * {RESAMPLE_BUCKET_US}, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("bucket_ts"),
+            F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
+        )
+    )
