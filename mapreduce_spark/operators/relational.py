@@ -669,7 +669,10 @@ def quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list -> array_sort -> join: deterministic string aggregation
-    (collect order is nondeterministic; the sort restores determinism)."""
+    (collect order is nondeterministic; the sort restores determinism).
+    Scale note: collect_list buffers a group in memory — safe here because
+    group size is bounded by the domain (nations per region); for unbounded
+    groups use window_rank-style top-k pruning before collecting."""
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
