@@ -13,6 +13,7 @@ from itertools import groupby
 
 
 def key_of(line: str) -> str:
+    """Key = text before the FIRST tab (may be the empty string)."""
     return line.rstrip("\n").split("\t", 1)[0]
 
 

@@ -71,6 +71,7 @@ def hyperplane(table: int, plane: int, dim: int = EMB_DIM) -> list[float]:
 # --- DuckDB SQL mirrors -----------------------------------------------------
 
 def sql_dot_pair(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """DuckDB fragment mirroring dot() for two list columns."""
     return (
         f"list_aggregate(list_transform(range(1, {dim + 1}), "
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
@@ -78,6 +79,7 @@ def sql_dot_pair(a: str, b: str, dim: int = EMB_DIM) -> str:
 
 
 def sql_cosine_pair(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """DuckDB fragment mirroring cosine() (same fold order)."""
     return (
         f"({sql_dot_pair(a, b, dim)} / "
         f"(sqrt({sql_dot_pair(a, a, dim)}) * sqrt({sql_dot_pair(b, b, dim)})))"
@@ -85,6 +87,7 @@ def sql_cosine_pair(a: str, b: str, dim: int = EMB_DIM) -> str:
 
 
 def sql_dot_literal(vec_col: str, plane: list[float], dim: int = EMB_DIM) -> str:
+    """DuckDB fragment mirroring dot_literal() against a plane literal."""
     lits = "[" + ", ".join(repr(x) for x in plane) + "]"
     return (
         f"list_aggregate(list_transform(range(1, {dim + 1}), "

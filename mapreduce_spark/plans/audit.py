@@ -40,14 +40,17 @@ def exchange_count(df: DataFrame) -> int:
 
 
 def broadcast_join_count(df: DataFrame) -> int:
+    """Number of BroadcastHashJoin operators in the plan."""
     return simple_plan(df).count("BroadcastHashJoin")
 
 
 def sortmerge_join_count(df: DataFrame) -> int:
+    """Number of SortMergeJoin operators (shuffled joins) in the plan."""
     return simple_plan(df).count("SortMergeJoin")
 
 
 def has_cartesian(df: DataFrame) -> bool:
+    """True if the plan contains a cartesian/nested-loop product."""
     plan = simple_plan(df)
     return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
 

@@ -64,10 +64,12 @@ def load_all() -> dict[str, QuerySpec]:
 
 
 def get_queries() -> dict[str, QueryFn]:
+    """Name -> (spark, sf_dir) -> DataFrame for every registered query."""
     load_all()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def get_oracles() -> dict[str, str]:
+    """Name -> DuckDB oracle SQL (queries without one are rows-only)."""
     load_all()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the engine's semantic kernels.
+
+The reference ships no randomized testing (SURVEY §5); these properties
+exceed its strategy: tokenization and the MR wordcount pipeline are
+checked against independent pure-Python models on generated inputs, and
+the shuffle hash is checked for the reference's md5 contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mapreduce_spark.operators.mr import _md5_partition
+
+# printable-ish text with whitespace and the reference's bracket delimiters
+TOKEN_ALPHABET = st.sampled_from(list("abcdef [\t]"))
+LINES = st.lists(
+    st.text(alphabet=TOKEN_ALPHABET, max_size=30), min_size=0, max_size=8
+)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200)
+def test_md5_partition_matches_reference_contract(key):
+    # the reference: int(md5(key).hexdigest(), 16) % R
+    # (/root/reference/mapreduce/worker/__main__.py:106-109)
+    expect = int(hashlib.md5(key.encode()).hexdigest(), 16)
+    assert _md5_partition(key) == expect
+    for r in (1, 2, 4, 7):
+        assert _md5_partition(key) % r == expect % r
+
+
+def py_wc(lines: list[str]) -> Counter:
+    """Independent model of wc_map|sort|wc_reduce (tr '[ \t]' semantics)."""
+    c: Counter = Counter()
+    for line in lines:
+        for token in re.split(r"[ \t\[\]]", line.lower()):
+            c[token] += 1
+    return c
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(LINES)
+def test_pipe_wordcount_matches_python_model(spark, lines):
+    from mapreduce_spark.operators.mr import EXEC_DIR, MapReduceJob
+
+    rdd = spark.sparkContext.parallelize(lines if lines else [""], 2)
+    out = MapReduceJob(
+        mapper=f"python3 {EXEC_DIR}/wc_map.py",
+        reducer=f"python3 {EXEC_DIR}/wc_reduce.py",
+        num_reducers=2,
+    ).run(rdd).collect()
+    got: Counter = Counter()
+    for line in out:
+        k, v = line.split("\t", 1)
+        got[k] += int(v)
+    assert got == py_wc(lines if lines else [""])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet=st.sampled_from(list("ab \tA.")), max_size=20), min_size=1, max_size=6))
+def test_tokens_matches_python_model(spark, texts):
+    from mapreduce_spark.functions.text import tokens
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r[0] for r in df.select(tokens("text").alias("t")).collect()]
+    expect = [[w for w in re.split(r"\s+", t.lower()) if w != ""] for t in texts]
+    assert got == expect
