@@ -8,6 +8,9 @@ globally sorts, pairwise operators never go cartesian.
 
 from __future__ import annotations
 
+import re
+
+import pyspark.sql.functions as F
 import pytest
 
 from mapreduce_spark.plans import audit
@@ -78,6 +81,45 @@ def test_quantile_exact_aggregates_distribution_not_rows(spark, sf_dir, qs):
     # tree prints top-down: a (partial) aggregate must sit BELOW the window,
     # proving the window runs over the compacted distribution, not raw rows
     assert plan.rindex("HashAggregate") > plan.index("Window")
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    # Hive-style partitioned layout + a partition-key filter must prune at
+    # plan time: the scan lists only the matching partition directory.
+    from mapreduce_spark.sources.tables import load_table
+
+    path = str(tmp_path / "orders_by_status")
+    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    plan = audit.physical_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "partition filter did not reach the scan"
+    assert df.count() > 0
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
+    # Bucketing both sides on the join key co-locates rows at WRITE time:
+    # the join plan must contain zero shuffle exchanges.
+    from mapreduce_spark.sources.tables import load_table
+
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        spark.sql(f"DROP TABLE IF EXISTS bucketdemo.{tbl}_b")
+        shutil.rmtree(f"/tmp/spark-warehouse/bucketdemo.db/{tbl}_b", ignore_errors=True)
+        load_table(spark, sf_dir, tbl).write.bucketBy(8, key).sortBy(key).mode(
+            "overwrite"
+        ).saveAsTable(f"bucketdemo.{tbl}_b")
+    o = spark.table("bucketdemo.orders_b")
+    c = spark.table("bucketdemo.customer_b")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+    assert audit.exchange_count(joined) == 0, audit.simple_plan(joined)
+    assert joined.count() > 0
 
 
 def test_operators_are_codegened(spark, sf_dir, qs):
