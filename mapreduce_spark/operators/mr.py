@@ -145,3 +145,26 @@ def pipe_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = job.run(lines)
     schema = StructType([StructField("line", StringType(), True)])
     return spark.createDataFrame(out.map(lambda x: (x,)), schema)
+
+
+def run_dir_job(
+    spark,
+    input_directory: str,
+    output_directory: str,
+    mapper: str,
+    reducer: str,
+    num_reducers: int = 2,
+    env: dict[str, str] | None = None,
+) -> None:
+    """Full file-contract parity with the reference's job submission
+    (/root/reference/mapreduce/submit.py:70-78): read a directory of text
+    files, run the executable pipeline, write one output file per reduce
+    partition. ``saveAsTextFile`` names parts ``part-00000..`` — the same
+    scheme as the reference's ``part-{t:05d}``
+    (/root/reference/mapreduce/worker/__main__.py:141-149) — and each part
+    is sorted because the reducer consumes its partition in sorted order,
+    reproducing the reference's sorted-within-partition output property
+    (tests/test_worker_08.py:229-245)."""
+    lines = spark.sparkContext.textFile(input_directory)
+    out = MapReduceJob(mapper, reducer, num_reducers=num_reducers, env=env).run(lines)
+    out.saveAsTextFile(output_directory)

@@ -72,6 +72,31 @@ def test_reference_own_executables_match_golden(spark):
     assert got == sorted(_golden("word_count_correct.txt"))
 
 
+def test_dir_job_file_contract(spark, tmp_path):
+    """Analog of the reference's test_integration_03: a directory-level job
+    with R=2 writes exactly two part files named like the reference's,
+    each sorted within itself, whose union equals the golden output."""
+    from mapreduce_spark.operators.mr import EXEC_DIR, run_dir_job
+
+    out_dir = str(tmp_path / "out")
+    run_dir_job(
+        spark,
+        REF_INPUT,
+        out_dir,
+        mapper=f"python3 {EXEC_DIR}/wc_map.py",
+        reducer=f"python3 {EXEC_DIR}/wc_reduce.py",
+        num_reducers=2,
+    )
+    parts = sorted(p.name for p in pathlib.Path(out_dir).glob("part-*"))
+    assert parts == ["part-00000", "part-00001"]  # exactly R outputs
+    combined = []
+    for p in parts:
+        lines = pathlib.Path(out_dir, p).read_text().splitlines()
+        assert lines == sorted(lines)  # sorted within each partition
+        combined.extend(lines)
+    assert sorted(combined) == sorted(_golden("word_count_correct.txt"))
+
+
 def test_grep_matches_reference_golden(spark):
     lines = spark.sparkContext.textFile(REF_INPUT, minPartitions=4)
     job = MapReduceJob(
