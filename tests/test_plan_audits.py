@@ -122,6 +122,37 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
     assert joined.count() > 0
 
 
+# Queries whose plans legitimately contain a cartesian/nested-loop join:
+# cross_join by definition; the similarity family broadcasts a <=5-row
+# query set / centroid list against vectors (bounded NLJ, the intended
+# plan); scalar_subquery broadcasts a 1-row aggregate.
+CARTESIAN_OK = {
+    "cross_join",
+    "similarity_topk",
+    "similarity_ann_ivf",
+    "scalar_subquery",
+}
+
+# Streaming queries and iterative/pipe operators execute on call — skip
+# them in the static plan sweep (they are audited by their own tests).
+PLAN_SWEEP_SKIP = {
+    "stream_window_counts", "stream_sessionize", "stream_dedup",
+    "stream_static_join", "stream_stream_join",
+    "dedup_cluster",  # runs a convergence loop when invoked
+    "pipe_exec", "pipe_grep",  # RDD pipelines, no SQL plan to audit
+}
+
+
+def test_no_query_degenerates_to_cartesian(spark, sf_dir, qs):
+    offenders = []
+    for name, fn in sorted(qs.items()):
+        if name in PLAN_SWEEP_SKIP or name in CARTESIAN_OK:
+            continue
+        if audit.has_cartesian(fn(spark, sf_dir)):
+            offenders.append(name)
+    assert not offenders, f"unexpected cartesian/nested-loop plans: {offenders}"
+
+
 def test_operators_are_codegened(spark, sf_dir, qs):
     # hot relational paths must stay inside whole-stage codegen
     for name in ("groupby_agg", "join_equi", "window_running"):
