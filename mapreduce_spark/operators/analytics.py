@@ -1,0 +1,376 @@
+"""Composed analytics queries: multi-join TPC-H-style plans + scale-path
+approximate aggregates.
+
+These exercise the same algebra the reference executes as chained
+map->shuffle->reduce jobs (/root/reference/mapreduce/manager/__main__.py:
+one job per stage, intermediate files between stages); here each is ONE
+declarative plan so Catalyst gets join reordering, broadcast selection and
+AQE runtime re-planning across the whole pipeline.
+
+Scale rules:
+- revenue math is exact decimal (functions/exact.py discipline) so results
+  are aggregation-order-independent at any parallelism;
+- always-small dims (nation/region) broadcast explicitly; larger joins are
+  left to AQE, which picks broadcast vs shuffle by runtime size;
+- top-k orderings carry a full deterministic tie-break so LIMIT is stable
+  under any partitioning;
+- the *_approx queries are the designed 100 TB path for distinct-count and
+  quantile (fixed-size HLL / KLL-style sketches that merge associatively,
+  vs the exact forms' per-group state); estimates are engine-specific so
+  they register rows-only, with error-bound tests in tests/.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from mapreduce_spark.functions.exact import dsum
+from mapreduce_spark.registry import register
+from mapreduce_spark.sources.tables import load_table
+
+# Exact multiset revenue term: extendedprice and discount both carry 2dp,
+# so DECIMAL(18,2) * DECIMAL(*,2) is exact in both engines (scale 4).
+_REV_SPARK = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+_REV_SQL = _REV_SPARK  # identical ANSI spelling runs on DuckDB
+
+
+def _revenue(alias: str) -> F.Column:
+    return F.expr(_REV_SPARK).alias(alias)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping-priority top-10 over a 3-table join
+@register(
+    "tpch_q3_shipping",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_REV_SQL} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-order revenue top-10 (TPC-H Q3 shape). Both filters sit on
+    the scans (parquet pushdown); the customer side shrinks 5x before the
+    join, so AQE turns it into a broadcast at small SF and a shuffle join
+    at 100 TB — same plan text, size-driven strategy. l_orderkey makes the
+    tie-break total, so LIMIT 10 is deterministic under any partitioning."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# TPC-H Q5 shape: local-supplier volume through a 6-table join chain
+@register(
+    "tpch_q5_local_volume",
+    oracle=f"""
+    SELECT n_name, {_REV_SQL} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation where supplier and customer share a nation
+    (TPC-H Q5 shape). nation/region broadcast explicitly (always tiny);
+    supplier broadcasts too (100 rows per 60k lineitem at every SF). The
+    only big-big shuffle is orders><lineitem on orderkey — irreducible,
+    and AQE coalesces/deskews it. The region filter prunes 4/5 of nations
+    BEFORE the fact join because Catalyst pushes the semi-condition up the
+    broadcast chain."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# TPC-H Q10 shape: top-20 customers by returned-item revenue
+@register(
+    "tpch_q10_returns",
+    oracle=f"""
+    SELECT c_custkey, c_name, {_REV_SQL} AS revenue, c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lost revenue from returns, top-20 customers (TPC-H Q10 shape).
+    Returnflag + date filters push into both fact scans; the final top-20
+    compiles to TakeOrderedAndProject (no global sort). c_custkey
+    tie-break keeps LIMIT deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (completes the rollup/cube family with an explicit set list)
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-returnflag, per-linestatus, and grand
+    total in one pass. Spark compiles this to a single Expand + one
+    shuffle (rows replicated once per set), not three scans — the same
+    plan a hand-written union of three groupBys would need three jobs
+    for in the reference's algebra."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# Multiset (bag) set operations: INTERSECT ALL / EXCEPT ALL
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          INTERSECT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY o_custkey
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (min multiplicity per key) — the multiset
+    complement of set_intersect. One shuffle on the value; Spark computes
+    per-side counts map-side before matching multiplicities."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersectAll(f).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY o_custkey
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (multiplicity subtraction, floored at zero)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.exceptAll(f).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization: gaps-and-islands over the events stream-at-rest
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "sessionize_batch",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+    flagged AS (
+        SELECT user_id, event_id, tsu,
+               CASE WHEN tsu - LAG(tsu) OVER w > {_SESSION_GAP_US}
+                      OR LAG(tsu) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+    sess AS (
+        SELECT user_id, tsu,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           make_timestamp(MIN(tsu)) AS session_start,
+           make_timestamp(MAX(tsu)) AS session_end
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) as a pure
+    window composition — the batch twin of stream_sessionize's
+    applyInPandasWithState. One shuffle on user_id shared by the lag
+    window, the running sum, and the final groupBy (same partitioning all
+    the way down). Bounded per-row state, no per-group buffering —
+    scale-safe at any events volume. Both windows share the total order
+    (tsu, event_id) — event_id is unique, so lag flags and the running
+    sum are deterministic and engine-identical even under duplicate
+    timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"))
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            (F.col("tsu") - F.lag("tsu").over(w) > _SESSION_GAP_US)
+            | F.lag("tsu").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_id", F.sum("is_new").over(w_run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.timestamp_micros(F.min("tsu")).alias("session_start"),
+        F.timestamp_micros(F.max("tsu")).alias("session_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel: click -> purchase conversion per user
+@register(
+    "funnel_conversion",
+    oracle="""
+    SELECT user_id,
+           make_timestamp(MIN(CASE WHEN event_type = 'click'
+                                   THEN epoch_us(ts) END)) AS first_click,
+           make_timestamp(MIN(CASE WHEN event_type = 'purchase'
+                                   THEN epoch_us(ts) END)) AS first_purchase,
+           (MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) >
+            MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END))
+               AS converted
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: first click, first purchase, and whether the
+    purchase followed the click. Conditional aggregation — one shuffle,
+    no self-join (the naive formulation joins events to itself on
+    user_id, quadratic in events-per-user). NULL semantics carry through
+    identically on both engines: a user with no click or no purchase gets
+    converted = NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    first_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).alias("first_click")
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).alias("first_purchase")
+    return (
+        ev.groupBy("user_id")
+        .agg(first_click, first_purchase)
+        .withColumn("converted", F.col("first_purchase") > F.col("first_click"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Scale-path approximate aggregates (rows-only: sketch estimates are
+# engine-specific; error bounds are asserted in tests/test_analytics.py)
+@register("agg_approx_distinct")  # no oracle: HLL estimate, engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct orders per returnflag via HyperLogLog++ (rsd=1%).
+    THE 100 TB path for count-distinct: fixed ~kB sketch per group that
+    merges associatively map-side, vs agg_distinct's exact shuffle of
+    every key. Tested against the exact count within 5% relative error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("quantile_approx")  # no oracle: sketch quantiles, engine-specific
+def quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/p90 quantity per returnflag via Greenwald-Khanna sketch
+    (accuracy 10000). THE 100 TB path for quantiles: bounded-size sketch
+    with map-side merge, vs quantile_exact's full value-distribution
+    pass. Tested against exact quantiles within rank tolerance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_qty"),
+    )

@@ -19,7 +19,7 @@ compare is immune to last-ulp libm divergence.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from mapreduce_spark.functions.hashing import md5_long, md5_long_sql
 from mapreduce_spark.functions.text import SQL_TOKENS, shingles, sql_shingles, tokens
@@ -274,4 +274,70 @@ def char_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), "gram")
         .limit(NGRAM_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM tok GROUP BY doc_id, term),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} terms per document by tf-idf — the classic
+    distinctive-vocabulary signal an LLM-data pipeline uses for topic
+    tagging and boilerplate detection.
+
+    Plan shape: tokenize/explode (narrow) -> (doc,term) count [shuffle 1]
+    -> term document-frequency [shuffle 2, rows already collapsed to
+    distinct (doc,term)] -> broadcast the corpus size (a 1-row aggregate,
+    no collect()) -> per-doc top-k window [reuses shuffle 1's doc_id
+    partitioning]. At 100 TB the df table is |vocabulary|-sized — the
+    join back to tf stays a shuffle join on term, which AQE deskews for
+    stopword-heavy vocabularies.
+
+    Determinism: tfidf is rounded to 6 dp on BOTH engines BEFORE the
+    window ranks on it, so rank order (rounded value, then term) cannot
+    diverge on a last-ulp ln() difference."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf")
     )

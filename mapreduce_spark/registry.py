@@ -33,6 +33,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # a missing module is a real breakage, not something to except away.
 _QUERY_MODULES = [
     "mapreduce_spark.operators.relational",
+    "mapreduce_spark.operators.analytics",
     "mapreduce_spark.operators.joins",
     "mapreduce_spark.operators.windows",
     "mapreduce_spark.operators.textops",

@@ -1,0 +1,180 @@
+"""Tests for the composed-analytics operators (operators/analytics.py)
+and tfidf_top_terms: hand-computed micro cases plus error-bound checks
+for the sketch-based scale-path aggregates.
+
+Style follows the reference's literal-output data tests
+(/root/reference/tests/test_worker_08.py:199-245): tiny inputs, rows
+asserted by hand, independent of the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreduce_spark.operators.analytics import (
+    agg_approx_distinct,
+    funnel_conversion,
+    grouping_sets_agg,
+    quantile_approx,
+    sessionize_batch,
+    set_except_all,
+    set_intersect_all,
+)
+from mapreduce_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def micro_events_sf(spark, tmp_path_factory) -> str:
+    """events with hand-placed gaps: user 1 has two sessions (40-min gap),
+    user 2 one session, user 3 clicks but never purchases."""
+    root = tmp_path_factory.mktemp("micro_events")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes: float) -> dt.datetime:
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: session A = events 1,2 (10 min apart); 40-min gap; session B = 3
+        (1, m(0), 1, "click", 1.0, "{}"),
+        (2, m(10), 1, "purchase", 2.0, "{}"),
+        (3, m(50), 1, "view", 3.0, "{}"),
+        # user 2: one session, purchase BEFORE click -> converted False
+        (4, m(0), 2, "purchase", 1.0, "{}"),
+        (5, m(20), 2, "click", 1.0, "{}"),
+        # user 3: click only -> converted NULL
+        (6, m(0), 3, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/events.parquet")
+    return str(root)
+
+
+def test_sessionize_batch_hand_case(spark, micro_events_sf):
+    out = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in sessionize_batch(spark, micro_events_sf).collect()
+    }
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    assert out == {
+        (1, 1): (2, m(0), m(10)),
+        (1, 2): (1, m(50), m(50)),
+        (2, 1): (2, m(0), m(20)),
+        (3, 1): (1, m(0), m(0)),
+    }
+
+
+def test_funnel_conversion_hand_case(spark, micro_events_sf):
+    out = {r.user_id: r for r in funnel_conversion(spark, micro_events_sf).collect()}
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    assert out[1].converted is True
+    assert out[1].first_click == t0
+    assert out[1].first_purchase == t0 + dt.timedelta(minutes=10)
+    assert out[2].converted is False  # purchase precedes click
+    assert out[3].converted is None  # no purchase at all
+    assert out[3].first_purchase is None
+
+
+def test_grouping_sets_matches_union_of_aggs(spark):
+    """GROUPING SETS ((flag),(status),()) == the three grouped aggs."""
+    li = load_table(spark, SF, "lineitem")
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.sum_qty, r.cnt)
+        for r in grouping_sets_agg(spark, SF).collect()
+    }
+    by_flag = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    for r in by_flag.collect():
+        s, c = got[(r.l_returnflag, None)]
+        assert c == r.c and math.isclose(s, r.s, rel_tol=1e-9)
+    by_status = li.groupBy("l_linestatus").agg(
+        F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    for r in by_status.collect():
+        s, c = got[(None, r.l_linestatus)]
+        assert c == r.c and math.isclose(s, r.s, rel_tol=1e-9)
+    total = li.agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("c")).first()
+    s, c = got[(None, None)]
+    assert c == total.c and math.isclose(s, total.s, rel_tol=1e-9)
+    # exactly |flags| + |statuses| + 1 output rows — no spurious sets
+    n_flags = by_flag.count()
+    n_statuses = by_status.count()
+    assert len(got) == n_flags + n_statuses + 1
+
+
+def test_bag_set_ops_multiplicity(spark):
+    """INTERSECT ALL = min(m_a, m_b); EXCEPT ALL = max(m_a - m_b, 0)."""
+    orders = load_table(spark, SF, "orders")
+    m_o = {
+        r.o_custkey: r.n
+        for r in orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    m_f = {
+        r.o_custkey: r.n
+        for r in orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    inter = {r.o_custkey: r.n for r in set_intersect_all(spark, SF).collect()}
+    expect_inter = {
+        k: min(m_o[k], m_f[k]) for k in m_o.keys() & m_f.keys() if min(m_o[k], m_f[k])
+    }
+    assert inter == expect_inter
+    exc = {r.o_custkey: r.n for r in set_except_all(spark, SF).collect()}
+    expect_exc = {
+        k: m_o[k] - m_f.get(k, 0) for k in m_o if m_o[k] - m_f.get(k, 0) > 0
+    }
+    assert exc == expect_exc
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL(rsd=1%) stays within 5% of the exact distinct count."""
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for r in agg_approx_distinct(spark, SF).collect():
+        assert abs(r.approx_orders - exact[r.l_returnflag]) <= 0.05 * exact[r.l_returnflag]
+
+
+def test_approx_quantile_rank_bound(spark):
+    """Sketch quantiles land within 1% rank tolerance of the exact rank."""
+    li = load_table(spark, SF, "lineitem")
+    vals = {}
+    for r in li.select("l_returnflag", "l_quantity").collect():
+        vals.setdefault(r.l_returnflag, []).append(r.l_quantity)
+    for r in quantile_approx(spark, SF).collect():
+        xs = sorted(vals[r.l_returnflag])
+        n = len(xs)
+        for q, got in ((0.5, r.median_qty), (0.9, r.p90_qty)):
+            lo = xs[max(0, math.floor((q - 0.01) * n) - 1)]
+            hi = xs[min(n - 1, math.ceil((q + 0.01) * n))]
+            assert lo <= got <= hi
+
+
+def test_tpch_q3_limit_deterministic(spark):
+    """Repeated runs of the top-10 return identical ordered rows."""
+    from mapreduce_spark.operators.analytics import tpch_q3_shipping
+
+    a = [tuple(r) for r in tpch_q3_shipping(spark, SF).collect()]
+    b = [tuple(r) for r in tpch_q3_shipping(spark, SF).collect()]
+    assert a == b and len(a) <= 10
+    revs = [r[1] for r in a]
+    assert revs == sorted(revs, reverse=True)

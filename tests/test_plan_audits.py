@@ -131,6 +131,7 @@ CARTESIAN_OK = {
     "similarity_topk",
     "similarity_ann_ivf",
     "scalar_subquery",
+    "tfidf_top_terms",  # broadcasts the 1-row corpus-size aggregate
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
