@@ -374,3 +374,182 @@ def quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty"),
         F.percentile_approx("l_quantity", 0.9, 10000).alias("p90_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group argmax as a single-pass aggregate (not a window)
+@register(
+    "groupby_argmax",
+    oracle="""
+    SELECT c_nationkey, max_acctbal, top_custkey FROM (
+        SELECT c_nationkey, c_acctbal AS max_acctbal, c_custkey AS top_custkey,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        FROM customer)
+    WHERE rn = 1
+    """,
+)
+def groupby_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest customer per nation via struct-max — argmax as ONE
+    hash aggregate with map-side combine, not a window. At 100 TB this is
+    the difference between a partial-aggregating shuffle of |groups| rows
+    and a full sort-shuffle of every row that row_number() needs. Struct
+    ordering is lexicographic, so ties on acctbal break to the larger
+    custkey deterministically (the oracle mirrors with DESC, DESC)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(F.max(F.struct("c_acctbal", "c_custkey")).alias("m"))
+        .select(
+            "c_nationkey",
+            F.col("m.c_acctbal").alias("max_acctbal"),
+            F.col("m.c_custkey").alias("top_custkey"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention over the events table
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / {_WEEK_US}) AS BIGINT) AS wk
+        FROM events),
+    u AS (SELECT user_id, wk FROM e GROUP BY user_id, wk),
+    c AS (SELECT user_id, min(wk) AS cohort FROM u GROUP BY user_id)
+    SELECT cohort, u.wk - cohort AS week_offset, count(*) AS n_users
+    FROM u JOIN c USING (user_id)
+    GROUP BY cohort, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort analysis: users grouped by first-seen week, counted in each
+    later week they return. Week = floor(epoch_us / 7 days) — pure integer
+    arithmetic, engine-identical (no week-start locale semantics). Plan:
+    distinct (user, week) [shuffle 1 on user_id], per-user min reusing the
+    same partitioning (zero extra shuffle), self-join on user_id (still
+    co-partitioned), final small rollup [shuffle 2]. Retention matrices
+    stay tiny regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / _WEEK_US)
+        .cast("long")
+        .alias("wk"),
+    )
+    u = e.groupBy("user_id", "wk").agg(F.lit(1))  # distinct (user, week)
+    u = u.select("user_id", "wk")
+    c = u.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        u.join(c, "user_id")
+        .select("cohort", (F.col("wk") - F.col("cohort")).alias("week_offset"))
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share per ship month
+@register(
+    "tpch_q14_promo",
+    oracle=f"""
+    SELECT yr, mo, promo_rev, total_rev,
+           round(100 * promo_rev / total_rev, 6) AS promo_share
+    FROM (
+        SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+               CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                  (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS promo_rev,
+               {_REV_SQL} AS total_rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY yr, mo)
+    """,
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotional revenue share by ship month (TPC-H Q14 shape) —
+    conditional aggregation over a fact><dim join. The dim join is left
+    to AQE: broadcast at bench SF, shuffle when part outgrows the
+    threshold at 100 TB. Month keys are integer year/month (no
+    date_trunc type divergence between engines); the share is one IEEE
+    division of two exact-decimal sums, rounded to 6 dp on both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    promo = (
+        "CAST(SUM(CASE WHEN p_type = 'PROMO' "
+        "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) "
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
+    )
+    agg = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo")
+        )
+        .agg(F.expr(promo).alias("promo_rev"), _revenue("total_rev"))
+    )
+    return agg.select(
+        "yr",
+        "mo",
+        "promo_rev",
+        "total_rev",
+        F.round(100 * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+            "promo_share"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (agg -> having -> join back)
+_Q18_QTY_THRESHOLD = 300
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_QTY_THRESHOLD})
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with > {threshold}-unit orders (TPC-H Q18 shape): the
+    aggregate-then-rejoin pattern. The HAVING shrinks the orderkey set
+    drastically BEFORE any join, so the joins back to orders/customer run
+    on a tiny filtered build side (AQE broadcasts it at runtime — the
+    plan a static optimizer cannot pick because the size is only known
+    after aggregation). Top-20 is TakeOrderedAndProject with a total
+    (o_totalprice, o_orderkey) tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_QTY_THRESHOLD)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
