@@ -17,7 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: the shuffle-heavy relational trio, a scan, both canonical
-# reference workloads, windows, and the LLM-pipeline operators.
+# reference workloads, windows, the LLM-pipeline operators, and the
+# composed multi-join/sessionization pipelines.
 HEADLINE = [
     "groupby_agg",
     "join_equi",
@@ -29,6 +30,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk",
     "text_stats",
+    "tpch_q5_local_volume",
+    "sessionize_batch",
 ]
 
 

@@ -109,10 +109,12 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by nation where supplier and customer share a nation
     (TPC-H Q5 shape). nation/region broadcast explicitly (always tiny);
     supplier broadcasts too (100 rows per 60k lineitem at every SF). The
-    only big-big shuffle is orders><lineitem on orderkey — irreducible,
-    and AQE coalesces/deskews it. The region filter prunes 4/5 of nations
-    BEFORE the fact join because Catalyst pushes the semi-condition up the
-    broadcast chain."""
+    fact table is the PROBE side of every join: the filtered orders and
+    customer sides broadcast by size at bench SF (and degrade to shuffle
+    joins via stats/AQE when they outgrow the threshold at 100 TB), so
+    lineitem never moves until the final 5-row aggregation. The region
+    filter prunes 4/5 of nations BEFORE the fact join because Catalyst
+    pushes the semi-condition up the broadcast chain."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -123,8 +125,8 @@ def tpch_q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
