@@ -84,3 +84,35 @@ def scans_with_pushed_filters(df: DataFrame) -> int:
         for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan)
         if m.group(1).strip()
     )
+
+
+def broadcast_subtrees(df: DataFrame) -> list[list[str]]:
+    """The plan lines under each BroadcastExchange (indentation-scoped)."""
+    lines = simple_plan(df).splitlines()
+
+    def depth(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-"))
+
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if depth(nxt) <= d:
+                break
+            sub.append(nxt)
+        out.append(sub)
+    return out
+
+
+def fact_is_stationary(df: DataFrame, fact: str = "lineitem") -> bool:
+    """True if no BroadcastExchange subtree scans the fact table — i.e.
+    the fact is always the streamed/probe side of its joins. The core
+    100 TB join invariant: a plan that broadcasts the fact only works
+    while the fact fits in memory, so it must never be the build side
+    even when the local test-scale statistics would allow it."""
+    return not any(
+        any(fact in line for line in sub) for sub in broadcast_subtrees(df)
+    )

@@ -158,3 +158,27 @@ def test_operators_are_codegened(spark, sf_dir, qs):
     # hot relational paths must stay inside whole-stage codegen
     for name in ("groupby_agg", "join_equi", "window_running"):
         assert audit.whole_stage_codegen_count(qs[name](spark, sf_dir)) >= 1, name
+
+
+FACT_JOIN_QUERIES = [
+    "join_broadcast",
+    "tpch_q3_shipping",
+    "tpch_q5_local_volume",
+    "tpch_q10_returns",
+    "tpch_q14_promo",
+    "tpch_q18_large_orders",
+]
+
+
+def test_fact_table_never_broadcast(spark, sf_dir, qs):
+    """lineitem must be the probe side of every join — a plan that
+    broadcasts the fact table only works while the fact fits in executor
+    memory, which is exactly what stops being true at 100 TB. Local
+    statistics make the fact broadcast-eligible here, so this pins the
+    shape against the most tempting wrong plan."""
+    offenders = [
+        name
+        for name in FACT_JOIN_QUERIES
+        if not audit.fact_is_stationary(qs[name](spark, sf_dir))
+    ]
+    assert not offenders, f"fact table broadcast in: {offenders}"
