@@ -341,3 +341,92 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 50  # window size
+CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "doc_chunk",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start0
+        FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST(start0 / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           len(toks[start0 + 1 : start0 + {CHUNK_TOKENS}]) AS n_tokens,
+           array_to_string(toks[start0 + 1 : start0 + {CHUNK_TOKENS}], ' ')
+               AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: {CHUNK_TOKENS}-token windows with
+    {CHUNK_STRIDE}-token stride (10-token overlap) — the pretokenization
+    step that turns raw documents into training-sequence rows. All
+    JVM-side: sequence() generates the start offsets, explode fans out
+    one row per chunk, slice/array_join materialize the window. Zero
+    shuffles — embarrassingly parallel per document, so it scales with
+    input splits alone. The final chunk is allowed to be short (slice
+    clamps at the document end), matching common packing pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    s = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+        ).alias("start0"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start0") + 1, CHUNK_TOKENS)
+    return s.select(
+        "doc_id",
+        (F.col("start0") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_LONGNUM_RE = "[0-9]{4,}"
+
+
+@register(
+    "text_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_LONGNUM_RE}', '<NUM>', 'g'),
+               '\\s+', ' ', 'g')) AS clean_text
+    FROM documents
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub + whitespace normalization: emails -> <EMAIL>, 4+-digit
+    runs (phones/ids/card fragments) -> <NUM>, then whitespace collapsed
+    and trimmed — the first pass of any LLM training-data cleaning
+    pipeline. Pure JVM regexp_replace chain (no Python), zero shuffles;
+    the patterns are RE2/Java-compatible so the oracle replays them
+    byte-identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+                _LONGNUM_RE,
+                "<NUM>",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select("doc_id", clean.alias("clean_text"))
