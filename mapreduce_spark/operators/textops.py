@@ -397,16 +397,41 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
 _LONGNUM_RE = "[0-9]{4,}"
 
+# The oracle fragment mirroring scrub_expr() — shared with the streaming
+# twin (streaming/events.py stream_text_clean) so batch, stream, and
+# oracle stay one definition. (A plain function, not a .format template:
+# the regexes contain literal braces.)
+def sql_scrub(col: str) -> str:
+    """DuckDB fragment mirroring scrub_expr() over ``col``."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"{col}, '{_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{_LONGNUM_RE}', '<NUM>', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+
+
+def scrub_expr(col: Column) -> Column:
+    """PII scrub + whitespace normalization as a reusable Column — the
+    SAME expression serves the batch query, the streaming query, and
+    (via SQL_SCRUB) the oracle."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(col, _EMAIL_RE, "<EMAIL>"),
+                _LONGNUM_RE,
+                "<NUM>",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+
 
 @register(
     "text_scrub",
     oracle=f"""
-    SELECT doc_id,
-           trim(regexp_replace(
-               regexp_replace(
-                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{_LONGNUM_RE}', '<NUM>', 'g'),
-               '\\s+', ' ', 'g')) AS clean_text
+    SELECT doc_id, {sql_scrub('text')} AS clean_text
     FROM documents
     """,
 )
@@ -418,15 +443,4 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     the patterns are RE2/Java-compatible so the oracle replays them
     byte-identically."""
     docs = load_table(spark, sf_dir, "documents")
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-                _LONGNUM_RE,
-                "<NUM>",
-            ),
-            r"\s+",
-            " ",
-        )
-    )
-    return docs.select("doc_id", clean.alias("clean_text"))
+    return docs.select("doc_id", scrub_expr(F.col("text")).alias("clean_text"))

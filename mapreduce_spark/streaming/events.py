@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduce_spark.functions.exact import dsum
+from mapreduce_spark.operators.textops import scrub_expr, sql_scrub
 from mapreduce_spark.registry import register
 from mapreduce_spark.sources.tables import load_table
 
@@ -307,3 +308,30 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_us"),
     )
     return _drain(joined, "mem_stream_stream_join", spark, "append")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "stream_text_clean",
+    oracle=f"""
+    SELECT doc_id, {sql_scrub('text')} AS clean_text
+    FROM documents
+    """,
+)
+def stream_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming text cleaning: the documents table consumed as a file
+    stream, scrubbed with the IDENTICAL Column expression the batch
+    text_scrub query uses (operators/textops.py scrub_expr) — Structured
+    Streaming's batch/stream unification made concrete. Stateless
+    row-local transform: no watermark, no state store, unbounded
+    throughput; on a cluster the same plan runs off kafka with a parquet
+    sink for a continuously-cleaned corpus."""
+    load_table(spark, sf_dir, "documents")  # tunes session conf
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+    )
+    out = docs.select("doc_id", scrub_expr(F.col("text")).alias("clean_text"))
+    return _drain(out, "stream_text_clean", spark, "append")

@@ -138,7 +138,7 @@ CARTESIAN_OK = {
 # them in the static plan sweep (they are audited by their own tests).
 PLAN_SWEEP_SKIP = {
     "stream_window_counts", "stream_sessionize", "stream_dedup",
-    "stream_static_join", "stream_stream_join",
+    "stream_static_join", "stream_stream_join", "stream_text_clean",
     "dedup_cluster",  # runs a convergence loop when invoked
     "pipe_exec", "pipe_grep",  # RDD pipelines, no SQL plan to audit
 }

@@ -71,3 +71,68 @@ def test_tokens_matches_python_model(spark, texts):
     got = [r[0] for r in df.select(tokens("text").alias("t")).collect()]
     expect = [[w for w in re.split(r"\s+", t.lower()) if w != ""] for t in texts]
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# doc_chunk / text_scrub invariants against independent pure-Python models
+
+WORDS = st.lists(
+    st.text(alphabet=st.sampled_from(list("abcxyz09._@-")), min_size=1, max_size=8),
+    min_size=0,
+    max_size=130,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(WORDS)
+def test_doc_chunk_covers_tokens_exactly(spark, tmp_path_factory, words):
+    """Chunks tile the token stream: starts at every stride offset, window
+    clamped at the end, concatenation with overlap removed == original."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.operators.textops import CHUNK_STRIDE, CHUNK_TOKENS, doc_chunk
+
+    root = tmp_path_factory.mktemp("chunk_prop")
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(1, text, "en", "prop", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+
+    rows = sorted(
+        doc_chunk(spark, str(root)).collect(), key=lambda r: r.chunk_id
+    )
+    toks = [w.lower() for w in words if w]
+    if not toks:
+        assert rows == []
+        return
+    expect_starts = list(range(0, len(toks), CHUNK_STRIDE))
+    assert [r.chunk_id for r in rows] == list(range(len(expect_starts)))
+    rebuilt: list[str] = []
+    for r, s in zip(rows, expect_starts):
+        chunk = r.chunk_text.split(" ") if r.chunk_text else []
+        assert chunk == toks[s : s + CHUNK_TOKENS]
+        assert r.n_tokens == len(chunk) <= CHUNK_TOKENS
+        rebuilt.extend(chunk[: CHUNK_STRIDE])
+    assert rebuilt == toks
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.text(alphabet=st.sampled_from(list("ab1 .@\t-x8")), max_size=60))
+def test_text_scrub_matches_python_model(spark, tmp_path_factory, text):
+    """scrub == the same 3 regexes applied by Python's re, then trimmed."""
+    import re as _re
+
+    from mapreduce_spark.operators.textops import text_scrub
+
+    root = tmp_path_factory.mktemp("scrub_prop")
+    spark.createDataFrame(
+        [(1, text, "en", "prop", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+
+    expect = _re.sub(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>", text)
+    expect = _re.sub(r"[0-9]{4,}", "<NUM>", expect)
+    expect = _re.sub(r"\s+", " ", expect).strip()
+    [row] = text_scrub(spark, str(root)).collect()
+    assert row.clean_text == expect
