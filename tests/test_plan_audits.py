@@ -88,10 +88,10 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     # plan time: the scan lists only the matching partition directory.
     from mapreduce_spark.sources.tables import load_table
 
+    from mapreduce_spark.sources.writers import write_partitioned
+
     path = str(tmp_path / "orders_by_status")
-    load_table(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").mode(
-        "overwrite"
-    ).parquet(path)
+    write_partitioned(load_table(spark, sf_dir, "orders"), path, "o_orderstatus")
     df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
@@ -108,13 +108,15 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
 
     import shutil
 
+    from mapreduce_spark.sources.writers import write_bucketed
+
     spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
     for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         spark.sql(f"DROP TABLE IF EXISTS bucketdemo.{tbl}_b")
         shutil.rmtree(f"/tmp/spark-warehouse/bucketdemo.db/{tbl}_b", ignore_errors=True)
-        load_table(spark, sf_dir, tbl).write.bucketBy(8, key).sortBy(key).mode(
-            "overwrite"
-        ).saveAsTable(f"bucketdemo.{tbl}_b")
+        write_bucketed(
+            load_table(spark, sf_dir, tbl), f"bucketdemo.{tbl}_b", key, buckets=8
+        )
     o = spark.table("bucketdemo.orders_b")
     c = spark.table("bucketdemo.customer_b")
     joined = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
