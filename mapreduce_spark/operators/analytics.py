@@ -555,3 +555,30 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Bivariate statistics: correlation + regression per group
+@register(
+    "stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and OLS slope of price on quantity per
+    returnflag — single-pass co-moment aggregation (Welford-style partial
+    merge), so one shuffle of 3 co-moment triples per group regardless of
+    row count. Outputs are scale-free (corr in [-1,1]) or low-magnitude,
+    so 6 dp rounding absorbs cross-engine accumulation-order ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("price_per_qty"),
+    )
