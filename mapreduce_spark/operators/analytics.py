@@ -582,3 +582,85 @@ def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("price_per_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 shape: the canonical scan-dominated forecast query
+@register(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-increase forecast (TPC-H Q6 shape): a pure scan-filter-
+    aggregate with no join and no grouping — the query class where scan
+    throughput IS the runtime. All three predicates and the 3-column
+    projection push into the parquet reader (row-group skipping via
+    min/max stats at scale), and the single global sum is a 2-level
+    partial aggregation: each task emits one decimal, the driver-side
+    stage merges ~|tasks| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization: the 100 TB embedding-storage path
+@register(
+    "embedding_quantize",
+    oracle="""
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE)
+                                     * 127) AS INTEGER))
+           END AS qvec
+    FROM (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x))) AS scale
+          FROM embeddings)
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (max-abs scaling) — 4x
+    storage/bandwidth cut for embedding corpora, the standard precursor
+    to ANN serving at 100 TB. Row-local JVM array math, zero shuffles;
+    both engines promote float32 -> double before scaling so the rounded
+    int8 codes are bit-identical. Zero vectors quantize to zeros (scale
+    0 guarded, no NaN)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform(F.col("embedding"), F.abs)).alias("scale"),
+    )
+    quant = F.when(
+        F.col("scale") == 0,
+        F.transform(F.col("embedding"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(
+                x.cast("double") / F.col("scale").cast("double") * 127
+            ).cast("int"),
+        )
+    )
+    return scaled.select("vec_id", "scale", quant.alias("qvec"))
