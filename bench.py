@@ -32,6 +32,8 @@ HEADLINE = [
     "text_stats",
     "tpch_q5_local_volume",
     "sessionize_batch",
+    "tpch_q6_forecast",
+    "doc_chunk",
 ]
 
 
