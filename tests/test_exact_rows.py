@@ -216,3 +216,30 @@ def test_dedup_cluster_merges_identical_pair(spark, micro_sf):
     assert labels[3] == (3, True)
     for d in (0, 1, 2):
         assert labels[d] == (d, True)  # singletons keep themselves
+
+
+def test_tpch_q6_empty_match_is_null_zero(spark, micro_sf):
+    # no micro row satisfies all three predicates: global agg over an
+    # empty set must yield exactly one (NULL revenue, 0 count) row
+    [row] = get_queries()["tpch_q6_forecast"](spark, micro_sf).collect()
+    assert row.revenue is None and row.n_items == 0
+
+
+def test_groupby_argmax_exact(spark, micro_sf):
+    df = get_queries()["groupby_argmax"](spark, micro_sf)
+    assert rows(df, "c_nationkey", "max_acctbal", "top_custkey") == [
+        (1, 300.0, 30),  # customers 10 (100.0) and 30 (300.0)
+        (2, 200.0, 20),
+    ]
+
+
+def test_funnel_conversion_exact(spark, micro_sf):
+    got = {
+        r.user_id: (r.first_click, r.first_purchase, r.converted)
+        for r in get_queries()["funnel_conversion"](spark, micro_sf).collect()
+    }
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    assert got[1] == (t(10, 0), t(10, 15), True)
+    assert got[2] == (None, None, None)  # error-only user
+    assert got[3] == (t(9, 50), None, None)  # click, never purchased
+    assert got[4] == (t(10, 0), None, None)
