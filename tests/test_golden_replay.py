@@ -107,3 +107,31 @@ def test_grep_matches_reference_golden(spark):
     )
     got = sorted(job.run(lines).collect())
     assert got == sorted(_golden("grep_correct.txt"))
+
+
+def test_input_large_within_reference_time_budget(spark):
+    """BASELINE.md parity: the reference hard-asserts its map stage over
+    tests/testdata/input_large (3.7 MB, 4 files) finishes in < 10 s
+    (/root/reference/tests/test_worker_11.py:122). Run the WHOLE
+    map+shuffle+reduce wordcount through the pipe layer over the same
+    bytes and hold the full pipeline to the same 10 s budget the
+    reference grants its map stage alone. (The reference's companion
+    < 1 MiB map-memory assert maps to Spark's pipelined execution — no
+    operator in this repo materializes rows driver-side; see
+    tests/test_hygiene.py.)"""
+    import time
+
+    large = "/root/reference/tests/testdata/input_large"
+    lines = spark.sparkContext.textFile(f"{large}/*")
+    job = MapReduceJob(
+        mapper=f"python3 {EXEC_DIR}/wc_map.py",
+        reducer=f"python3 {EXEC_DIR}/wc_reduce.py",
+        num_reducers=2,
+    )
+    t0 = time.time()
+    out = job.run(lines).collect()
+    elapsed = time.time() - t0
+    assert elapsed < 10.0, f"pipeline took {elapsed:.1f}s (reference budget 10s)"
+    # sanity: real wordcount output, sorted within each partition
+    assert len(out) > 1000
+    assert all("\t" in line for line in out[:50])
