@@ -664,3 +664,90 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scaled.select("vec_id", "scale", quant.alias("qvec"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of orders-per-customer
+@register(
+    "tpch_q13_custdist",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2, ... orders (TPC-H Q13 shape).
+    The LEFT join keeps orderless customers (count(o_orderkey) counts
+    non-nulls, so they land in bucket 0 — the detail most rewrites get
+    wrong). Two-level aggregation: the first groupBy reuses the join's
+    custkey partitioning (no extra shuffle), the second shuffles only
+    |distinct counts| rows — a few dozen at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# TPC-H Q22 shape: dormant customers with above-average balances
+@register(
+    "tpch_q22_dormant",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS ab
+        FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer CROSS JOIN avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def tpch_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balances and no order since 2000
+    (TPC-H Q22 shape): scalar-subquery threshold + anti join + rollup in
+    one plan. The 1-row average broadcasts (no driver round-trip); the
+    anti join streams customer against the date-filtered orders scan
+    (filter pushed below the join, shrinking the build side ~4x).
+    Exact-decimal sums on both the threshold and the rollup keep the
+    filter boundary and output bit-identical across engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

@@ -134,6 +134,7 @@ CARTESIAN_OK = {
     "similarity_ann_ivf",
     "scalar_subquery",
     "tfidf_top_terms",  # broadcasts the 1-row corpus-size aggregate
+    "tpch_q22_dormant",  # broadcasts the 1-row average-balance aggregate
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
