@@ -124,3 +124,24 @@ def test_ann_no_cartesian_candidate_join(spark, sf_dir, qs):
     # ARE a (tiny, broadcast) nested-loop against centroids by design.
     plan = qs["similarity_ann_lsh"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_check_asymmetric_containment(spark, sf_dir, qs):
+    rows = qs["contamination_check"](spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: (r["source"], r["text"])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        assert docs[r["bench_doc"]][0] == D.BENCH_SOURCE
+        assert docs[r["train_doc"]][0] != D.BENCH_SOURCE
+        assert D.CONTAM_THRESHOLD <= r["containment"] <= 1.0
+
+
+def test_contamination_no_cartesian_in_plan(spark, sf_dir, qs):
+    plan = (
+        qs["contamination_check"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
