@@ -1,0 +1,514 @@
+"""Additional TPC-H query shapes over the reduced driver schema.
+
+Companions to the Q1/Q3/Q5/Q6/Q10/Q13/Q14/Q18/Q22 shapes in
+operators/analytics.py — together they cover every TPC-H pattern the
+driver's tables can express (the testdata has no partsupp table and no
+commit/receipt dates, so Q2/Q11/Q20/Q21 have no data to run against and
+Q4/Q12/Q16 are re-expressed on the available columns, noted per query).
+
+The reference executes each of these as a chain of map->shuffle->reduce
+jobs with materialized intermediates (/root/reference/mapreduce/manager/
+__main__.py:257-300 plans one stage at a time); here each is a single
+declarative plan, so Catalyst sees the whole join tree at once and AQE
+picks broadcast-vs-shuffle per join from runtime sizes.
+
+Scale rules (same discipline as operators/analytics.py):
+- revenue terms are exact DECIMAL sums (functions/exact.py) so results
+  are aggregation-order-independent at any parallelism;
+- nation/region always broadcast; data-dependent sides are left to AQE;
+- shares/averages are a single IEEE division of exact operands — no
+  engine-divergent float reductions;
+- every ORDER BY carries a total tie-break so LIMITs are deterministic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_spark.functions.exact import dsum
+from mapreduce_spark.registry import register
+from mapreduce_spark.sources.tables import load_table
+
+# Same exact multiset revenue term as operators/analytics.py (both columns
+# carry 2dp, so the scale-4 decimal product sums exactly in both engines).
+_REV = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
+def _revenue(alias: str) -> F.Column:
+    return F.expr(_REV).alias(alias)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4: order-priority checking via EXISTS (semi-join with a
+# non-equi residual). The testdata has no l_commitdate/l_receiptdate, so
+# "late" is re-expressed as l_shipdate > o_orderdate (shipped after the
+# order was placed — always determinable from the available columns).
+@register(
+    "tpch_q4_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts by priority for orders with at least one late-shipped
+    line (TPC-H Q4 shape). EXISTS(l_shipdate > o_orderdate) is
+    re-expressed as max(l_shipdate) per order > o_orderdate: the fact
+    collapses to a per-order rollup (partial max merges map-side) BEFORE
+    the join, so raw lineitem rows never cross the shuffle — strictly
+    less data moved than the naive semi-join, same answer. The date
+    filter sits on the orders scan (parquet pushdown) and shrinks the
+    probe side ~12x."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_max_ship"))
+    )
+    return (
+        orders.join(last_ship, orders.o_orderkey == last_ship.l_orderkey)
+        .filter(F.col("_max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7: volume shipping between two nations, by year.
+_Q7_NATION_A = "NATION_1"
+_Q7_NATION_B = "NATION_2"
+
+
+@register(
+    "tpch_q7_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year, {_REV} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
+       OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations by ship year (TPC-H Q7
+    shape). Both nation lookups broadcast (25 rows); supplier broadcasts
+    too (100 rows per 60k lineitem at every SF), so the nation predicate
+    reaches the fact scan as a semi-filter on suppkey/custkey before the
+    only real shuffle (orders join on orderkey). The OR of the two
+    directions is one plan, not a union — no double scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ))
+    pair = (
+        ((F.col("supp_nation") == _Q7_NATION_A) & (F.col("cust_nation") == _Q7_NATION_B))
+        | ((F.col("supp_nation") == _Q7_NATION_B) & (F.col("cust_nation") == _Q7_NATION_A))
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_revenue("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8: national market share within a region for one part type.
+_Q8_NATION = "NATION_3"
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "PROMO"
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year, round(nation_rev / total_rev, 6) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(SUM(CASE WHEN n1.n_name = '{_Q8_NATION}'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                  (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS nation_rev,
+               {_REV} AS total_rev
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+        GROUP BY o_year)
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{nation}'s share of {type}-part revenue sold into {region} by order
+    year (TPC-H Q8 shape): the deepest join tree in the suite (7 tables).
+    part/supplier/nation/region all broadcast; customer is pre-filtered
+    to the region via the broadcast nation->region chain before its join,
+    so the fact table flows through exactly one shuffle (orderkey->orders)
+    and one aggregation. The share is one IEEE division of two
+    exact-decimal sums, rounded identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE)
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q8_REGION
+    )
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("n2_key"))
+    )
+    nation_rev = (
+        f"CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}' "
+        "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "(1 - CAST(l_discount AS DECIMAL(18,2))) "
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)"
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"), "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.expr(nation_rev).alias("nation_rev"), _revenue("total_rev"))
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9: product-line profit by nation and year. The testdata has no
+# partsupp (so no supplycost term); profit is re-expressed as discounted
+# revenue for the matching part family — the join/aggregate shape is intact.
+_Q9_NAME_FRAGMENT = "widget"
+
+
+@register(
+    "tpch_q9_profit",
+    oracle=f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {_REV} AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%{_Q9_NAME_FRAGMENT}%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on '{fragment}' parts by supplier nation and order year
+    (TPC-H Q9 shape). The LIKE filter prunes part BEFORE its broadcast,
+    which then semi-filters the fact scan; supplier and nation broadcast;
+    the one shuffle is the orderkey join. GROUP BY lands on (25 nations x
+    7 years) — tiny, so the final exchange is a near-no-op at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(_Q9_NAME_FRAGMENT)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_revenue("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12: shipping-delay priority mix. The testdata has no l_shipmode /
+# l_commitdate / l_receiptdate; the shape is re-expressed as: among lines
+# shipped >= {lag} days after their order date in a year, count high- vs
+# low-priority lines per linestatus (the CASE-pivot aggregate is intact).
+_Q12_LAG_DAYS = 60
+
+
+@register(
+    "tpch_q12_priority_mix",
+    oracle=f"""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def tpch_q12_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High/low order-priority counts among slow-shipping lines per
+    linestatus (TPC-H Q12 shape). The ship-year filter is pushed to the
+    lineitem scan; the delay predicate needs both tables so it runs as
+    the join residual; the priority CASE-pivot aggregates map-side down
+    to 2 groups before the (trivial) final exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr(f"INTERVAL {_Q12_LAG_DAYS} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15: top supplier by quarterly revenue (aggregate -> global max ->
+# equality join back).
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue in 1996Q1 (TPC-H Q15 shape).
+    The scalar subquery is a broadcast of a ONE-ROW aggregate joined back
+    to the per-supplier rollup — never a global sort and never a single-
+    partition window, so the pattern holds when the supplier rollup has
+    millions of rows at 100 TB. Revenue is an exact-decimal sum cast to
+    double on both engines, so the max-equality matches bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_revenue("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx._max_rev)
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16: supplier variety per part descriptor. The testdata has no
+# partsupp, so the part<->supplier relation comes from observed lineitem
+# pairs — the distinct-count-per-descriptor shape is intact.
+_Q16_EXCLUDED_BRAND = "Brand#1"
+_Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle=f"""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> '{_Q16_EXCLUDED_BRAND}'
+      AND p_size IN {_Q16_SIZES}
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers observed per (brand, type, size) (TPC-H Q16
+    shape). The brand/size filters prune part before its broadcast, so
+    the fact scan is semi-filtered to ~1/6 of rows. COUNT(DISTINCT)
+    expands to the standard two-phase partial-dedup aggregate: the
+    (descriptor, suppkey) pairs dedup map-side before the one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != _Q16_EXCLUDED_BRAND)
+        & F.col("p_size").isin(*_Q16_SIZES)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue for one brand.
+_Q17_BRAND = "Brand#5"
+
+
+@register(
+    "tpch_q17_small_qty",
+    oracle=f"""
+    WITH pq AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / (5 * count(*)) AS qty_threshold
+        FROM lineitem
+        GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq   ON pk = l_partkey
+    WHERE p_brand = '{_Q17_BRAND}'
+      AND l_quantity < qty_threshold
+    """,
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost by dropping small-quantity {brand}
+    orders (TPC-H Q17 shape): the correlated-average pattern as an
+    aggregate-then-rejoin. The per-part threshold (0.2 * avg quantity) is
+    an exact-decimal sum followed by ONE double division — bit-identical
+    on both engines, so the `<` comparison can't flip on a ulp. The
+    per-part rollup shuffles on partkey once and AQE broadcasts it back
+    against the filtered fact side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == _Q17_BRAND
+    )
+    pq = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / (5 * F.count(F.lit(1)))
+            ).alias("qty_threshold")
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq, li.l_partkey == pq.pk)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19: bracketed discount revenue (OR of brand/size/quantity bands).
+@register(
+    "tpch_q19_brackets",
+    oracle=f"""
+    SELECT {_REV} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three OR'd (brand, size, quantity) brackets (TPC-H
+    Q19 shape). Catalyst factors the common p_partkey equi-key out of the
+    disjunction, so this stays a hash join (never a nested-loop); the
+    part side of the OR prunes to the 3 brands before broadcast, and the
+    quantity bands run as the join residual. Single-row exact output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1) & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20) & (q <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_revenue("revenue"))
+    )

@@ -86,13 +86,14 @@ def scans_with_pushed_filters(df: DataFrame) -> int:
     )
 
 
+def depth(s: str) -> int:
+    """Tree depth of a plan line (indentation of the printed operator)."""
+    return len(s) - len(s.lstrip(" :+-"))
+
+
 def broadcast_subtrees(df: DataFrame) -> list[list[str]]:
     """The plan lines under each BroadcastExchange (indentation-scoped)."""
     lines = simple_plan(df).splitlines()
-
-    def depth(s: str) -> int:
-        return len(s) - len(s.lstrip(" :+-"))
-
     out = []
     for i, line in enumerate(lines):
         if "BroadcastExchange" not in line:
@@ -108,11 +109,26 @@ def broadcast_subtrees(df: DataFrame) -> list[list[str]]:
 
 
 def fact_is_stationary(df: DataFrame, fact: str = "lineitem") -> bool:
-    """True if no BroadcastExchange subtree scans the fact table — i.e.
-    the fact is always the streamed/probe side of its joins. The core
-    100 TB join invariant: a plan that broadcasts the fact only works
-    while the fact fits in memory, so it must never be the build side
-    even when the local test-scale statistics would allow it."""
-    return not any(
-        any(fact in line for line in sub) for sub in broadcast_subtrees(df)
-    )
+    """True if no BroadcastExchange subtree streams RAW fact rows — i.e.
+    the unaggregated fact is always the streamed/probe side of its joins.
+    The core 100 TB join invariant: a plan that broadcasts the fact only
+    works while the fact fits in memory, so it must never be the build
+    side even when the local test-scale statistics would allow it.
+
+    A fact scan BELOW an aggregation inside the broadcast subtree is
+    allowed: that broadcasts a keyed rollup of the fact (e.g. a
+    per-order max or a 1-row global extremum), whose size AQE measures
+    at runtime — when the rollup outgrows the threshold the same plan
+    degrades to a shuffled join, so the shape is size-driven, not a
+    memory cliff."""
+    for sub in broadcast_subtrees(df):
+        for i, line in enumerate(sub):
+            if fact not in line:
+                continue
+            d = depth(line)
+            guarded = any(
+                "Aggregate" in anc and depth(anc) < d for anc in sub[:i]
+            )
+            if not guarded:
+                return False
+    return True

@@ -34,6 +34,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 _QUERY_MODULES = [
     "mapreduce_spark.operators.relational",
     "mapreduce_spark.operators.analytics",
+    "mapreduce_spark.operators.tpch",
     "mapreduce_spark.operators.joins",
     "mapreduce_spark.operators.windows",
     "mapreduce_spark.operators.textops",

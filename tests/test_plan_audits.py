@@ -170,6 +170,17 @@ FACT_JOIN_QUERIES = [
     "tpch_q10_returns",
     "tpch_q14_promo",
     "tpch_q18_large_orders",
+    # operators/tpch.py: q4/q15/q17 broadcast aggregate-guarded fact
+    # rollups (allowed — size-driven), never raw lineitem rows
+    "tpch_q4_priority",
+    "tpch_q7_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q12_priority_mix",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty",
+    "tpch_q19_brackets",
 ]
 
 
