@@ -751,3 +751,125 @@ def tpch_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# User-journey transition matrix: lag window -> tiny rollup
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events)
+    SELECT prev_type, event_type, count(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, event_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order user-journey transition matrix (prev event -> next
+    event counts): the Markov-chain input of product analytics. One
+    shuffle on user_id for the lag window (event_id tie-breaks equal
+    timestamps so ordering is total), then the rollup lands on
+    |event_types|^2 rows — the second exchange moves ~25 keys."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width numeric histogram with exact per-bin mass
+_HIST_BIN_WIDTH = 50
+
+
+@register(
+    "event_value_histogram",
+    oracle=f"""
+    SELECT CAST(floor(value / {_HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values with exact per-bin mass.
+    The bin id is one double division + floor (bit-deterministic IEEE on
+    both engines); bin mass sums exact DECIMAL(18,2). Map-side partial
+    aggregation collapses 10k+ events to ~10 bins before the shuffle —
+    the histogram pattern that needs no sketch at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / _HIST_BIN_WIDTH).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact least-squares slope/intercept from decimal moments
+@register(
+    "regression_slope",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit of extendedprice on quantity WITHOUT
+    regr_slope/covar (their double accumulation is aggregation-order-
+    dependent): the four moments sum as exact decimals — associative and
+    order-independent, so they merge map-side like any partial aggregate
+    — and the slope/intercept are a handful of scalar IEEE ops on those
+    exact moments. This is the 100 TB-safe way to do distributed
+    statistics: exact moments first, float arithmetic last."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "l_returnflag",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    ).orderBy("l_returnflag")
