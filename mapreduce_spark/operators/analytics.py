@@ -873,3 +873,150 @@ def regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Rolling active users: DAU + 7-day WAU from one compacted activity set
+@register(
+    "dau_wau",
+    oracle="""
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    cover AS (SELECT user_id,
+                     unnest(list_transform(
+                         generate_series(CAST(day AS TIMESTAMP),
+                                         CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY), x -> CAST(x AS DATE)))
+                         AS day
+              FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (SELECT c.day, count(DISTINCT c.user_id) AS wau
+            FROM cover c JOIN days d ON c.day = d.day GROUP BY c.day)
+    SELECT dau.day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY dau.day
+    """,
+)
+def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + 7-day rolling active users. The rolling distinct is NOT a
+    window over raw events: events first compact to distinct (day, user)
+    pairs — at most 7x|users| rows per week regardless of event volume —
+    and each pair then fans out to the <=7 window days it covers
+    (explode of a 7-element date sequence), turning the range join into
+    a pure equi-groupBy. COUNT(DISTINCT) runs as the standard two-phase
+    partial dedup. This is the shape that holds when events are 100 TB
+    but (day x user) is gigabytes."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    cover = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        cover.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau").orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: which event type precedes each purchase
+@register(
+    "attribution_last_touch",
+    oracle="""
+    SELECT touch_type, count(*) AS n_purchases FROM (
+        SELECT event_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_type
+        FROM events) t
+    WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+    GROUP BY touch_type
+    ORDER BY touch_type
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the most recent
+    preceding non-purchase event by the same user (ignore-nulls last over
+    an unbounded-to-1-preceding frame — the running-carry idiom, one
+    shuffle on user_id), rolled up to touch-type counts. The frame
+    carries one value per row, so per-key state is O(1) regardless of
+    history length."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", touch.alias("touch_type"))
+        .filter((F.col("event_type") == "purchase") & F.col("touch_type").isNotNull())
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("touch_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style continuous aggregate: hour/day/month grains in one pass
+@register(
+    "time_rollup_multi",
+    oracle="""
+    SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                WHEN grouping(d) = 0 THEN 'day'
+                ELSE 'month' END AS grain,
+           coalesce(h, d, m) AS bucket,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 date_trunc('month', ts) AS m, value
+          FROM events) s
+    GROUP BY GROUPING SETS ((h), (d), (m))
+    ORDER BY grain, bucket
+    """,
+)
+def time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup (hour/day/month) in ONE pass — the
+    TimescaleDB-continuous-aggregate / druid-rollup shape. GROUPING SETS
+    compiles to a single Expand + one shuffle (each row replicated once
+    per grain, partially aggregated map-side), not three scans of the
+    fact. Buckets stay TIMESTAMP on both engines (date_trunc over a
+    timestamp input — the engine-divergent DATE form is what
+    date_functions pins separately)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "value",
+    )
+    grain = (
+        F.when(F.grouping("h") == 0, "hour")
+        .when(F.grouping("d") == 0, "day")
+        .otherwise("month")
+    )
+    return (
+        ev.groupingSets([["h"], ["d"], ["m"]], "h", "d", "m")
+        .agg(
+            grain.alias("grain"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            "grain",
+            F.coalesce("h", "d", "m").alias("bucket"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("grain", "bucket")
+    )

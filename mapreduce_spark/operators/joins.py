@@ -305,3 +305,57 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Upsert / merge: apply a change batch onto a snapshot (SCD-1 semantics)
+@register(
+    "upsert_merge",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey,
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2)
+                    AS DOUBLE) AS o_totalprice,
+               'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+           coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN 'updated'
+                ELSE 'unchanged' END AS merge_action
+    FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames: a deterministic change
+    batch (every 7th order, price bumped 10% in exact decimal) applied
+    over the snapshot via FULL OUTER join + column-wise coalesce — SCD-1
+    upsert, the nightly-pipeline staple. One shuffle on the merge key
+    for both sides; at 100 TB the join benefits from both sides being
+    bucketed on the key (sources/writers.write_bucketed demonstrates the
+    zero-shuffle variant). The change batch here derives from the
+    snapshot, so AQE broadcasts it when small; a true external batch
+    joins identically."""
+    base = load_table(spark, sf_dir, "orders")
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("u_orderkey"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 1.1, 2)
+        .cast("double")
+        .alias("u_totalprice"),
+        F.lit("U").alias("u_orderstatus"),
+    )
+    merged = base.join(
+        updates, F.col("o_orderkey") == F.col("u_orderkey"), "full_outer"
+    )
+    return merged.select(
+        F.coalesce(F.col("u_orderkey"), F.col("o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("u_totalprice"), F.col("o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.coalesce(F.col("u_orderstatus"), F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(F.col("u_orderkey").isNotNull(), "updated")
+        .otherwise("unchanged")
+        .alias("merge_action"),
+    )

@@ -863,3 +863,36 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(md5_long(key) % 1000 < rate).select(
         "l_returnflag", "l_orderkey", "l_linenumber"
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter diagnostics: the skew report behind salting decisions
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH c AS (SELECT o_custkey AS key, count(*) AS n
+               FROM orders GROUP BY o_custkey),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+    SELECT key, n, round(n / total, 6) AS share
+    FROM c, t
+    ORDER BY n DESC, key
+    LIMIT 10
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest join/agg keys with their share of all rows — the
+    diagnostic that decides when to salt (wordcount_salted, join_salted)
+    or rely on AQE skew splitting. One groupBy on the key, a broadcast
+    1-row total, and a TakeOrderedAndProject top-k: nothing in the plan
+    holds more than the key histogram."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    return (
+        c.join(F.broadcast(t))
+        .select("key", "n", F.round(F.col("n") / F.col("total"), 6).alias("share"))
+        .orderBy(F.col("n").desc(), "key")
+        .limit(10)
+    )

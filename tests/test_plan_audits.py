@@ -135,6 +135,7 @@ CARTESIAN_OK = {
     "scalar_subquery",
     "tfidf_top_terms",  # broadcasts the 1-row corpus-size aggregate
     "tpch_q22_dormant",  # broadcasts the 1-row average-balance aggregate
+    "key_skew_report",  # broadcasts the 1-row grand-total aggregate
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
