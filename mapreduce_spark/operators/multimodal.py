@@ -247,3 +247,57 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return m.mapInPandas(decode, schema="doc_id long, status string, width int, height int")
+
+
+# ---------------------------------------------------------------------------
+RESIZE_TARGET_BYTES = 64  # fake "resolution": center-crop to this many bytes
+
+
+@register(
+    "multimodal_resize",
+    oracle=_SQL_MEDIA_CTE
+    + f"""
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS orig_bytes,
+           CAST(least(n_bytes, {RESIZE_TARGET_BYTES}) AS BIGINT) AS new_bytes,
+           md5(CASE WHEN n_bytes <= {RESIZE_TARGET_BYTES} THEN _text
+                    ELSE substring(_text,
+                                   (n_bytes - {RESIZE_TARGET_BYTES}) // 2 + 1,
+                                   {RESIZE_TARGET_BYTES}) END) AS resized_md5
+    FROM media WHERE media_type = 'image'
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/crop stage over 'image' payloads: center-crop each payload
+    to {target} bytes (the stand-in for a real pixel resize — with a
+    codec installed the same batch loop calls Image.resize instead).
+    Same Arrow contract as multimodal_features: bytes cross to Python
+    once per batch, outputs are flat typed columns, and the media_type
+    filter prunes rows before any byte leaves the JVM."""
+    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image").select(
+        "doc_id", "payload"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            orig, new, digests = [], [], []
+            for payload in pdf["payload"]:
+                n = len(payload)
+                if n <= RESIZE_TARGET_BYTES:
+                    cropped = payload
+                else:
+                    start = (n - RESIZE_TARGET_BYTES) // 2
+                    cropped = payload[start : start + RESIZE_TARGET_BYTES]
+                orig.append(n)
+                new.append(len(cropped))
+                digests.append(hashlib.md5(cropped).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"],
+                 "orig_bytes": pd.Series(orig, dtype="int64"),
+                 "new_bytes": pd.Series(new, dtype="int64"),
+                 "resized_md5": pd.Series(digests, dtype="object")}
+            )
+
+    return m.mapInPandas(
+        resize, schema="doc_id long, orig_bytes long, new_bytes long, resized_md5 string"
+    )

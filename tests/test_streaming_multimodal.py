@@ -146,3 +146,11 @@ def test_multimodal_decode_is_explicit_stub(spark, sf_dir, qs):
         for r in rows:
             assert r["status"] == "stub:no-decoder"
             assert r["width"] is None and r["height"] is None
+
+
+def test_multimodal_resize_center_crop(spark, sf_dir, qs):
+    from mapreduce_spark.operators.multimodal import RESIZE_TARGET_BYTES
+
+    for r in qs["multimodal_resize"](spark, sf_dir).collect():
+        assert r["new_bytes"] == min(r["orig_bytes"], RESIZE_TARGET_BYTES)
+        assert len(r["resized_md5"]) == 32
