@@ -136,3 +136,45 @@ def test_text_scrub_matches_python_model(spark, tmp_path_factory, text):
     expect = _re.sub(r"\s+", " ", expect).strip()
     [row] = text_scrub(spark, str(root)).collect()
     assert row.clean_text == expect
+
+
+# ---------------------------------------------------------------------------
+# dedup kernels: shingles and MinHash permutations vs pure-Python models
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("abc")), min_size=1, max_size=3),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_shingles_matches_python_model(spark, toks):
+    from mapreduce_spark.functions.text import shingles
+
+    df = spark.createDataFrame([(toks,)], "toks: array<string>")
+    got = df.select(shingles(df.toks, 3).alias("s")).collect()[0]["s"]
+    expect = [
+        " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+    ]
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 2), min_size=1, max_size=20))
+def test_minhash_permutation_matches_python_model(spark, hashes):
+    from mapreduce_spark.operators.dedup import (
+        MINHASH_P,
+        N_PERMS,
+        _minhash_sig,
+        _perm_coeffs,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(hashes,)], "bs: array<long>")
+    got = df.select(
+        *[_minhash_sig(F.col("bs"), i).alias(f"sig{i}") for i in range(N_PERMS)]
+    ).collect()[0]
+    for i in range(N_PERMS):
+        a, b = _perm_coeffs(i)
+        assert got[f"sig{i}"] == min((a * h + b) % MINHASH_P for h in hashes)
