@@ -88,3 +88,43 @@ def test_grep_env_query(spark):
     )
     out = sorted(job.run(lines).collect())
     assert out == ["PRODUCTION values", "the Product line"]
+
+
+def test_mr_submit_cli_reproduces_reference_golden(spark, tmp_path):
+    """The reference user's exact submit invocation, flag for flag, on
+    the Spark engine: output part files merge to the golden word count."""
+    import pathlib
+    import sys
+
+    from tests.conftest import REF_CORRECT, REF_INPUT
+
+    if not pathlib.Path(REF_INPUT).is_dir():
+        import pytest
+
+        pytest.skip("reference corpus not present")
+    sys.path.insert(0, "/root/repo/tools")
+    import mr_submit
+
+    out_dir = str(tmp_path / "output")
+    rc = mr_submit.main(
+        [
+            "-i", REF_INPUT,
+            "-o", out_dir,
+            "-m", f"{REF_INPUT}/../exec/wc_map.sh",
+            "-r", f"{REF_INPUT}/../exec/wc_reduce.sh",
+            "--nmappers", "2",
+            "--nreducers", "2",
+        ]
+    )
+    assert rc == 0
+    got = []
+    for part in sorted(pathlib.Path(out_dir).glob("part-*")):
+        got.extend(line for line in part.read_text().split("\n") if line)
+    golden = [
+        line
+        for line in pathlib.Path(REF_CORRECT, "word_count_correct.txt")
+        .read_text()
+        .split("\n")
+        if line
+    ]
+    assert sorted(got) == sorted(golden)
