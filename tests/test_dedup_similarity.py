@@ -145,3 +145,35 @@ def test_contamination_no_cartesian_in_plan(spark, sf_dir, qs):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_index_matches_one_shot_cross_pairs(spark, sf_dir, qs, tmp_path):
+    """Persist the MinHash index for 80% of the corpus, dedup the other
+    20% against the RELOADED index, and require exactly the one-shot
+    run's cross (old, new) pairs — the incremental flow loses nothing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+
+    bands, hashes = D.minhash_index(old)
+    bands.write.mode("overwrite").parquet(str(tmp_path / "bands"))
+    hashes.write.mode("overwrite").parquet(str(tmp_path / "hashes"))
+    got = {
+        (r["new_doc"], r["old_doc"], r["jaccard"])
+        for r in D.dedup_against_index(
+            new,
+            spark.read.parquet(str(tmp_path / "bands")),
+            spark.read.parquet(str(tmp_path / "hashes")),
+        ).collect()
+    }
+
+    full = qs["dedup_minhash_lsh"](spark, sf_dir).collect()
+    expect = set()
+    for r in full:
+        a_new, b_new = r["doc_a"] % 5 == 0, r["doc_b"] % 5 == 0
+        if a_new and not b_new:
+            expect.add((r["doc_a"], r["doc_b"], r["jaccard"]))
+        elif b_new and not a_new:
+            expect.add((r["doc_b"], r["doc_a"], r["jaccard"]))
+    assert got == expect
+    assert expect, "corpus should contain cross old/new near-dup pairs"
