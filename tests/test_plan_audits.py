@@ -197,3 +197,37 @@ def test_fact_table_never_broadcast(spark, sf_dir, qs):
         if not audit.fact_is_stationary(qs[name](spark, sf_dir))
     ]
     assert not offenders, f"fact table broadcast in: {offenders}"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100 TB skew story is not aspirational: with a Zipf-hot key,
+    AQE's runtime stats split the oversized partition and the executed
+    plan self-identifies as a skew join. Thresholds are lowered to make
+    local data "big"; production keeps the defaults and the same rule
+    fires at real sizes."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400000).select(
+            F.when(F.col("id") % 2 == 0, 7)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().count()
+        assert j.collect()[0][0] == 400000  # every row joins, none lost
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
