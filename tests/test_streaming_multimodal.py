@@ -154,3 +154,37 @@ def test_multimodal_resize_center_crop(spark, sf_dir, qs):
     for r in qs["multimodal_resize"](spark, sf_dir).collect():
         assert r["new_bytes"] == min(r["orig_bytes"], RESIZE_TARGET_BYTES)
         assert len(r["resized_md5"]) == 32
+
+
+def test_stream_parquet_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """File-sink + checkpoint exactly-once: draining the same source twice
+    against one checkpoint emits each input row exactly once — the
+    durable-sink analog of the reference writing each reduce partition's
+    output file once per job. Restarting a caught-up stream appends
+    nothing."""
+    from mapreduce_spark.streaming.events import _events_stream
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain_once():
+        q = (
+            _events_stream(spark, sf_dir)
+            .select("event_id", "user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_once()
+    n_expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_expected
+    assert first.select("event_id").distinct().count() == n_expected
+
+    drain_once()  # caught-up restart: checkpoint says nothing is new
+    assert spark.read.parquet(out).count() == n_expected
