@@ -288,3 +288,58 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = _score_pairs(emb, cand)
     return _rank_topk(scored)
+
+
+# ---------------------------------------------------------------------------
+# Mean-pooled class centroids: the vector-aggregation primitive
+@register(
+    "embedding_centroid",
+    oracle="""
+    WITH ex AS (
+        SELECT label, i AS pos, embedding[i + 1] AS x
+        FROM embeddings, UNNEST(range(len(embedding))) AS t(i)),
+    q AS (
+        SELECT label, pos,
+               SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM ex GROUP BY label, pos),
+    c AS (SELECT label, pos, s / n / 1000000.0 AS c FROM q)
+    SELECT label, list(c ORDER BY pos) AS centroid
+    FROM c GROUP BY label ORDER BY label
+    """,
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled centroid — the vector aggregation behind
+    class prototypes, IVF coarse quantizers, and embedding drift checks.
+
+    Float summation order is parallelism-dependent, so components are
+    first quantized to integer micro-units (floor(double(x) * 1e6): one
+    IEEE double multiply + floor, bit-identical on both engines — the
+    float32 component is widened exactly first) and summed as
+    BIGINT — exact, associative, merges map-side. The mean is two IEEE
+    divisions on exact integers, bit-identical on both engines (no
+    rounding step, whose half-way tie rules differ between engines). Shape: posexplode to (label, dim) rows — |vecs| x
+    64, the scan's own size — one shuffle to aggregate, and centroids
+    reassemble with a sort inside each tiny (label) group, so no stage
+    ever holds more than |labels| x dims scalars."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    q = ex.groupBy("label", "pos").agg(
+        F.sum(F.floor(F.col("x").cast("double") * 1e6).cast("bigint")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = q.select(
+        "label",
+        "pos",
+        (F.col("s") / F.col("n") / 1e6).alias("c"),
+    )
+    return (
+        c.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .orderBy("label")
+    )
