@@ -21,6 +21,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql.window import Window
+
+from mapreduce_spark.functions.hashing import md5_long, md5_long_sql
 from mapreduce_spark.functions.text import SQL_TOKENS, tokens
 from mapreduce_spark.operators.textops import (
     STOPWORDS,
@@ -34,6 +37,10 @@ from mapreduce_spark.sources.tables import load_table
 
 MIN_TOKENS = 5          # drop near-empty docs before scoring
 QUALITY_THRESHOLD = 0.6  # corpus median — the gate keeps the better half
+
+MIX_TARGET_FRACTION = 0.5  # sampled corpus size as a fraction of the input
+MIX_HASH_MOD = 1_000_000   # hash-rate resolution (ppm)
+PACK_BUDGET = 256          # tokens per packed training sequence
 
 # Shared CTE chain: scrub -> tokenize -> score -> gate -> keeper.
 # ``kept`` is the curated corpus both queries consume.
@@ -148,4 +155,141 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_quality"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: temperature-weighted source sampling
+@register(
+    "mix_weighted_sample",
+    oracle=f"""
+    WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS sw
+          FROM n),
+    tot AS (SELECT SUM(sw) AS s, SUM(n_docs) AS total FROM w),
+    r AS (SELECT w.source,
+                 CAST(least(1000000.0,
+                      floor(CAST(tot.total AS DOUBLE) * {MIX_TARGET_FRACTION}
+                            * w.sw / tot.s / w.n_docs * 1000000.0)) AS BIGINT)
+                 AS rate_micro
+          FROM w, tot)
+    SELECT d.doc_id, d.source, r.rate_micro
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE {md5_long_sql('CAST(d.doc_id AS VARCHAR)')} % {MIX_HASH_MOD} < r.rate_micro
+    """,
+)
+def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing — the corpus-rebalancing step of
+    a pretraining data recipe: target share of source s is proportional to
+    count(s)^0.5 (alpha=0.5 smoothing, up-weighting rare sources), scaled
+    so the sampled corpus is ~MIX_TARGET_FRACTION of the input, then each
+    document is kept by a deterministic hash draw at its source's rate.
+
+    Engine parity: weights quantize sqrt(count) to integer micro-units and
+    sum as BIGINT (exact, associative); each per-source rate is then ONE
+    left-to-right double expression (identical IEEE ops on both engines)
+    floored to ppm; the draw compares md5-mod against that integer rate —
+    no float crosses an aggregation. Shape: per-source counts are a tiny
+    map-side-combined rollup; rates broadcast back onto the scan, so the
+    corpus itself is filtered in place with zero shuffle — at 100 TB the
+    only exchange is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n.withColumn(
+        "sw", F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0).cast("bigint")
+    )
+    tot = w.agg(F.sum("sw").alias("s"), F.sum("n_docs").alias("total"))
+    r = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1000000.0),
+            F.floor(
+                F.col("total").cast("double")
+                * MIX_TARGET_FRACTION
+                * F.col("sw")
+                / F.col("s")
+                / F.col("n_docs")
+                * 1000000.0
+            ).cast("double"),
+        )
+        .cast("bigint")
+        .alias("rate_micro"),
+    )
+    return (
+        docs.join(F.broadcast(r), "source")
+        .filter(
+            F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(MIX_HASH_MOD))
+            < F.col("rate_micro")
+        )
+        .select("doc_id", "source", "rate_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: fixed token-budget training bins
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+        FROM documents),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t),
+    b AS (
+        SELECT source,
+               CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+               n_tokens
+        FROM c)
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM b GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed token-budget training sequences: within
+    each source stream (ordered by doc_id), a document joins the bin its
+    token prefix-sum falls in (bin = floor(tokens_before / budget)) —
+    the deterministic first-fit-sequential packing a dataloader applies
+    before concatenate-and-chunk. Output is the per-bin manifest (doc
+    count + token fill), i.e. the shape a batch planner consumes.
+
+    All arithmetic is integer (token counts, prefix sums, floor-div by a
+    constant), so both engines agree exactly. Shape: one shuffle on
+    source for the running sum, then the bin rollup reuses that same
+    partitioning (no second exchange of the corpus). Packing is
+    order-dependent only WITHIN a stream shard, so at 100 TB the
+    partition key becomes (source, shard) — same plan, narrower
+    windows — rather than a global per-source sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    b = c.select(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("bin_id"),
+        "n_tokens",
+    )
+    return (
+        b.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin_id")
     )

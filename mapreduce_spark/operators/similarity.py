@@ -105,6 +105,10 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the small query set against the full
     vector table (one pass over V, no shuffle of V), then per-query top-k
     via window rank. The plan every ANN variant is measured against."""
+    return _exact_topk(spark, sf_dir)
+
+
+def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
@@ -288,6 +292,75 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = _score_pairs(emb, cand)
     return _rank_topk(scored)
+
+
+# ---------------------------------------------------------------------------
+# k-NN majority-vote classification over the exact top-k neighbors
+@register(
+    "knn_label",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               round({sql_cosine_pair('q.qe', 'v.embedding')}, 6) AS cosine
+        FROM q JOIN embeddings v ON v.vec_id <> q.query_id),
+    ranked AS ({_SQL_RANK}),
+    votes AS (
+        SELECT r.query_id, e.label, count(*) AS votes
+        FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+        GROUP BY r.query_id, e.label),
+    pred AS (
+        SELECT query_id, label AS predicted_label, votes FROM (
+            SELECT query_id, label, votes,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY votes DESC, label) AS rn
+            FROM votes) WHERE rn = 1)
+    SELECT p.query_id, t.label AS true_label, p.predicted_label, p.votes,
+           (p.predicted_label = t.label) AS is_correct
+    FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+    ORDER BY p.query_id
+    """,
+)
+def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification: predict each query vector's label by majority
+    vote among its exact top-k cosine neighbors (self excluded); ties
+    break to the smallest label. The standard embedding-quality probe
+    (label-consistency of the neighborhood structure).
+
+    Shape: reuses the exact top-k plan (broadcast query set, one pass
+    over V); the |Q| x k neighbor list is then BROADCAST against the
+    label column — the vector table stays stationary for the label
+    lookup too. The vote rollup and argmax run on |Q| x labels rows, a
+    no-op exchange at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranked = _exact_topk(spark, sf_dir)
+    votes = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(ranked), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+    truth = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "predicted_label",
+            "votes",
+            (F.col("predicted_label") == F.col("true_label")).alias("is_correct"),
+        )
+        .orderBy("query_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -53,3 +53,55 @@ def test_pipeline_single_plan_shuffle_budget(spark, sf_dir):
 
     df = get_queries()["curation_pipeline"](spark, sf_dir)
     assert audit.exchange_count(df) <= 4, audit.simple_plan(df)
+
+
+def test_mix_upweights_rare_sources(spark, sf_dir):
+    # alpha=0.5 smoothing: a rarer source keeps a HIGHER fraction of its
+    # docs than a common one, total lands near the target fraction, and
+    # membership is a pure function of doc_id (deterministic re-run).
+    qs = get_queries()
+    sampled = qs["mix_weighted_sample"](spark, sf_dir)
+    rates = {
+        r["source"]: r["rate_micro"]
+        for r in sampled.select("source", "rate_micro").distinct().collect()
+    }
+    counts = {
+        r["source"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(rates) <= set(counts)
+    for s, rate in rates.items():
+        assert 0 < rate <= C.MIX_HASH_MOD
+    if len(counts) > 1:
+        rare = min(counts, key=counts.get)
+        common = max(counts, key=counts.get)
+        if counts[rare] < counts[common]:  # strict skew exists
+            assert rates[rare] >= rates[common]
+    total = sum(counts.values())
+    n_sampled = sampled.count()
+    assert 0.3 * total <= n_sampled <= 0.7 * total  # near the 0.5 target
+    assert n_sampled == qs["mix_weighted_sample"](spark, sf_dir).count()
+
+
+def test_pack_bins_follow_prefix_sum_definition(spark, sf_dir):
+    # A doc joins bin floor(tokens_before / budget), so replaying each
+    # source's bins in order must reproduce every bin id from the running
+    # fill — the exact first-fit-sequential contract (bins can under-fill
+    # only when a straddling doc pushed the next doc over the line).
+    rows = get_queries()["pack_sequences"](spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source
+    for source, bins in by_source.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        assert bins[0]["bin_id"] == 0, source
+        fill = 0
+        for b in bins:
+            assert b["n_docs"] >= 1
+            assert b["bin_tokens"] >= 1
+            assert fill // C.PACK_BUDGET == b["bin_id"], (source, fill, b)
+            fill += b["bin_tokens"]

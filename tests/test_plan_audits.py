@@ -132,10 +132,12 @@ CARTESIAN_OK = {
     "cross_join",
     "similarity_topk",
     "similarity_ann_ivf",
+    "knn_label",  # reuses the similarity_topk broadcast-NLJ scoring plan
     "scalar_subquery",
     "tfidf_top_terms",  # broadcasts the 1-row corpus-size aggregate
     "tpch_q22_dormant",  # broadcasts the 1-row average-balance aggregate
     "key_skew_report",  # broadcasts the 1-row grand-total aggregate
+    "mix_weighted_sample",  # broadcasts the 1-row weight-total aggregate
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
