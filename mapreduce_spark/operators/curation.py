@@ -41,6 +41,8 @@ QUALITY_THRESHOLD = 0.6  # corpus median — the gate keeps the better half
 MIX_TARGET_FRACTION = 0.5  # sampled corpus size as a fraction of the input
 MIX_HASH_MOD = 1_000_000   # hash-rate resolution (ppm)
 PACK_BUDGET = 256          # tokens per packed training sequence
+SHUFFLE_SHARDS = 8         # output shards of the training-order shuffle
+SHUFFLE_SEED = "shuf1|"    # key-domain tag; changing it reshuffles
 
 # Shared CTE chain: scrub -> tokenize -> score -> gate -> keeper.
 # ``kept`` is the curated corpus both queries consume.
@@ -223,6 +225,49 @@ def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("rate_micro")
         )
         .select("doc_id", "source", "rate_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-order shuffle: deterministic sharded permutation of the corpus
+@register(
+    "global_shuffle",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               {md5_long_sql(f"'{SHUFFLE_SEED}' || CAST(doc_id AS VARCHAR)")}
+               AS sort_key
+        FROM documents),
+    s AS (SELECT doc_id, sort_key, sort_key % {SHUFFLE_SHARDS} AS shard FROM k)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into training shards:
+    each doc hashes to a shard and a position within it — the
+    decorrelated read order a dataloader wants, reproducible from the
+    seed tag alone (re-runs and resumed jobs see the identical
+    permutation; a new seed is a fresh epoch order).
+
+    Scale shape: this is the TeraSort decomposition — hash-partition by
+    shard, sort WITHIN each shard — so no single reducer ever sees a
+    global order, unlike a row_number over the whole corpus. One
+    shuffle of (id, key) pairs; document text stays in place until the
+    manifest is applied."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        md5_long(F.concat(F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
+            "sort_key"
+        ),
+    )
+    s = k.withColumn("shard", F.pmod(F.col("sort_key"), F.lit(SHUFFLE_SHARDS)))
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return s.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
     )
 
 

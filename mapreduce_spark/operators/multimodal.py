@@ -250,6 +250,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+@register(
+    "multimodal_dedup",
+    oracle=_SQL_MEDIA_CTE
+    + """
+    SELECT md5(_text) AS content_md5,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM media GROUP BY md5(_text)
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by payload digest — the first pass every
+    multimodal corpus runs (identical bytes re-crawled under different
+    ids). The digest is computed JVM-side on the binary column and the
+    payload is PROJECTED AWAY before the exchange, so only (16-byte
+    digest, id) pairs ever shuffle — at 100 TB the media bytes stay in
+    the scan stage. Keeper = min doc_id per digest, same policy as
+    dedup_exact."""
+    m = media_table(spark, sf_dir)
+    digests = m.select(F.md5(F.col("payload")).alias("content_md5"), "doc_id")
+    return digests.groupBy("content_md5").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
 RESIZE_TARGET_BYTES = 64  # fake "resolution": center-crop to this many bytes
 
 

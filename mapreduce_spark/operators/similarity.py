@@ -295,6 +295,89 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# One Lloyd iteration: assign to nearest seed centroid, recompute means
+@register(
+    "kmeans_refine",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}),
+    assign AS (
+        SELECT vec_id, cid, embedding FROM (
+            SELECT v.vec_id, c.cid, v.embedding,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({sql_cosine_pair('v.embedding', 'c.ce')}, 6) DESC,
+                                c.cid) AS rn
+            FROM embeddings v, cent c)
+        WHERE rn = 1),
+    ex AS (
+        SELECT cid, i AS pos, embedding[i + 1] AS x
+        FROM assign, UNNEST(range(len(embedding))) AS t(i)),
+    q AS (
+        SELECT cid, pos,
+               SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM ex GROUP BY cid, pos),
+    c2 AS (SELECT cid, pos, n, s / n / 1000000.0 AS c FROM q)
+    SELECT cid, CAST(max(n) AS BIGINT) AS n_members,
+           list(c ORDER BY pos) AS centroid
+    FROM c2 GROUP BY cid ORDER BY cid
+    """,
+)
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means (Lloyd) iteration from the IVF seed centroids: assign
+    every vector to its nearest centroid by cosine, then recompute each
+    cluster's mean — the update step behind IVF quantizer training and
+    embedding clustering. Iterating is this same plan in a driver loop
+    (the dedup_cluster pattern); one step stays SQL-expressible so the
+    oracle can pin it exactly.
+
+    Assignment is an ARGMAX AGGREGATE (max over struct(score, -cid)),
+    not a window — it partially aggregates map-side, so the per-vector
+    candidate rows never shuffle, only |V| assignment rows do. The mean
+    reuses embedding_centroid's integer micro-unit trick: quantize,
+    BIGINT-sum (exact, associative), divide once — bit-identical at any
+    parallelism on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    cent = embn.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cand = embn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        F.struct(
+            F.round(
+                cosine_n(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn")), 6
+            ).alias("score"),
+            (-F.col("cid")).alias("negcid"),
+        ).alias("sc"),
+    )
+    assign = cand.groupBy("vec_id").agg(
+        (-F.max("sc")["negcid"]).alias("cid"),
+        F.first("embedding").alias("embedding"),
+    )
+    ex = assign.select("cid", F.posexplode("embedding").alias("pos", "x"))
+    q = ex.groupBy("cid", "pos").agg(
+        F.sum(F.floor(F.col("x").cast("double") * 1e6).cast("bigint")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c2 = q.select("cid", "pos", "n", (F.col("s") / F.col("n") / 1e6).alias("c"))
+    return (
+        c2.groupBy("cid")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid"),
+        )
+        .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-NN majority-vote classification over the exact top-k neighbors
 @register(
     "knn_label",

@@ -86,6 +86,23 @@ def test_mix_upweights_rare_sources(spark, sf_dir):
     assert n_sampled == qs["mix_weighted_sample"](spark, sf_dir).count()
 
 
+def test_global_shuffle_is_a_sharded_permutation(spark, sf_dir):
+    # every doc appears exactly once; positions are dense 1..n per shard;
+    # the permutation actually decorrelates ids (not the identity order).
+    rows = get_queries()["global_shuffle"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == total
+    assert len({r["doc_id"] for r in rows}) == total
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < C.SHUFFLE_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, members in by_shard.items():
+        assert sorted(m["pos"] for m in members) == list(range(1, len(members) + 1))
+    shard0 = sorted(by_shard[0], key=lambda r: r["pos"])
+    assert [r["doc_id"] for r in shard0] != sorted(r["doc_id"] for r in shard0)
+
+
 def test_pack_bins_follow_prefix_sum_definition(spark, sf_dir):
     # A doc joins bin floor(tokens_before / budget), so replaying each
     # source's bins in order must reproduce every bin id from the running

@@ -177,3 +177,48 @@ def test_incremental_index_matches_one_shot_cross_pairs(spark, sf_dir, qs, tmp_p
             expect.add((r["doc_b"], r["doc_a"], r["jaccard"]))
     assert got == expect
     assert expect, "corpus should contain cross old/new near-dup pairs"
+
+
+def test_kmeans_refine_partitions_all_vectors(spark, sf_dir, qs):
+    # every vector lands in exactly one cluster; refined centroids keep
+    # the embedding dimensionality and actually move off their seeds.
+    emb = load_table(spark, sf_dir, "embeddings")
+    total, dims = emb.count(), len(emb.first()["embedding"])
+    rows = qs["kmeans_refine"](spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in rows) == total
+    seeds = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(
+            F.col("vec_id") % S.IVF_CENT_MOD == S.IVF_CENT_REM
+        ).collect()
+    }
+    assert {r["cid"] for r in rows} <= set(seeds)
+    moved = 0
+    for r in rows:
+        assert len(r["centroid"]) == dims
+        if any(abs(a - b) > 1e-9 for a, b in zip(r["centroid"], seeds[r["cid"]])):
+            moved += 1
+    assert moved > 0
+
+
+def test_knn_label_votes_match_topk_neighbors(spark, sf_dir, qs):
+    # the prediction must be recomputable from similarity_topk's output
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    topk = qs["similarity_topk"](spark, sf_dir).collect()
+    votes: dict[int, dict[int, int]] = {}
+    for r in topk:
+        v = votes.setdefault(r["query_id"], {})
+        lab = labels[r["vec_id"]]
+        v[lab] = v.get(lab, 0) + 1
+    for r in qs["knn_label"](spark, sf_dir).collect():
+        v = votes[r["query_id"]]
+        best = min(v, key=lambda lab: (-v[lab], lab))
+        assert r["predicted_label"] == best
+        assert r["votes"] == v[best]
+        assert r["true_label"] == labels[r["query_id"]]
+        assert r["is_correct"] == (best == labels[r["query_id"]])
