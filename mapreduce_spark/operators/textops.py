@@ -428,6 +428,174 @@ def scrub_expr(col: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    g AS (SELECT doc_id, toks,
+                 {sql_shingles('toks', 2)} AS sgl2,
+                 {sql_shingles('toks', 3)} AS sgl3
+          FROM t WHERE len(toks) >= 3),
+    b AS (SELECT doc_id, unnest(sgl2) AS gram FROM g),
+    bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY doc_id, gram),
+    m AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS mx, CAST(sum(c) AS BIGINT) AS tot
+          FROM bc GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(len(g.toks) AS BIGINT) AS n_tokens,
+           round(CAST(m.mx AS DOUBLE) / m.tot, 6) AS top_bigram_frac,
+           round(CAST(len(g.sgl3) - len(list_distinct(g.sgl3)) AS DOUBLE)
+                 / len(g.sgl3), 6) AS dup_trigram_frac
+    FROM g JOIN m ON m.doc_id = g.doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document top-bigram mass
+    fraction and duplicated-trigram fraction — the two strongest
+    machine-generated / boilerplate text signals in the Gopher rules
+    (Rae et al. 2021, table A1 family).
+
+    Plan shape: the trigram side is pure per-row array math (zero
+    shuffle); the top-bigram mode needs a (doc_id, gram) count →
+    per-doc max, i.e. two partial-aggregated shuffles both keyed on
+    doc_id — the second reuses the first's partitioning. At 100 TB the
+    exploded bigram stream is ~|tokens| rows but collapses map-side
+    before either shuffle; nothing is ever corpus-global."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    g = g.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        shingles(F.col("toks"), 2).alias("sgl2"),
+        shingles(F.col("toks"), 3).alias("sgl3"),
+    )
+    per_row = g.select(
+        "doc_id",
+        "n_tokens",
+        F.size("sgl3").alias("_n3"),
+        F.size(F.array_distinct("sgl3")).alias("_d3"),
+    )
+    mode = (
+        g.select("doc_id", F.explode("sgl2").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_mx"), F.sum("c").alias("_tot"))
+    )
+    return per_row.join(mode, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("_mx").cast("double") / F.col("_tot"), 6).alias("top_bigram_frac"),
+        F.round(
+            (F.col("_n3") - F.col("_d3")).cast("double") / F.col("_n3"), 6
+        ).alias("dup_trigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 over the synthetic corpus vocabulary. Constants shared with the
+# oracle; scores go through integer micro-units so the per-doc sum is
+# exact and the ranking cannot diverge on float summation order.
+BM25_QUERY = ["spark", "query", "merge"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t WHERE len(toks) > 0),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+    tf AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+    tfc AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tf WHERE term IN ({", ".join(f"'{w}'" for w in BM25_QUERY)})
+            GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+    scored AS (
+        SELECT tfc.doc_id,
+               CAST(round(1000000 * round(
+                   ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                   * tfc.tf * ({BM25_K1} + 1.0)
+                   / (tfc.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * tfc.dl / stats.avgdl)),
+                   6)) AS BIGINT) AS s_micro
+        FROM tfc JOIN dfreq USING (term) CROSS JOIN stats)
+    SELECT doc_id,
+           CAST(sum(s_micro) AS BIGINT) AS score_micro,
+           round(CAST(sum(s_micro) AS DOUBLE) / 1000000, 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOP_K}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BM25_TOP_K} documents by BM25 (k1={BM25_K1}, b={BM25_B}) for the
+    fixed query {BM25_QUERY} — Robertson/Sparck-Jones ranking, the
+    backbone of corpus search and retrieval-based data curation.
+
+    Plan shape: tokens are filtered to the query terms BEFORE the
+    explode-side aggregation, so the (doc, term) shuffle carries at most
+    |query| rows per document, not the whole postings list; document
+    frequency comes off that already-tiny table; the corpus stats
+    (n_docs, avgdl) are a 1-row broadcast. Final ranking is a
+    TakeOrdered top-k, never a global sort. Per-term scores are rounded
+    to 6 dp then summed as exact integer micro-units, so cross-engine
+    float-summation order cannot flip the ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    d = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"), "toks")
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tfc = (
+        d.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: t.isin(*BM25_QUERY))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tfc.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(1_000_000 * F.round(score, 6)).cast("bigint").alias("s_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s_micro").alias("score_micro"))
+        .select(
+            "doc_id",
+            "score_micro",
+            F.round(F.col("score_micro").cast("double") / 1_000_000, 6).alias("bm25"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
 @register(
     "text_scrub",
     oracle=f"""

@@ -40,6 +40,7 @@ _QUERY_MODULES = [
     "mapreduce_spark.operators.textops",
     "mapreduce_spark.operators.dedup",
     "mapreduce_spark.operators.curation",
+    "mapreduce_spark.operators.graph",
     "mapreduce_spark.operators.similarity",
     "mapreduce_spark.operators.mr",
     "mapreduce_spark.operators.multimodal",

@@ -1,0 +1,131 @@
+"""Exact-row tests for repetition_stats, bm25_topk, pagerank_transitions,
+and dedup_incremental over hand-built micro tables.
+
+PageRank is checked against an independent pure-Python fixpoint using the
+same integer micro-unit arithmetic, so the expected values come from
+neither Spark nor DuckDB.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from mapreduce_spark.registry import get_queries
+
+
+@pytest.fixture(scope="module")
+def micro_sf(spark, tmp_path_factory) -> str:
+    root = tmp_path_factory.mktemp("graph_micro")
+
+    def write(name: str, rows, schema: str):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/{name}.parquet")
+
+    write(
+        "documents",
+        [
+            (0, "en", "Hello world hello"),
+            (1, "en", ""),
+            (2, "de", "world world"),
+            (3, "en", "the quick brown fox jumps"),  # odd -> incoming batch
+            (4, "en", "The quick brown fox jumps"),  # even -> indexed corpus
+            (5, "en", "spark query merge"),
+            (6, "en", "spark spark spark"),
+            (7, "en", "other words only here"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    write(
+        "events",
+        [
+            (1, t(0), 1, "click", 1.0, "{}"),
+            (2, t(8), 1, "click", 1.0, "{}"),
+            (3, t(12), 1, "error", 1.0, "{}"),
+            (4, t(15), 1, "purchase", 9.0, "{}"),
+            (5, t(0), 2, "error", 1.0, "{}"),
+            (6, t(0), 3, "click", 1.0, "{}"),
+            (7, t(5), 3, "error", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    return str(root)
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_repetition_stats_exact(spark, micro_sf):
+    df = get_queries()["repetition_stats"](spark, micro_sf)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["top_bigram_frac"], r["dup_trigram_frac"])
+        for r in df.collect()
+    }
+    # docs 1 (empty) and 2 (two tokens) are excluded (< 3 tokens)
+    assert got[0] == (3, 0.5, 0.0)  # "hello world"/"world hello" 1 each of 2
+    assert got[3] == (5, 0.25, 0.0)  # 4 distinct bigrams
+    assert got[4] == got[3]  # case-normalized twin
+    assert 1 not in got and 2 not in got
+    # a degenerate repeated doc: all mass on one bigram
+    rep = spark.createDataFrame(
+        [(99, "en", "ha ha ha ha")], "doc_id long, lang string, text string"
+    )
+    rep.write.mode("overwrite").parquet(f"{micro_sf}/rep_tmp/documents.parquet")
+    df2 = get_queries()["repetition_stats"](spark, f"{micro_sf}/rep_tmp")
+    r = df2.collect()[0]
+    assert r["top_bigram_frac"] == 1.0  # "ha ha" x3 of 3
+    assert r["dup_trigram_frac"] == 0.5  # ["ha ha ha"] x2 -> 1 dup of 2
+
+
+def test_bm25_ranks_multi_term_doc_first(spark, micro_sf):
+    df = get_queries()["bm25_topk"](spark, micro_sf)
+    got = [r["doc_id"] for r in df.collect()]
+    # doc 5 hits all three query terms (idf-rich), doc 6 only repeats
+    # 'spark'; docs without any query term never appear.
+    assert got[0] == 5
+    assert got[1] == 6
+    assert set(got) == {5, 6}
+    scores = {r["doc_id"]: r["bm25"] for r in df.collect()}
+    assert scores[5] > scores[6] > 0
+
+
+def _py_pagerank(edges, nodes, iters=3, scale=1_000_000_000_000):
+    """Independent integer-unit PageRank (same arithmetic, pure Python)."""
+    out_w = {}
+    for (s, _), w in edges.items():
+        out_w[s] = out_w.get(s, 0) + w
+    n = len(nodes)
+    ranks = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        sums = {v: 0 for v in nodes}
+        for (s, d), w in edges.items():
+            sums[d] += (ranks[s] * w) // out_w[s]
+        ranks = {
+            v: (15 * scale) // (100 * n) + (17 * sums[v]) // 20 for v in nodes
+        }
+    return ranks
+
+
+def test_pagerank_exact_vs_python(spark, micro_sf):
+    df = get_queries()["pagerank_transitions"](spark, micro_sf)
+    got = {r["event_type"]: r["rank_units"] for r in df.collect()}
+    # transitions: u1 click->click, click->error, error->purchase; u3 click->error
+    edges = {("click", "click"): 1, ("click", "error"): 2, ("error", "purchase"): 1}
+    expected = _py_pagerank(edges, ["click", "error", "purchase"])
+    assert got == expected
+    # rank mass stays <= 1 and every node keeps at least the teleport term
+    assert sum(got.values()) <= 1_000_000_000_000
+    assert min(got.values()) >= (15 * 1_000_000_000_000) // 300
+
+
+def test_dedup_incremental_finds_cross_half_twin(spark, micro_sf):
+    df = get_queries()["dedup_incremental"](spark, micro_sf)
+    got = rows(df, "new_doc", "old_doc", "jaccard")
+    assert (3, 4, 1.0) in got  # odd batch doc 3 matches indexed even doc 4
+    for new_doc, old_doc, _ in got:
+        assert new_doc % 2 == 1 and old_doc % 2 == 0

@@ -139,6 +139,8 @@ CARTESIAN_OK = {
     "tpch_q22_dormant",  # broadcasts the 1-row average-balance aggregate
     "key_skew_report",  # broadcasts the 1-row grand-total aggregate
     "mix_weighted_sample",  # broadcasts the 1-row weight-total aggregate
+    "bm25_topk",  # broadcasts the 1-row (n_docs, avgdl) corpus aggregate
+    "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
