@@ -34,6 +34,10 @@ HEADLINE = [
     "sessionize_batch",
     "tpch_q6_forecast",
     "doc_chunk",
+    "bm25_topk",
+    "repetition_stats",
+    "perplexity_bigram",
+    "pagerank_transitions",
 ]
 
 

@@ -596,6 +596,100 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+@register(
+    "perplexity_bigram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    g AS (SELECT doc_id, {sql_shingles('toks', 2)} AS sgl2, toks
+          FROM t WHERE len(toks) >= 2),
+    db AS (SELECT doc_id, unnest(sgl2) AS bigram FROM g),
+    dbc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS n
+            FROM db GROUP BY doc_id, bigram),
+    bc AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS cb FROM dbc GROUP BY bigram),
+    uni AS (SELECT w1, CAST(sum(n) AS BIGINT) AS cu
+            FROM (SELECT split_part(bigram, ' ', 1) AS w1, n FROM dbc)
+            GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsize
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    scored AS (
+        SELECT dbc.doc_id, dbc.n,
+               CAST(round(1000000 * round(
+                   -ln((bc.cb + 1.0) / (uni.cu + v.vsize)), 6)) AS BIGINT)
+                 AS nll_micro
+        FROM dbc
+        JOIN bc USING (bigram)
+        JOIN uni ON uni.w1 = split_part(dbc.bigram, ' ', 1)
+        CROSS JOIN v)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(n * nll_micro) AS DOUBLE) / (1000000 * sum(n)), 6)
+             AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering, self-trained: an add-one-smoothed
+    bigram language model is estimated from the corpus itself, then every
+    document is scored by its average per-bigram negative log-likelihood
+    (low = fluent/common, high = noise) — the Wenzek et al. 2019 quality
+    signal with the KenLM model replaced by an in-plan bigram LM.
+
+    P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V), trained on the SAME pass
+    that scores: (doc, bigram) counts shuffle once on doc_id+bigram; the
+    global bigram and unigram-context tables aggregate FROM that compact
+    table (map-side combined); V is a 1-row broadcast. Scoring joins the
+    doc-bigram table back to the model on the bigram key — at 100 TB both
+    sides are |distinct bigrams|-scale, AQE deskews stopword bigrams.
+    Per-bigram NLL is rounded to 6 dp then accumulated as exact integer
+    micro-units weighted by count, so the per-doc average cannot diverge
+    on float summation order."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    g = t.filter(F.size("toks") >= 2).select(
+        "doc_id", shingles(F.col("toks"), 2).alias("sgl2")
+    )
+    dbc = (
+        g.select("doc_id", F.explode("sgl2").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bc = dbc.groupBy("bigram").agg(F.sum("n").alias("cb"))
+    uni = (
+        dbc.select(F.substring_index("bigram", " ", 1).alias("w1"), "n")
+        .groupBy("w1")
+        .agg(F.sum("n").alias("cu"))
+    )
+    v = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("vsize")
+    )
+    nll = -F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("vsize")))
+    scored = (
+        dbc.join(bc, "bigram")
+        .join(uni, F.substring_index(dbc.bigram, " ", 1) == uni.w1)
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "n",
+            F.round(1_000_000 * F.round(nll, 6)).cast("bigint").alias("nll_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("nll_micro")).alias("_nm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("_nm").cast("double") / (1_000_000 * F.col("n_bigrams")), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
 @register(
     "text_scrub",
     oracle=f"""

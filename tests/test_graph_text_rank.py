@@ -123,6 +123,22 @@ def test_pagerank_exact_vs_python(spark, micro_sf):
     assert min(got.values()) >= (15 * 1_000_000_000_000) // 300
 
 
+def test_perplexity_bigram_hand_computed(spark, tmp_path):
+    # corpus: "a b a b" and "a b" -> c("a b")=3, c("b a")=1, ctx a=3 b=1, V=2
+    spark.createDataFrame(
+        [(1, "en", "a b a b"), (2, "en", "a b")],
+        "doc_id long, lang string, text string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    df = get_queries()["perplexity_bigram"](spark, str(tmp_path))
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"]) for r in df.collect()}
+    # P(b|a) = 4/5 -> nll 0.223144; P(a|b) = 2/3 -> nll 0.405465
+    assert got[2] == (1, 0.223144)
+    # doc 1: (2*223144 + 405465) / 3e6 = 0.283918
+    assert got[1] == (3, 0.283918)
+    # the repeated-bigram doc is more "fluent" (lower nll) than uniform
+    assert got[1][1] > got[2][1]
+
+
 def test_dedup_incremental_finds_cross_half_twin(spark, micro_sf):
     df = get_queries()["dedup_incremental"](spark, micro_sf)
     got = rows(df, "new_doc", "old_doc", "jaccard")

@@ -140,6 +140,7 @@ CARTESIAN_OK = {
     "key_skew_report",  # broadcasts the 1-row grand-total aggregate
     "mix_weighted_sample",  # broadcasts the 1-row weight-total aggregate
     "bm25_topk",  # broadcasts the 1-row (n_docs, avgdl) corpus aggregate
+    "perplexity_bigram",  # broadcasts the 1-row vocabulary-size aggregate
     "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
 }
 
