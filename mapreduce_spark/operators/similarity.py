@@ -499,3 +499,93 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+_SQL_EXACT_TOPK_CTE = f"""
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    scored_e AS (
+        SELECT q.query_id, v.vec_id,
+               round({sql_cosine_pair('q.qe', 'v.embedding')}, 6) AS cosine
+        FROM q JOIN embeddings v ON v.vec_id <> q.query_id),
+    topk_e AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored_e)
+        WHERE rank <= {TOP_K})"""
+
+_SQL_ANN_TOPK_CTE = f"""
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, vb.vec_id
+        FROM buckets qb JOIN buckets vb
+          ON qb.table_idx = vb.table_idx AND qb.bucket = vb.bucket
+         AND vb.vec_id <> qb.vec_id
+        WHERE qb.vec_id < {N_QUERIES}),
+    scored_a AS (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6) AS cosine
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id),
+    topk_a AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored_a)
+        WHERE rank <= {TOP_K})"""
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK_CTE},
+    {_SQL_BUCKETS_CTE},
+    {_SQL_ANN_TOPK_CTE},
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id),
+    hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+             FROM topk_e e JOIN topk_a a
+               ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+             GROUP BY e.query_id)
+    SELECT base.query_id, base.n_exact,
+           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / base.n_exact, 6)
+             AS recall
+    FROM base LEFT JOIN hits ON hits.query_id = base.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the LSH tier against the exact baseline, per
+    query — the measurement that decides whether an ANN index is usable
+    (tune LSH_TABLES/LSH_PLANES until this clears the target, then ship).
+    An evaluation harness as a first-class, oracle-checked operator.
+
+    Plan shape: both ranked top-k sets are |Q| x {TOP_K} rows, so the
+    intersection join and rollup are driver-free trivia on top of the
+    two underlying plans; the expensive inputs (one broadcast scoring
+    pass, one bucket join) are exactly the plans being graded."""
+    exact = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
+    ann = similarity_ann_lsh(spark, sf_dir).select("query_id", "vec_id")
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hits = (
+        exact.join(ann, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -222,3 +222,26 @@ def test_knn_label_votes_match_topk_neighbors(spark, sf_dir, qs):
         assert r["votes"] == v[best]
         assert r["true_label"] == labels[r["query_id"]]
         assert r["is_correct"] == (best == labels[r["query_id"]])
+
+
+def test_ann_recall_report_bounds_and_consistency(spark, sf_dir, qs):
+    from mapreduce_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rep = {r["query_id"]: r for r in qs["ann_recall_report"](spark, sf_dir).collect()}
+    assert set(rep) == set(range(N_QUERIES))
+    for r in rep.values():
+        assert r["n_exact"] == TOP_K
+        assert 0 <= r["n_hits"] <= r["n_exact"]
+        assert r["recall"] == round(r["n_hits"] / r["n_exact"], 6)
+    # recall must agree with an independent set intersection of the two tiers
+    exact = qs["similarity_topk"](spark, sf_dir).collect()
+    ann = qs["similarity_ann_lsh"](spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in exact_sets:
+        want = len(exact_sets[q] & ann_sets.get(q, set()))
+        assert rep[q]["n_hits"] == want

@@ -133,6 +133,7 @@ CARTESIAN_OK = {
     "similarity_topk",
     "similarity_ann_ivf",
     "knn_label",  # reuses the similarity_topk broadcast-NLJ scoring plan
+    "ann_recall_report",  # embeds the similarity_topk broadcast-NLJ baseline
     "kmeans_refine",  # broadcasts the seed-centroid list against vectors
     "scalar_subquery",
     "tfidf_top_terms",  # broadcasts the 1-row corpus-size aggregate
