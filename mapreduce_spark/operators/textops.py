@@ -597,6 +597,53 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+BPE_TOP_K = 20
+
+
+@register(
+    "bpe_pair_merge",
+    oracle=f"""
+    WITH t AS (SELECT {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+    p AS (SELECT substring(word, i, 2) AS pair, f
+          FROM (SELECT word, f, unnest(range(1, length(word))) AS i
+                FROM wc WHERE length(word) >= 2))
+    SELECT pair, CAST(sum(f) AS BIGINT) AS cnt
+    FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
+    """,
+)
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration (Sennrich et al. 2016): the
+    corpus-frequency-weighted count of every adjacent character pair —
+    the table whose argmax is the next merge rule a BPE tokenizer learns.
+
+    Plan shape: the corpus first collapses to (distinct word, frequency)
+    — the wordcount shuffle — so pair generation runs once per DISTINCT
+    word, not once per token occurrence (the same trick production BPE
+    trainers use: at 100 TB, |vocab| << |tokens| by ~10^4). Pair counts
+    partial-aggregate map-side; the final top-k is a TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    p = wc.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        p.groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
 @register(
     "perplexity_bigram",
     oracle=f"""

@@ -139,6 +139,16 @@ def test_perplexity_bigram_hand_computed(spark, tmp_path):
     assert got[1][1] > got[2][1]
 
 
+def test_bpe_pair_merge_weights_by_word_frequency(spark, tmp_path):
+    # words: "aaa" f=2 (pairs "aa" x2 each), "ab" f=1 -> aa:4, ab:1
+    spark.createDataFrame(
+        [(1, "en", "aaa ab"), (2, "en", "aaa")],
+        "doc_id long, lang string, text string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    df = get_queries()["bpe_pair_merge"](spark, str(tmp_path))
+    assert [(r["pair"], r["cnt"]) for r in df.collect()] == [("aa", 4), ("ab", 1)]
+
+
 def test_dedup_incremental_finds_cross_half_twin(spark, micro_sf):
     df = get_queries()["dedup_incremental"](spark, micro_sf)
     got = rows(df, "new_doc", "old_doc", "jaccard")
