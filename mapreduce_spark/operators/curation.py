@@ -338,3 +338,50 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/valid/test split: the bucket comes from the hash of
+# the NORMALIZED CONTENT, not the doc_id, so byte-duplicate and
+# case/whitespace-duplicate documents always land in the same split —
+# the standard guard against train/test contamination via duplicates.
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 98   # buckets [0, 98) -> train
+SPLIT_VALID_LT = 99   # bucket 98 -> valid, bucket 99 -> test
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      {md5_long_sql(f"array_to_string({SQL_TOKENS.format(col='text')}, ' ')")}
+                        % {SPLIT_BUCKETS} AS bucket
+               FROM documents)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN bucket < {SPLIT_VALID_LT} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM t
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {SPLIT_TRAIN_LT}/1/1 train/valid/test assignment by
+    content-fingerprint bucket. Hashing the normalized token stream
+    (not the doc_id) makes the split leakage-safe by construction:
+    every duplicate of a document — exact or case/whitespace variant —
+    gets the same bucket, so no near-copy of a test document can sit in
+    train. Zero shuffles, stable across re-ingests (content moves the
+    assignment only if the content itself changed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (md5_long(F.array_join(tokens("text"), " ")) % SPLIT_BUCKETS).alias(
+        "bucket"
+    )
+    d = docs.select("doc_id", bucket)
+    return d.select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < SPLIT_TRAIN_LT, "train")
+        .when(F.col("bucket") < SPLIT_VALID_LT, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

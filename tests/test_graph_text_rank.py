@@ -149,6 +149,15 @@ def test_bpe_pair_merge_weights_by_word_frequency(spark, tmp_path):
     assert [(r["pair"], r["cnt"]) for r in df.collect()] == [("aa", 4), ("ab", 1)]
 
 
+def test_train_test_split_coassigns_duplicates(spark, micro_sf):
+    df = get_queries()["train_test_split"](spark, micro_sf)
+    got = {r["doc_id"]: (r["bucket"], r["split"]) for r in df.collect()}
+    assert set(got) == set(range(8))  # every doc assigned exactly once
+    # docs 3/4 differ only in case -> same normalized content -> same split
+    assert got[3] == got[4]
+    assert all(s in {"train", "valid", "test"} for _, s in got.values())
+
+
 def test_dedup_incremental_finds_cross_half_twin(spark, micro_sf):
     df = get_queries()["dedup_incremental"](spark, micro_sf)
     got = rows(df, "new_doc", "old_doc", "jaccard")
