@@ -597,6 +597,70 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+SPAN_N = 5  # token n-gram length for corpus-wide duplicate-span detection
+
+
+@register(
+    "dup_span_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    g AS (SELECT doc_id, {sql_shingles('toks', SPAN_N)} AS spans
+          FROM t WHERE len(toks) >= {SPAN_N}),
+    ex AS (SELECT doc_id, {md5_long_sql('s')} AS h
+           FROM (SELECT doc_id, unnest(spans) AS s FROM g)),
+    cc AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY h)
+    SELECT ex.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN cc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(CAST(sum(CASE WHEN cc.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM ex JOIN cc USING (h)
+    GROUP BY ex.doc_id
+    """,
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span fraction per document: how much of a
+    document consists of {SPAN_N}-token spans that occur 2+ times across
+    the WHOLE corpus — the signal behind exact-substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"), where high-dup_frac documents are boilerplate/templates.
+    Complements repetition_stats, which only sees repeats inside one
+    document.
+
+    Plan shape: spans hash to 60-bit keys BEFORE any shuffle, so the
+    inverted-index aggregation and the join back both move fixed-width
+    integers, never span text. Three shuffles (gram count, gram join,
+    per-doc rollup), each partial-aggregated; at 100 TB this is the
+    standard suffix-style dedup layout where cost tracks |span
+    occurrences|, with AQE deskewing stopword-heavy spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= SPAN_N
+    )
+    ex = g.select(
+        "doc_id", F.explode(shingles(F.col("toks"), SPAN_N)).alias("s")
+    ).select("doc_id", md5_long(F.col("s")).alias("h"))
+    cc = ex.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.when(F.col("c") >= 2, 1).otherwise(0)
+    return (
+        ex.join(cc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup",
+            F.round(F.col("n_dup").cast("double") / F.col("n_spans"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 BPE_TOP_K = 20
 
 

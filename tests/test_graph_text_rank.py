@@ -149,6 +149,19 @@ def test_bpe_pair_merge_weights_by_word_frequency(spark, tmp_path):
     assert [(r["pair"], r["cnt"]) for r in df.collect()] == [("aa", 4), ("ab", 1)]
 
 
+def test_dup_span_stats_flags_cross_doc_copies(spark, micro_sf):
+    df = get_queries()["dup_span_stats"](spark, micro_sf)
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup"], r["dup_frac"]) for r in df.collect()}
+    # docs 3/4 are normalized twins: their single 5-gram span occurs twice
+    # corpus-wide -> fully duplicated
+    assert got[3] == (1, 1, 1.0)
+    assert got[4] == (1, 1, 1.0)
+    # every other >=5-token doc shares no 5-gram with anything
+    for d, (n, ndup, frac) in got.items():
+        if d not in (3, 4):
+            assert ndup == 0 and frac == 0.0
+
+
 def test_train_test_split_coassigns_duplicates(spark, micro_sf):
     df = get_queries()["train_test_split"](spark, micro_sf)
     got = {r["doc_id"]: (r["bucket"], r["split"]) for r in df.collect()}
