@@ -429,6 +429,28 @@ def scrub_expr(col: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in an already-sorted array —
+    i.e. the count of the most frequent element. One JVM-side aggregate
+    pass with a (prev, run, best) accumulator; no explode, no shuffle."""
+    zero = F.lit(0).cast("bigint")
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 @register(
     "repetition_stats",
     oracle=f"""
@@ -455,12 +477,12 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     machine-generated / boilerplate text signals in the Gopher rules
     (Rae et al. 2021, table A1 family).
 
-    Plan shape: the trigram side is pure per-row array math (zero
-    shuffle); the top-bigram mode needs a (doc_id, gram) count →
-    per-doc max, i.e. two partial-aggregated shuffles both keyed on
-    doc_id — the second reuses the first's partitioning. At 100 TB the
-    exploded bigram stream is ~|tokens| rows but collapses map-side
-    before either shuffle; nothing is ever corpus-global."""
+    Plan shape: ZERO shuffles. Both signals are per-row array math —
+    the top-bigram count is the longest equal run in the sorted bigram
+    array (one codegen'd aggregate over ~|tokens| elements per row), so
+    the query scales with input splits alone; no per-(doc,gram) explode
+    ever reaches a shuffle. The oracle computes the same mode via
+    grouped SQL, keeping the two formulations independent."""
     docs = load_table(spark, sf_dir, "documents")
     g = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= 3
@@ -471,25 +493,18 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles(F.col("toks"), 2).alias("sgl2"),
         shingles(F.col("toks"), 3).alias("sgl3"),
     )
-    per_row = g.select(
+    return g.select(
         "doc_id",
         "n_tokens",
-        F.size("sgl3").alias("_n3"),
-        F.size(F.array_distinct("sgl3")).alias("_d3"),
-    )
-    mode = (
-        g.select("doc_id", F.explode("sgl2").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("_mx"), F.sum("c").alias("_tot"))
-    )
-    return per_row.join(mode, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        F.round(F.col("_mx").cast("double") / F.col("_tot"), 6).alias("top_bigram_frac"),
         F.round(
-            (F.col("_n3") - F.col("_d3")).cast("double") / F.col("_n3"), 6
+            _max_run_length(F.array_sort("sgl2")).cast("double")
+            / F.size("sgl2"),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            (F.size("sgl3") - F.size(F.array_distinct("sgl3"))).cast("double")
+            / F.size("sgl3"),
+            6,
         ).alias("dup_trigram_frac"),
     )
 
