@@ -128,9 +128,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-@register(
-    "quality_score",
-    oracle=f"""
+# The quality-score SQL is a module constant so the batch query, the
+# streaming gate (streaming/events.py stream_quality_gate), and their
+# oracles all share one definition.
+QUALITY_SQL = f"""
     {_SQL_TOKS_CTE},
     q AS (SELECT doc_id,
                  CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -144,13 +145,13 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.4 * distinct_ratio
                  + 0.2 * (1.0 - stop_ratio), 6) AS quality
     FROM q
-    """,
-)
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: length saturation + lexical diversity +
-    stopword-density penalty (the C4/Gopher-rules family of filters reduced
-    to deterministic arithmetic). Per-row only — no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+"""
+
+
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, distinct_ratio, quality) for any
+    (doc_id, text) frame — batch or streaming: every expression is
+    per-row and stateless, so the SAME plan fragment serves both."""
     toks = tokens("text")
     d = docs.select(
         "doc_id",
@@ -170,6 +171,14 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("quality"),
     )
+
+
+@register("quality_score", oracle=QUALITY_SQL)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + lexical diversity +
+    stopword-density penalty (the C4/Gopher-rules family of filters reduced
+    to deterministic arithmetic). Per-row only — no shuffle."""
+    return quality_frame(load_table(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

@@ -23,7 +23,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduce_spark.functions.exact import dsum
-from mapreduce_spark.operators.textops import scrub_expr, sql_scrub
+from mapreduce_spark.operators.curation import QUALITY_THRESHOLD
+from mapreduce_spark.operators.textops import (
+    QUALITY_SQL,
+    quality_frame,
+    scrub_expr,
+    sql_scrub,
+)
 from mapreduce_spark.registry import register
 from mapreduce_spark.sources.tables import load_table
 
@@ -335,3 +341,29 @@ def stream_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = docs.select("doc_id", scrub_expr(F.col("text")).alias("clean_text"))
     return _drain(out, "stream_text_clean", spark, "append")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "stream_quality_gate",
+    oracle=f"""
+    SELECT * FROM ({QUALITY_SQL}) WHERE quality >= {QUALITY_THRESHOLD}
+    """,
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality filtering: the documents table consumed as a file
+    stream, scored and gated with the IDENTICAL plan fragment the batch
+    quality_score query uses (textops.quality_frame) and the same
+    threshold as the batch curation pipeline — so the corpus admitted by
+    the live ingest path provably equals what a batch re-run would admit.
+    Stateless per-row transform: no watermark, no state store; on a
+    cluster this is the kafka -> parquet continuous curation gate."""
+    load_table(spark, sf_dir, "documents")  # tunes session conf
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+    )
+    out = quality_frame(docs).filter(F.col("quality") >= QUALITY_THRESHOLD)
+    return _drain(out, "stream_quality_gate", spark, "append")

@@ -188,3 +188,17 @@ def test_stream_parquet_sink_checkpoint_exactly_once(spark, sf_dir, tmp_path):
 
     drain_once()  # caught-up restart: checkpoint says nothing is new
     assert spark.read.parquet(out).count() == n_expected
+
+
+def test_stream_quality_gate_equals_batch_filter(spark, sf_dir, qs):
+    from mapreduce_spark.operators.curation import QUALITY_THRESHOLD
+
+    streamed = qs["stream_quality_gate"](spark, sf_dir)
+    batch = qs["quality_score"](spark, sf_dir).filter(
+        F.col("quality") >= QUALITY_THRESHOLD
+    )
+    cols = ["doc_id", "n_tokens", "stop_ratio", "distinct_ratio", "quality"]
+    assert _rows(streamed.select(cols), cols) == _rows(batch.select(cols), cols)
+    # the gate admits a strict, non-empty subset (the threshold is the median)
+    n_all = qs["quality_score"](spark, sf_dir).count()
+    assert 0 < streamed.count() < n_all
