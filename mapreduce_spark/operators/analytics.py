@@ -1020,3 +1020,63 @@ def time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grain", "bucket")
     )
+
+
+# --------------------------------------------------------------------------
+Z_THRESHOLD = 2.5  # |z| at or above this flags an outlier
+
+
+@register(
+    "zscore_outliers",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type),
+    z AS (
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - m.s1 / m.n)
+                     / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)), 6) AS z
+        FROM events e JOIN m USING (event_type)
+        WHERE m.n > 1)
+    SELECT event_id, event_type, value, z
+    FROM z WHERE abs(z) >= {Z_THRESHOLD}
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flagging: events whose value sits
+    {Z_THRESHOLD}+ sample standard deviations from their type's mean —
+    the basic metric-anomaly sweep over an event stream.
+
+    Same distributed-statistics discipline as regression_slope: the
+    moments (n, sum, sum-of-squares) accumulate as EXACT decimals —
+    associative, merge map-side, order-independent — and mean/std are a
+    few scalar IEEE ops applied identically on both engines. The tiny
+    per-type moment table broadcasts back onto the scan, so the whole
+    query is one partial-aggregated shuffle plus a map-side join; z is
+    rounded before the threshold compare so the flag can't flip on a
+    last-ulp divergence."""
+    ev = load_table(spark, sf_dir, "events")
+    v6 = F.col("value").cast("decimal(18,6)")
+    m = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(v6).cast("double").alias("s1"),
+            F.sum(v6 * v6).cast("double").alias("s2"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    z = F.round((F.col("value") - mean) / std, 6)
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
+    )

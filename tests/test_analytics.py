@@ -178,3 +178,24 @@ def test_tpch_q3_limit_deterministic(spark):
     assert a == b and len(a) <= 10
     revs = [r[1] for r in a]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_zscore_outliers_are_extreme_per_type(spark):
+    import statistics
+
+    from mapreduce_spark.operators.analytics import Z_THRESHOLD, zscore_outliers
+
+    rows = zscore_outliers(spark, SF).collect()
+    assert rows, "sf0.001 should surface at least one outlier"
+    assert all(abs(r["z"]) >= Z_THRESHOLD for r in rows)
+    # every flagged event's value must be extreme within its own type,
+    # per an independent raw recompute of the per-type moments
+    ev = load_table(spark, SF, "events").select("event_type", "value").collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for r in rows:
+        vals = by_type[r["event_type"]]
+        mu = statistics.fmean(vals)
+        sd = statistics.stdev(vals)
+        assert abs((r["value"] - mu) / sd) > Z_THRESHOLD - 0.01
