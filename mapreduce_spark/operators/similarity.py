@@ -539,46 +539,96 @@ _SQL_ANN_TOPK_CTE = f"""
         WHERE rank <= {TOP_K})"""
 
 
+# IVF top-k as a CTE chain ending in topk_i (mirrors similarity_ann_ivf).
+_SQL_IVF_TOPK_CTE = f"""
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+             WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({sql_cosine_pair('v.embedding', 'c.ce')}, 6) DESC,
+                                c.cid) AS rn
+            FROM embeddings v, cent c)
+        WHERE rn = 1),
+    probe AS (
+        SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({sql_cosine_pair('q.embedding', 'c.ce')}, 6) DESC,
+                                c.cid) AS rn
+            FROM embeddings q, cent c WHERE q.vec_id < {N_QUERIES})
+        WHERE rn <= {IVF_NPROBE}),
+    cand_i AS (
+        SELECT DISTINCT p.query_id, a.vec_id
+        FROM probe p JOIN assign a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id),
+    scored_i AS (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6) AS cosine
+        FROM cand_i c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id),
+    topk_i AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored_i)
+        WHERE rank <= {TOP_K})"""
+
+
+def _sql_tier_recall(tier: str, topk: str) -> str:
+    return f"""
+    SELECT '{tier}' AS tier, base.query_id, base.n_exact,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / base.n_exact, 6)
+             AS recall
+    FROM base LEFT JOIN
+         (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM topk_e e JOIN {topk} a
+            ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+          GROUP BY e.query_id) h
+      ON h.query_id = base.query_id"""
+
+
 @register(
     "ann_recall_report",
     oracle=f"""
     WITH {_SQL_EXACT_TOPK_CTE},
     {_SQL_BUCKETS_CTE},
     {_SQL_ANN_TOPK_CTE},
+    {_SQL_IVF_TOPK_CTE},
     base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
-             FROM topk_e GROUP BY query_id),
-    hits AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
-             FROM topk_e e JOIN topk_a a
-               ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-             GROUP BY e.query_id)
-    SELECT base.query_id, base.n_exact,
-           CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
-           round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / base.n_exact, 6)
-             AS recall
-    FROM base LEFT JOIN hits ON hits.query_id = base.query_id
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('lsh', 'topk_a')}
+    UNION ALL
+    {_sql_tier_recall('ivf', 'topk_i')}
     """,
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{TOP_K} of the LSH tier against the exact baseline, per
-    query — the measurement that decides whether an ANN index is usable
-    (tune LSH_TABLES/LSH_PLANES until this clears the target, then ship).
-    An evaluation harness as a first-class, oracle-checked operator.
+    """Recall@{TOP_K} of BOTH approximate tiers (hyperplane LSH and IVF)
+    against the exact baseline, per query — the measurement that decides
+    whether an ANN index is usable (tune LSH_TABLES/LSH_PLANES or
+    IVF_NPROBE until the tier clears the target, then ship). An
+    evaluation harness as a first-class, oracle-checked operator.
 
-    Plan shape: both ranked top-k sets are |Q| x {TOP_K} rows, so the
-    intersection join and rollup are driver-free trivia on top of the
-    two underlying plans; the expensive inputs (one broadcast scoring
-    pass, one bucket join) are exactly the plans being graded."""
+    Plan shape: each ranked top-k set is |Q| x {TOP_K} rows, so the
+    intersection joins and rollups are driver-free trivia on top of the
+    underlying plans; the expensive inputs (one broadcast scoring pass,
+    one bucket join, one centroid probe) are exactly the plans being
+    graded."""
     exact = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
-    ann = similarity_ann_lsh(spark, sf_dir).select("query_id", "vec_id")
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    hits = (
-        exact.join(ann, ["query_id", "vec_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return (
-        base.join(hits, "query_id", "left")
-        .select(
+
+    def tier_report(tier: str, ann: DataFrame) -> DataFrame:
+        hits = (
+            exact.join(ann.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return base.join(hits, "query_id", "left").select(
+            F.lit(tier).alias("tier"),
             "query_id",
             "n_exact",
             F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
@@ -588,4 +638,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("recall"),
         )
+
+    return tier_report("lsh", similarity_ann_lsh(spark, sf_dir)).unionByName(
+        tier_report("ivf", similarity_ann_ivf(spark, sf_dir))
     )

@@ -227,21 +227,25 @@ def test_knn_label_votes_match_topk_neighbors(spark, sf_dir, qs):
 def test_ann_recall_report_bounds_and_consistency(spark, sf_dir, qs):
     from mapreduce_spark.operators.similarity import N_QUERIES, TOP_K
 
-    rep = {r["query_id"]: r for r in qs["ann_recall_report"](spark, sf_dir).collect()}
-    assert set(rep) == set(range(N_QUERIES))
+    rep = {
+        (r["tier"], r["query_id"]): r
+        for r in qs["ann_recall_report"](spark, sf_dir).collect()
+    }
+    assert set(rep) == {
+        (t, q) for t in ("lsh", "ivf") for q in range(N_QUERIES)
+    }
     for r in rep.values():
         assert r["n_exact"] == TOP_K
         assert 0 <= r["n_hits"] <= r["n_exact"]
         assert r["recall"] == round(r["n_hits"] / r["n_exact"], 6)
-    # recall must agree with an independent set intersection of the two tiers
-    exact = qs["similarity_topk"](spark, sf_dir).collect()
-    ann = qs["similarity_ann_lsh"](spark, sf_dir).collect()
+    # recall must agree with an independent set intersection per tier
     exact_sets = {}
-    for r in exact:
+    for r in qs["similarity_topk"](spark, sf_dir).collect():
         exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
-    ann_sets = {}
-    for r in ann:
-        ann_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
-    for q in exact_sets:
-        want = len(exact_sets[q] & ann_sets.get(q, set()))
-        assert rep[q]["n_hits"] == want
+    for tier, qname in (("lsh", "similarity_ann_lsh"), ("ivf", "similarity_ann_ivf")):
+        ann_sets = {}
+        for r in qs[qname](spark, sf_dir).collect():
+            ann_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for q in exact_sets:
+            want = len(exact_sets[q] & ann_sets.get(q, set()))
+            assert rep[(tier, q)]["n_hits"] == want
