@@ -84,9 +84,12 @@ def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each iteration: contributions = ranks ⋈ edges on src (rank mass split
     proportionally to edge weight, integer div), then one dst-keyed
     partial-aggregated shuffle; nodes with no inbound edges keep the
-    teleport term via the left join. The edge table (with out-weights) is
-    built once and reused across iterations — at scale it is the only
-    large intermediate, and it never re-derives."""
+    teleport term via the left join. The unrolled plan re-derives the
+    edge subtree per iteration — a fixed 3x constant, not a scaling
+    hazard; for many-iteration runs at scale, checkpoint the aggregated
+    edge table first (it is |node|^2-bounded — tiny — and the README's
+    iterative-job note covers durable checkpointing), after which each
+    iteration touches only |nodes|-sized state."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(

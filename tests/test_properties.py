@@ -178,3 +178,18 @@ def test_minhash_permutation_matches_python_model(spark, hashes):
     for i in range(N_PERMS):
         a, b = _perm_coeffs(i)
         assert got[f"sig{i}"] == min((a * h + b) % MINHASH_P for h in hashes)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=2), min_size=1, max_size=25))
+def test_max_run_length_matches_counter_model(spark, items):
+    """_max_run_length(sorted arr) == count of the most frequent element."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.operators.textops import _max_run_length
+
+    df = spark.createDataFrame([(items,)], "xs: array<string>")
+    got = df.select(
+        _max_run_length(F.array_sort("xs")).alias("m")
+    ).collect()[0]["m"]
+    assert got == max(Counter(items).values())
