@@ -621,6 +621,88 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+def _run_entropy_micro(sorted_arr: Column) -> Column:
+    """Σ round(c·ln(c)·1e6) over the run lengths c of a SORTED array, as
+    an exact BIGINT — the order-independent core of Shannon entropy over
+    element frequencies. Each run's term is rounded to micro-units before
+    accumulation, so Spark's sequential array fold and the oracle's
+    grouped SQL sum produce the same integer despite summing in
+    different orders."""
+    zero = F.lit(0).cast("bigint")
+
+    def term(run: Column) -> Column:
+        return F.round(run.cast("double") * F.log(run.cast("double")) * 1e6).cast(
+            "bigint"
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("tot")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(x == acc["prev"], acc["tot"]).otherwise(
+                acc["tot"] + F.when(acc["run"] > 0, term(acc["run"])).otherwise(zero)
+            ).alias("tot"),
+        ),
+        lambda acc: acc["tot"] + F.when(acc["run"] > 0, term(acc["run"])).otherwise(zero),
+    )
+
+
+@register(
+    "token_entropy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+           GROUP BY doc_id, tok),
+    s AS (SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+                   AS clnc_micro
+          FROM tc GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(ln(n_tokens) - CAST(clnc_micro AS DOUBLE) / (n_tokens * 1e6), 6)
+             AS entropy
+    FROM s
+    """,
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution,
+    H = ln(n) − (1/n)·Σ c·ln(c) — low entropy means repetitive/templated
+    text, high means diverse vocabulary; a standard quality-filter axis
+    alongside repetition_stats.
+
+    Plan shape: ZERO shuffles — the per-token counts come from run
+    lengths of the sorted token array (one codegen'd fold per row), so
+    no (doc, token) pairs ever reach an exchange. Each run's c·ln(c)
+    term is rounded to integer micro-units before summation, making the
+    result independent of summation order and therefore identical
+    between Spark's sequential fold and the oracle's grouped sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks").cast("bigint")
+    s = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        _run_entropy_micro(F.array_sort("toks")).alias("_cm"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("n_tokens").cast("double"))
+            - F.col("_cm").cast("double") / (F.col("n_tokens") * 1e6),
+            6,
+        ).alias("entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
 SPAN_N = 5  # token n-gram length for corpus-wide duplicate-span detection
 
 

@@ -177,3 +177,20 @@ def test_dedup_incremental_finds_cross_half_twin(spark, micro_sf):
     assert (3, 4, 1.0) in got  # odd batch doc 3 matches indexed even doc 4
     for new_doc, old_doc, _ in got:
         assert new_doc % 2 == 1 and old_doc % 2 == 0
+
+
+def test_token_entropy_hand_computed(spark, tmp_path):
+    import math
+
+    spark.createDataFrame(
+        [(1, "en", "a a a a"), (2, "en", "a b c d"), (3, "en", "a a b b")],
+        "doc_id long, lang string, text string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    df = get_queries()["token_entropy"](spark, str(tmp_path))
+    got = {r["doc_id"]: (r["n_tokens"], r["entropy"]) for r in df.collect()}
+    assert got[1] == (4, round(math.log(4) - round(4 * math.log(4) * 1e6) / 4e6, 6))
+    assert got[1][1] == 0.0  # single token -> zero entropy
+    assert got[2] == (4, round(math.log(4), 6))  # uniform -> ln(4)
+    mid = math.log(4) - round(2 * math.log(2) * 1e6) * 2 / 4e6
+    assert got[3] == (4, round(mid, 6))
+    assert got[1][1] < got[3][1] < got[2][1]
