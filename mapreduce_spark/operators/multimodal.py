@@ -3,9 +3,10 @@
 The pattern a 100 TB multimodal training pipeline needs: media travels as
 an opaque ``binary`` column with typed metadata alongside; decode /
 feature-extract / frame-sample run as Arrow-batched ``mapInPandas`` stages
-(never row-at-a-time Python UDFs). The container has no image/audio codec
-libraries, so the DECODE step is a clearly-marked stub gated behind an
-import-try (real codecs drop in without touching the plumbing), while the
+(never row-at-a-time Python UDFs). The container has no codec libraries,
+so full pixel decode is out of reach, but HEADER decode is real: payloads
+for the decode stage are spec-valid PNG/JPEG containers and the parser
+reads IHDR/SOFn per the public format specs (functions/mediahdr.py). The
 Spark-side plumbing — binary columns through Arrow, batch iterators,
 multi-row-per-input output shapes, schema declarations — is real and
 oracle-verified end to end.
@@ -191,62 +192,78 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-try:  # real decoder would slot in here; the container ships no codecs
-    from PIL import Image  # noqa: F401
+def image_fixture_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image containers for the decode stage: per 'image' doc a valid
+    PNG (even doc_id) or JPEG (odd doc_id) built by functions/mediahdr.py,
+    dims = (1 + doc_id % 31, 1 + doc_id // 31 % 17). This is the
+    storage-adapter stage a real pipeline replaces with
+    ``spark.read.format("binaryFile")`` — synthesized here because the
+    testdata ships no media, but the BYTES are spec-valid containers, not
+    placeholders."""
+    from mapreduce_spark.functions.mediahdr import build_jpeg, build_png
 
-    _HAS_DECODER = True
-except ImportError:
-    _HAS_DECODER = False
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 1 + int(doc_id) % 31
+                h = 1 + (int(doc_id) // 31) % 17
+                payloads.append(
+                    build_png(w, h) if doc_id % 2 == 0 else build_jpeg(w, h)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(build, schema="doc_id long, payload binary")
 
 
 @register(
     "multimodal_decode",
     oracle="""
     SELECT doc_id,
-           'stub:no-decoder' AS status,
-           CAST(NULL AS INTEGER) AS width,
-           CAST(NULL AS INTEGER) AS height
+           'ok' AS status,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST(1 + doc_id % 31 AS INTEGER) AS width,
+           CAST(1 + (doc_id // 31) % 17 AS INTEGER) AS height
     FROM documents WHERE doc_id % 3 = 0
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode with the codec step stubbed: the batch plumbing, typed
-    output schema, and partition behavior are real; the decode itself
-    returns status='stub:no-decoder' with NULL dimensions because PIL is
-    absent here. With PIL installed the same query decodes for real
-    (status='ok') — the oracle below pins the stub path this container
-    exercises."""
-    m = media_table(spark, sf_dir).filter(F.col("media_type") == "image").select(
-        "doc_id", "payload"
-    )
+    """Image header decode — REAL bytes, real parse, no codec library:
+    fixture payloads are spec-valid PNG/JPEG containers
+    (image_fixture_table), and the decode stage parses the PNG IHDR
+    (CRC-verified) / JPEG SOFn marker walk per the public specs
+    (functions/mediahdr.py) inside the Arrow-batched mapInPandas stage.
+    The oracle predicts (fmt, width, height) from the fixture formula, so
+    a malformed builder OR parser fails the hash compare; corrupt blobs
+    surface as status='error:*' columns rather than task failures."""
+    from mapreduce_spark.functions.mediahdr import parse_dims
+
+    m = image_fixture_table(spark, sf_dir)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
         for pdf in batches:
-            status, width, height = [], [], []
+            status, fmts, width, height = [], [], [], []
             for payload in pdf["payload"]:
-                if _HAS_DECODER:
-                    try:
-                        img = Image.open(io.BytesIO(payload))
-                        status.append("ok")
-                        width.append(img.width)
-                        height.append(img.height)
-                    except Exception:
-                        status.append("error:undecodable")
-                        width.append(None)
-                        height.append(None)
-                else:
-                    status.append("stub:no-decoder")
-                    width.append(None)
-                    height.append(None)
+                s, f_, w, h = parse_dims(bytes(payload))
+                status.append(s)
+                fmts.append(f_)
+                width.append(w)
+                height.append(h)
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "status": status,
+                {"doc_id": pdf["doc_id"], "status": status, "fmt": fmts,
                  "width": pd.Series(width, dtype="Int32"),
                  "height": pd.Series(height, dtype="Int32")}
             )
 
-    return m.mapInPandas(decode, schema="doc_id long, status string, width int, height int")
+    return m.mapInPandas(
+        decode, schema="doc_id long, status string, fmt string, width int, height int"
+    )
 
 
 # ---------------------------------------------------------------------------

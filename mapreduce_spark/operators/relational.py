@@ -353,17 +353,32 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_cust.subtract(big_spenders)
 
 
-# Q16 controlled hash partitioning (rows-only: layout, not SQL-expressible)
-@register("partition_by_hash", oracle=None)
+# Q16 controlled hash partitioning
+@register(
+    "partition_by_hash",
+    oracle="""
+    SELECT CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)
+                AS BIGINT) % 16 AS bucket,
+           count(*) AS cnt
+    FROM lineitem GROUP BY bucket
+    """,
+)
 def partition_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit repartition(16, key) — the reference's md5-mod-R shuffle
-    write (/root/reference/mapreduce/worker/__main__.py:106-117) as a
-    declarative hash partitioning. Emits per-partition row counts."""
+    """The reference's md5-mod-R shuffle write
+    (/root/reference/mapreduce/worker/__main__.py:106-117) as declarative
+    hash partitioning: bucket = md5_long(key) % 16 (functions/hashing.py —
+    deterministic and reproducible bit-for-bit in DuckDB, unlike Spark's
+    internal Murmur3 layout), physically repartitioned by that bucket, then
+    per-bucket row counts. Keys land in exactly one bucket; the histogram
+    is engine-independent, so Q16 gets a full value oracle instead of the
+    rows-only check it had in rounds 1-2."""
+    from mapreduce_spark.functions.hashing import md5_long
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     return (
-        li.repartition(16, "l_orderkey")
-        .withColumn("partition_id", F.spark_partition_id())
-        .groupBy("partition_id")
+        li.withColumn("bucket", md5_long(F.col("l_orderkey").cast("string")) % 16)
+        .repartition(16, "bucket")
+        .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
 

@@ -142,7 +142,8 @@ def test_bag_set_ops_multiplicity(spark):
 
 
 def test_approx_distinct_error_bound(spark):
-    """HLL(rsd=1%) stays within 5% of the exact distinct count."""
+    """The in-plan 5%-relative-error check (HLL rsd=1% vs exact) holds,
+    and independently the raw HLL estimate stays within 5% of exact."""
     li = load_table(spark, SF, "lineitem")
     exact = {
         r.l_returnflag: r.n
@@ -150,23 +151,43 @@ def test_approx_distinct_error_bound(spark):
         .agg(F.countDistinct("l_orderkey").alias("n"))
         .collect()
     }
-    for r in agg_approx_distinct(spark, SF).collect():
-        assert abs(r.approx_orders - exact[r.l_returnflag]) <= 0.05 * exact[r.l_returnflag]
+    approx = {
+        r.l_returnflag: r.a
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) <= 0.05 * n
+    rows = agg_approx_distinct(spark, SF).collect()
+    assert rows and all(r.approx_within_5pct for r in rows)
 
 
 def test_approx_quantile_rank_bound(spark):
-    """Sketch quantiles land within 1% rank tolerance of the exact rank."""
+    """The in-plan ±1%-rank band check holds, and independently the raw
+    GK estimates land within the 1% rank tolerance of the exact rank."""
     li = load_table(spark, SF, "lineitem")
     vals = {}
     for r in li.select("l_returnflag", "l_quantity").collect():
         vals.setdefault(r.l_returnflag, []).append(r.l_quantity)
-    for r in quantile_approx(spark, SF).collect():
-        xs = sorted(vals[r.l_returnflag])
+    approx = {
+        r.l_returnflag: (r.m, r.p)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("m"),
+            F.percentile_approx("l_quantity", 0.9, 10000).alias("p"),
+        )
+        .collect()
+    }
+    for flag, xs in vals.items():
+        xs = sorted(xs)
         n = len(xs)
-        for q, got in ((0.5, r.median_qty), (0.9, r.p90_qty)):
+        for q, got in ((0.5, approx[flag][0]), (0.9, approx[flag][1])):
             lo = xs[max(0, math.floor((q - 0.01) * n) - 1)]
             hi = xs[min(n - 1, math.ceil((q + 0.01) * n))]
             assert lo <= got <= hi
+    rows = quantile_approx(spark, SF).collect()
+    assert rows and all(r.median_in_band and r.p90_in_band for r in rows)
 
 
 def test_tpch_q3_limit_deterministic(spark):

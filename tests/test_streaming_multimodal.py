@@ -134,18 +134,34 @@ def test_multimodal_frames_stride_and_hash(spark, sf_dir, qs):
         assert len(r["frame_md5"]) == 32
 
 
-def test_multimodal_decode_is_explicit_stub(spark, sf_dir, qs):
-    # decode must be a *clearly marked* stub in this codec-free container:
-    # the mapInPandas plumbing runs, rows come back, status says stubbed,
-    # dimensions are NULL. With PIL installed the same plan decodes for real.
-    from mapreduce_spark.operators import multimodal as M
+def test_mediahdr_roundtrip_and_corruption():
+    # the pure-Python header codec: builders emit spec-valid containers,
+    # the parser reads dims back, and corruption is detected (PNG via
+    # IHDR CRC, JPEG via marker structure) rather than half-parsed.
+    from mapreduce_spark.functions.mediahdr import build_jpeg, build_png, parse_dims
 
-    rows = qs["multimodal_decode"](spark, sf_dir).limit(20).collect()
+    for w, h in [(1, 1), (31, 17), (5, 9), (64, 2)]:
+        assert parse_dims(build_png(w, h)) == ("ok", "png", w, h)
+        assert parse_dims(build_jpeg(w, h)) == ("ok", "jpeg", w, h)
+    bad_png = bytearray(build_png(8, 8))
+    bad_png[17] ^= 0x01  # flip one bit inside IHDR width
+    assert parse_dims(bytes(bad_png))[0] == "error:png-bad-crc"
+    assert parse_dims(build_png(4, 4)[:20])[0] == "error:png-truncated"
+    assert parse_dims(b"\xff\xd8\xff\xd9")[0] == "error:jpeg-no-sof"
+    assert parse_dims(b"not an image")[0] == "error:unknown-format"
+
+
+def test_multimodal_decode_parses_real_headers(spark, sf_dir, qs):
+    # decode is REAL now: fixture payloads are valid PNG/JPEG containers
+    # and dims come out of the byte-level header parse, matching the
+    # fixture formula for every row.
+    rows = qs["multimodal_decode"](spark, sf_dir).collect()
     assert rows
-    if not M._HAS_DECODER:
-        for r in rows:
-            assert r["status"] == "stub:no-decoder"
-            assert r["width"] is None and r["height"] is None
+    for r in rows:
+        assert r["status"] == "ok"
+        assert r["fmt"] == ("png" if r["doc_id"] % 2 == 0 else "jpeg")
+        assert r["width"] == 1 + r["doc_id"] % 31
+        assert r["height"] == 1 + (r["doc_id"] // 31) % 17
 
 
 def test_multimodal_resize_center_crop(spark, sf_dir, qs):
