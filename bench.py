@@ -38,6 +38,12 @@ HEADLINE = [
     "repetition_stats",
     "perplexity_bigram",
     "pagerank_transitions",
+    # 100 TB-path curation composites: the flagship training-data
+    # pipelines, benched so a regression in their plans is caught
+    "curation_pipeline",
+    "train_test_split",
+    "global_shuffle",
+    "dedup_incremental",
 ]
 
 

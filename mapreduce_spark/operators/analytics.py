@@ -15,9 +15,11 @@ Scale rules:
 - top-k orderings carry a full deterministic tie-break so LIMIT is stable
   under any partitioning;
 - the *_approx queries are the designed 100 TB path for distinct-count and
-  quantile (fixed-size HLL / KLL-style sketches that merge associatively,
-  vs the exact forms' per-group state); estimates are engine-specific so
-  they register rows-only, with error-bound tests in tests/.
+  quantile (fixed-size HLL / GK sketches that merge associatively, vs the
+  exact forms' per-group state); the raw estimates are engine-specific, so
+  each emits its error-bound check computed in-plan against the exact
+  value — which the DuckDB oracle verifies exactly — with the estimates
+  additionally bound-tested in tests/test_analytics.py.
 """
 
 from __future__ import annotations
@@ -1083,14 +1085,15 @@ Z_THRESHOLD = 2.5  # |z| at or above this flags an outlier
                round((e.value - m.s1 / m.n)
                      / sqrt((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1)), 6) AS z
         FROM events e JOIN m USING (event_type)
-        WHERE m.n > 1)
+        WHERE m.n > 1
+          AND (m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1) > 0)
     SELECT event_id, event_type, value, z
     FROM z WHERE abs(z) >= {Z_THRESHOLD}
     """,
 )
 def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outlier flagging: events whose value sits
-    {Z_THRESHOLD}+ sample standard deviations from their type's mean —
+    2.5+ sample standard deviations from their type's mean —
     the basic metric-anomaly sweep over an event stream.
 
     Same distributed-statistics discipline as regression_slope: the
@@ -1100,9 +1103,15 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type moment table broadcasts back onto the scan, so the whole
     query is one partial-aggregated shuffle plus a map-side join; z is
     rounded before the threshold compare so the flag can't flip on a
-    last-ulp divergence."""
+    last-ulp divergence. Zero-variance groups are filtered explicitly on
+    BOTH engines (not left to 0/0 semantics, which differ across DuckDB
+    versions: <=1.0 yields NULL, >=1.1 defaults to IEEE NaN that sorts
+    above every value)."""
     ev = load_table(spark, sf_dir, "events")
     v6 = F.col("value").cast("decimal(18,6)")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
     m = (
         ev.groupBy("event_type")
         .agg(
@@ -1110,7 +1119,7 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(v6).cast("double").alias("s1"),
             F.sum(v6 * v6).cast("double").alias("s2"),
         )
-        .filter(F.col("n") > 1)
+        .filter((F.col("n") > 1) & (var > 0))
     )
     mean = F.col("s1") / F.col("n")
     std = F.sqrt(

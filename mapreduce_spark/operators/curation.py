@@ -365,13 +365,15 @@ SPLIT_VALID_LT = 99   # bucket 98 -> valid, bucket 99 -> test
     """,
 )
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic {SPLIT_TRAIN_LT}/1/1 train/valid/test assignment by
+    """Deterministic 8/1/1 train/valid/test assignment by
     content-fingerprint bucket. Hashing the normalized token stream
-    (not the doc_id) makes the split leakage-safe by construction:
-    every duplicate of a document — exact or case/whitespace variant —
-    gets the same bucket, so no near-copy of a test document can sit in
-    train. Zero shuffles, stable across re-ingests (content moves the
-    assignment only if the content itself changed)."""
+    (not the doc_id) co-assigns every EXACT normalized duplicate of a
+    document — case/whitespace variants included — to one split, so no
+    such duplicate of a test document can sit in train. Genuine
+    near-duplicates (one token changed) hash to arbitrary buckets and
+    can still straddle splits: run the MinHash dedup pass first if
+    near-dup leakage matters. Zero shuffles, stable across re-ingests
+    (content moves the assignment only if the content itself changed)."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (md5_long(F.array_join(tokens("text"), " ")) % SPLIT_BUCKETS).alias(
         "bucket"

@@ -77,7 +77,7 @@ def _sql_pagerank() -> str:
 
 @register("pagerank_transitions", oracle=_sql_pagerank())
 def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank({PR_ITERS} iterations, damping 0.85) over the event-type
+    """PageRank(3 iterations, damping 0.85) over the event-type
     transition graph: nodes = event types, edge (a -> b) weighted by how
     often b follows a within a user's event stream.
 
@@ -110,18 +110,22 @@ def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr(f"{PR_SCALE} div n_nodes").alias("units")
     )
-    # The rank table is |nodes| rows — broadcast it onto the (large) edge
-    # table each iteration, so the only per-iteration shuffle is the
-    # dst-keyed contribution sum; identical edge subtrees collapse into
-    # one ReusedExchange at runtime.
+    # The rank table is |nodes| rows. It is deliberately NOT hint-forced
+    # onto the edge table: AQE measures the rank side at runtime and
+    # broadcasts it while it fits autoBroadcastJoinThreshold (this graph:
+    # a handful of event types — always), degrading to a shuffle join on
+    # src when a 100 TB-scale node set outgrows the threshold. Same plan
+    # text, size-driven strategy, no broadcast-OOM cliff; the broadcast-
+    # under-threshold behavior is pinned by tests/test_plan_audits.py.
+    # Only nn (a 1-row count) keeps an explicit broadcast hint.
     for _ in range(PR_ITERS):
-        contrib = e.join(F.broadcast(ranks), e.src == ranks.node).select(
+        contrib = e.join(ranks, e.src == ranks.node).select(
             "dst", F.expr("(units * w) div out_w").alias("c")
         )
         summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(F.broadcast(summed), F.col("node") == F.col("dst"), "left")
+            .join(summed, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
                 (

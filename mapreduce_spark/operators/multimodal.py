@@ -163,7 +163,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over 'video' payloads: mapInPandas emitting MANY rows
     per input row (the explode-shaped batch contract) — every
-    {FRAME_STRIDE}th full {FRAME_BYTES}-byte frame, identified by hash.
+    4th full 16-byte frame, identified by hash.
     The media_type filter prunes before bytes ever reach Python."""
     m = media_table(spark, sf_dir).filter(F.col("media_type") == "video").select(
         "doc_id", "payload"
@@ -313,7 +313,7 @@ RESIZE_TARGET_BYTES = 64  # fake "resolution": center-crop to this many bytes
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/crop stage over 'image' payloads: center-crop each payload
-    to {target} bytes (the stand-in for a real pixel resize — with a
+    to 64 bytes (the stand-in for a real pixel resize — with a
     codec installed the same batch loop calls Image.resize instead).
     Same Arrow contract as multimodal_features: bytes cross to Python
     once per batch, outputs are flat typed columns, and the media_type

@@ -262,7 +262,7 @@ NGRAM_TOP_K = 20
     """,
 )
 def char_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide top-{NGRAM_TOP_K} character {NGRAM_N}-grams — the
+    """Corpus-wide top-20 character 3-grams — the
     statistic behind n-gram language ID (lang_id uses fixed marker grams;
     this computes the empirical distribution those markers come from).
     Grams are generated JVM-side with transform-over-sequence (no explode
@@ -314,7 +314,7 @@ TFIDF_TOP_K = 3
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TFIDF_TOP_K} terms per document by tf-idf — the classic
+    """Top-3 terms per document by tf-idf — the classic
     distinctive-vocabulary signal an LLM-data pipeline uses for topic
     tagging and boilerplate detection.
 
@@ -374,8 +374,8 @@ CHUNK_STRIDE = 40  # 10-token overlap between consecutive chunks
     """,
 )
 def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking: {CHUNK_TOKENS}-token windows with
-    {CHUNK_STRIDE}-token stride (10-token overlap) — the pretokenization
+    """Sliding-window document chunking: 50-token windows with
+    40-token stride (10-token overlap) — the pretokenization
     step that turns raw documents into training-sequence rows. All
     JVM-side: sequence() generates the start offsets, explode fans out
     one row per chunk, slice/array_join materialize the window. Zero
@@ -555,7 +555,7 @@ BM25_TOP_K = 20
     """,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{BM25_TOP_K} documents by BM25 (k1={BM25_K1}, b={BM25_B}) for the
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) for the
     fixed query {BM25_QUERY} — Robertson/Sparck-Jones ranking, the
     backbone of corpus search and retrieval-based data curation.
 
@@ -726,7 +726,7 @@ SPAN_N = 5  # token n-gram length for corpus-wide duplicate-span detection
 )
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicated-span fraction per document: how much of a
-    document consists of {SPAN_N}-token spans that occur 2+ times across
+    document consists of 5-token spans that occur 2+ times across
     the WHOLE corpus — the signal behind exact-substring dedup (Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models
     Better"), where high-dup_frac documents are boilerplate/templates.

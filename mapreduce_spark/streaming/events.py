@@ -145,7 +145,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization via applyInPandasWithState: per-user
     state carries the OPEN session across micro-batches; a session is
-    emitted when a later event arrives more than {SESSION_GAP_MIN} minutes
+    emitted when a later event arrives more than 30 minutes
     after it closes it. The still-open final session per user stays in
     state (a live stream would close it later), which the oracle mirrors
     by excluding each user's last session. State size = one open session
@@ -275,7 +275,7 @@ STREAM_JOIN_WINDOW_MIN = 30
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: every purchase matched to ALL of the
-    user's clicks in the preceding {STREAM_JOIN_WINDOW_MIN} minutes — both
+    user's clicks in the preceding 30 minutes — both
     sides are live streams, so the engine buffers each side in state and
     the event-time constraint plus watermarks bound how long rows wait for
     late matches (state is purged once the window can no longer match).
@@ -354,10 +354,13 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quality filtering: the documents table consumed as a file
     stream, scored and gated with the IDENTICAL plan fragment the batch
     quality_score query uses (textops.quality_frame) and the same
-    threshold as the batch curation pipeline — so the corpus admitted by
-    the live ingest path provably equals what a batch re-run would admit.
-    Stateless per-row transform: no watermark, no state store; on a
-    cluster this is the kafka -> parquet continuous curation gate."""
+    QUALITY_THRESHOLD — so the admitted corpus provably equals a batch
+    quality_score >= threshold filter (pinned by test). Note this is NOT
+    identical to the full curation pipeline's gate, which scores the
+    SCRUBBED clean_text rather than raw text; the two can admit different
+    borderline documents. Stateless per-row transform: no watermark, no
+    state store; on a cluster this is the kafka -> parquet continuous
+    curation gate."""
     load_table(spark, sf_dir, "documents")  # tunes session conf
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     docs = (

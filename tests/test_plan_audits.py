@@ -207,6 +207,25 @@ def test_fact_table_never_broadcast(spark, sf_dir, qs):
     assert not offenders, f"fact table broadcast in: {offenders}"
 
 
+def test_pagerank_rank_join_broadcasts_only_under_threshold(spark, sf_dir, qs):
+    """The per-iteration rank⋈edges join must be SIZE-DRIVEN, never
+    hint-forced (operators/graph.py): a forced broadcast of the rank
+    table OOMs executors when a 100 TB-scale node set outgrows memory.
+    Pin both halves: (a) the only broadcast hints anywhere in the lineage
+    are the PR_ITERS+1 crossJoins of the 1-row node-count aggregate — the
+    rank and contribution joins carry none, so their strategy is the
+    optimizer's runtime size decision and degrades to a shuffle join on
+    oversized inputs; (b) at this SF that decision does pick broadcast
+    for the rank joins (the plan we want on a small node set)."""
+    from mapreduce_spark.operators.graph import PR_ITERS
+
+    df = qs["pagerank_transitions"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == PR_ITERS + 1, analyzed
+    df.collect()  # finalize the AdaptiveSparkPlan
+    assert audit.broadcast_join_count(df) >= PR_ITERS, audit.simple_plan(df)
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """The 100 TB skew story is not aspirational: with a Zipf-hot key,
     AQE's runtime stats split the oversized partition and the executed
