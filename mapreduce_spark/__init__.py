@@ -16,11 +16,19 @@ re-expresses that algebra Spark-first:
 - ``plans/``      — plan inspection helpers (explain/shuffle audits).
 - ``operators/mr.py`` — the MapReduce-compat layer (``rdd.pipe``)
   reproducing the reference's stdin/stdout executable contract.
+- ``compat.py``   — blocking ``Manager``/``Worker`` constructors speaking
+  the reference's TCP/UDP wire protocol (register/heartbeat/shutdown/
+  new_manager_job), jobs executed by the Spark engine. Mirrors the
+  reference package's two exports (/root/reference/mapreduce/__init__.py:8-9).
 """
 
 from mapreduce_spark.session import get_spark, tune_session
 from mapreduce_spark.registry import REGISTRY, get_queries, get_oracles
+from mapreduce_spark.compat import Manager, Worker
 
-__all__ = ["get_spark", "tune_session", "REGISTRY", "get_queries", "get_oracles"]
+__all__ = [
+    "get_spark", "tune_session", "REGISTRY", "get_queries", "get_oracles",
+    "Manager", "Worker",
+]
 
 __version__ = "0.1.0"
