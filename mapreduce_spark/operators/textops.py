@@ -923,3 +923,173 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identically."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", scrub_expr(F.col("text")).alias("clean_text"))
+
+# --------------------------------------------------------------------------
+# Gopher heuristic filter rules (Rae et al. 2021, appendix A1 — public).
+# Production Gopher bounds the word count at [50, 100k]; the synthetic
+# corpus runs shorter documents, so the lower bound is 20 here to keep the
+# rule discriminating (the shape, not the constant, is what transfers).
+# Line-based rules (bullet/ellipsis line fractions) are omitted: this
+# corpus has no line structure to measure.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_TOP_WORD_FRAC = 0.3
+
+
+@register(
+    "gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words
+          FROM t WHERE len(toks) > 0),
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+    mx AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM uc GROUP BY doc_id),
+    r AS (
+        SELECT d.doc_id, d.n_words,
+               round(CAST(list_aggregate(list_transform(d.toks, s -> len(s)), 'sum')
+                          AS DOUBLE) / d.n_words, 6) AS mean_word_len,
+               CAST({_sql_hits(STOPWORDS['en'])} AS BIGINT) AS stopword_hits,
+               round(CAST(len(list_filter(d.toks, s -> regexp_matches(s, '^[a-z]+$')))
+                          AS DOUBLE) / d.n_words, 6) AS alpha_frac,
+               round(CAST(mx.top_c AS DOUBLE) / d.n_words, 6) AS top_word_frac
+        FROM d JOIN mx ON mx.doc_id = d.doc_id)
+    SELECT doc_id, n_words, mean_word_len, stopword_hits, alpha_frac, top_word_frac,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS rule_word_count,
+           (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}) AS rule_mean_word_len,
+           (stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS rule_stopwords,
+           (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS rule_alpha,
+           (top_word_frac <= {GOPHER_MAX_TOP_WORD_FRAC}) AS rule_top_word,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN})
+            AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}
+            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+            AND top_word_frac <= {GOPHER_MAX_TOP_WORD_FRAC}) AS keep
+    FROM r
+    """,
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic quality rules per document (Rae et al. 2021):
+    word-count bounds, mean-word-length band, minimum stopword evidence,
+    alphabetic-token fraction, and top-word mass cap, each surfaced as a
+    boolean rule column plus the conjunctive keep flag — the canonical
+    pre-training heuristic gate alongside quality_score's soft score.
+
+    Plan shape: ZERO shuffles — every rule is per-row array math, with the
+    top-word multiplicity computed as the longest equal run in the sorted
+    token array (the repetition_stats fold), never an explode. Ratios are
+    rounded to 6 dp on both engines before threshold compares so a flag
+    cannot flip on a last-ulp divergence; the oracle recomputes the mode
+    via grouped SQL, keeping the formulations independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    char_sum = F.aggregate(
+        F.col("toks"), F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    alpha_cnt = F.size(F.filter(F.col("toks"), lambda t: t.rlike("^[a-z]+$")))
+    d = d.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.round(char_sum.cast("double") / F.size("toks"), 6).alias("mean_word_len"),
+        _hits(F.col("toks"), STOPWORDS["en"]).cast("bigint").alias("stopword_hits"),
+        F.round(alpha_cnt.cast("double") / F.size("toks"), 6).alias("alpha_frac"),
+        F.round(
+            _max_run_length(F.array_sort("toks")).cast("double") / F.size("toks"),
+            6,
+        ).alias("top_word_frac"),
+    )
+    rules = {
+        "rule_word_count": F.col("n_words").between(
+            GOPHER_MIN_WORDS, GOPHER_MAX_WORDS
+        ),
+        "rule_mean_word_len": F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        ),
+        "rule_stopwords": F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS,
+        "rule_alpha": F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC,
+        "rule_top_word": F.col("top_word_frac") <= GOPHER_MAX_TOP_WORD_FRAC,
+    }
+    out = d.select("*", *[c.alias(n) for n, c in rules.items()])
+    keep = F.lit(True)
+    for n in rules:
+        keep = keep & F.col(n)
+    return out.withColumn("keep", keep)
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing over the self-trained perplexity score.
+_PPL_SCORED_SQL = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    g AS (SELECT doc_id, {sql_shingles('toks', 2)} AS sgl2, toks
+          FROM t WHERE len(toks) >= 2),
+    db AS (SELECT doc_id, unnest(sgl2) AS bigram FROM g),
+    dbc AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS n
+            FROM db GROUP BY doc_id, bigram),
+    bc AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS cb FROM dbc GROUP BY bigram),
+    uni AS (SELECT w1, CAST(sum(n) AS BIGINT) AS cu
+            FROM (SELECT split_part(bigram, ' ', 1) AS w1, n FROM dbc)
+            GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vsize
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    scored AS (
+        SELECT dbc.doc_id, dbc.n,
+               CAST(round(1000000 * round(
+                   -ln((bc.cb + 1.0) / (uni.cu + v.vsize)), 6)) AS BIGINT)
+                 AS nll_micro
+        FROM dbc
+        JOIN bc USING (bigram)
+        JOIN uni ON uni.w1 = split_part(dbc.bigram, ' ', 1)
+        CROSS JOIN v),
+    ppl AS (
+        SELECT doc_id,
+               round(CAST(sum(n * nll_micro) AS DOUBLE) / (1000000 * sum(n)), 6)
+                 AS avg_nll
+        FROM scored GROUP BY doc_id)
+"""
+
+
+@register(
+    "ccnet_buckets",
+    oracle=_PPL_SCORED_SQL
+    + """
+    , cuts AS (
+        SELECT round(quantile_cont(avg_nll, CAST(1 AS DOUBLE)/3), 6) AS c1,
+               round(quantile_cont(avg_nll, CAST(2 AS DOUBLE)/3), 6) AS c2
+        FROM ppl)
+    SELECT ppl.doc_id, ppl.avg_nll,
+           CASE WHEN ppl.avg_nll <= cuts.c1 THEN 'head'
+                WHEN ppl.avg_nll <= cuts.c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ppl CROSS JOIN cuts
+    """,
+)
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail data buckets (Wenzek et al. 2019): every
+    document assigned to a perplexity tercile of the corpus — 'head' is
+    the most-fluent third that CCNet feeds to training first. Scores come
+    from the same self-trained bigram LM as perplexity_bigram.
+
+    Scale shape: NO global sort — the tercile cutoffs are one 2-value
+    percentile aggregate (exact, over 6dp-rounded scores so both engines
+    interpolate identical inputs) broadcast back onto the scored table;
+    bucketing is then a map-side comparison. The ntile() window a naive
+    translation would use needs every row through ONE partition — this
+    shape scales with splits instead."""
+    ppl = perplexity_bigram(spark, sf_dir).select("doc_id", "avg_nll")
+    cuts = ppl.agg(
+        F.round(F.expr("percentile(avg_nll, CAST(1 AS DOUBLE)/3)"), 6).alias("c1"),
+        F.round(F.expr("percentile(avg_nll, CAST(2 AS DOUBLE)/3)"), 6).alias("c2"),
+    )
+    return ppl.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("c1"), "head")
+        .when(F.col("avg_nll") <= F.col("c2"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

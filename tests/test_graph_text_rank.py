@@ -194,3 +194,54 @@ def test_token_entropy_hand_computed(spark, tmp_path):
     mid = math.log(4) - round(2 * math.log(2) * 1e6) * 2 / 4e6
     assert got[3] == (4, round(mid, 6))
     assert got[1][1] < got[3][1] < got[2][1]
+
+
+def test_gopher_rules_hand_computed(spark, tmp_path):
+    # one passing doc, one too short, one top-word-heavy, one stopword-free
+    long_good = "the cat sat on a mat and then the dog ran to it in a park " \
+                "with many other fine words making twenty five total words"
+    docs = spark.createDataFrame(
+        [
+            (0, "en", long_good),                 # all rules pass
+            (1, "en", "the of and to in is it a"),  # fails word-count min
+            (2, "en", "the " * 30 + "of and in it is"),  # top-word frac > 0.3
+            (3, "en", " ".join(f"w{i}" for i in range(25))),  # 0 stopwords, digit tokens
+        ],
+        "doc_id long, lang string, text string",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in get_queries()["gopher_rules"](spark, str(tmp_path)).collect()
+    }
+    assert got[0]["keep"] and all(
+        got[0][c]
+        for c in ("rule_word_count", "rule_mean_word_len", "rule_stopwords",
+                  "rule_alpha", "rule_top_word")
+    )
+    assert not got[1]["rule_word_count"] and not got[1]["keep"]
+    assert not got[2]["rule_top_word"] and not got[2]["keep"]
+    assert got[2]["top_word_frac"] == round(30 / 35, 6)
+    assert not got[3]["rule_stopwords"] and not got[3]["rule_alpha"]
+    assert got[3]["n_words"] == 25 and not got[3]["keep"]
+
+
+def test_ccnet_buckets_tercile_semantics(spark, micro_sf):
+    df = get_queries()["ccnet_buckets"](spark, micro_sf)
+    rows_ = df.collect()
+    by_bucket = {}
+    for r in rows_:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r["avg_nll"])
+    # every scored doc lands in exactly one bucket, and bucket score
+    # ranges are ordered head <= middle <= tail
+    assert set(by_bucket) <= {"head", "middle", "tail"}
+    assert sum(len(v) for v in by_bucket.values()) == len(rows_)
+    if "head" in by_bucket and "middle" in by_bucket:
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    if "middle" in by_bucket and "tail" in by_bucket:
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+    # buckets are balanced within one doc of each other for distinct scores
+    scores = sorted(r["avg_nll"] for r in rows_)
+    if len(set(scores)) == len(scores) and len(scores) >= 3:
+        sizes = sorted(len(v) for v in by_bucket.values())
+        assert sizes[-1] - sizes[0] <= 1
