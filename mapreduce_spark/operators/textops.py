@@ -1079,8 +1079,18 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolate identical inputs) broadcast back onto the scored table;
     bucketing is then a map-side comparison. The ntile() window a naive
     translation would use needs every row through ONE partition — this
-    shape scales with splits instead."""
-    ppl = perplexity_bigram(spark, sf_dir).select("doc_id", "avg_nll")
+    shape scales with splits instead.
+
+    The scored table feeds BOTH the cutoff aggregate and the output
+    projection; the explicit repartition pins an identical Exchange atop
+    the two consumers so exchange reuse computes the whole bigram-LM
+    pipeline ONCE (the dedup_minhash_lsh trick) — one extra shuffle of
+    the narrow (doc_id, avg_nll) table instead of training the LM twice."""
+    ppl = (
+        perplexity_bigram(spark, sf_dir)
+        .select("doc_id", "avg_nll")
+        .repartition("doc_id")
+    )
     cuts = ppl.agg(
         F.round(F.expr("percentile(avg_nll, CAST(1 AS DOUBLE)/3)"), 6).alias("c1"),
         F.round(F.expr("percentile(avg_nll, CAST(2 AS DOUBLE)/3)"), 6).alias("c2"),

@@ -143,6 +143,7 @@ CARTESIAN_OK = {
     "bm25_topk",  # broadcasts the 1-row (n_docs, avgdl) corpus aggregate
     "perplexity_bigram",  # broadcasts the 1-row vocabulary-size aggregate
     "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
+    "ccnet_buckets",  # broadcasts the 1-row percentile-cutoff aggregate
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
