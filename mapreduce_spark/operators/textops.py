@@ -1103,3 +1103,109 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ppl_bucket"),
     )
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling" — public). Features are hashed word
+# bigrams; the in-domain target distribution is estimated from the
+# corpus's English slice (lang = 'en'), the raw distribution from all
+# documents, both add-1 smoothed over the hashed bucket space.
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {SQL_TOKENS.format(col='text')} AS toks
+               FROM documents),
+    g AS (SELECT doc_id, lang, {sql_shingles('toks', 2)} AS sgl2
+          FROM t WHERE len(toks) >= 2),
+    f AS (SELECT doc_id, lang,
+                 {md5_long_sql('gram')} % {DSIR_BUCKETS} AS bucket
+          FROM (SELECT doc_id, lang, unnest(sgl2) AS gram FROM g)),
+    db AS (SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS c
+           FROM f GROUP BY doc_id, lang, bucket),
+    dist AS (SELECT bucket,
+                    CAST(sum(c) AS BIGINT) AS cr,
+                    CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c
+                                  ELSE 0 END) AS BIGINT) AS ct
+             FROM db GROUP BY bucket),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS t_tot,
+                   CAST(sum(cr) AS BIGINT) AS r_tot FROM dist),
+    lr AS (SELECT dist.bucket,
+                  CAST(round(1000000 * round(
+                      ln((dist.ct + 1.0) / (tot.t_tot + {DSIR_BUCKETS}))
+                      - ln((dist.cr + 1.0) / (tot.r_tot + {DSIR_BUCKETS})), 6))
+                    AS BIGINT) AS lr_micro
+           FROM dist CROSS JOIN tot)
+    SELECT db.doc_id,
+           CAST(sum(db.c) AS BIGINT) AS n_feats,
+           round(CAST(sum(db.c * lr.lr_micro) AS DOUBLE)
+                 / (1000000 * sum(db.c)), 6) AS dsir_logw
+    FROM db JOIN lr ON lr.bucket = db.bucket
+    GROUP BY db.doc_id
+    """,
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: average hashed-bigram
+    log-likelihood ratio log p_target(f)/p_raw(f) between the in-domain
+    target slice (lang='en') and the raw corpus, add-1 smoothed over 1024
+    hashed buckets — the Xie et al. 2023 data-selection score; sampling
+    proportional to exp(weight) yields the DSIR-selected corpus.
+
+    Plan shape: features hash JVM-side (one md5 per bigram occurrence)
+    into ONE (doc_id, bucket)-keyed shuffle. Target and raw distributions
+    come from a SINGLE conditional-sum aggregate (not a filtered branch —
+    a lang filter would push below the shared subtree and defeat exchange
+    reuse), so the feature table is computed once: the explicit
+    repartition on bucket pins an identical Exchange under the
+    distribution aggregate (which reuses the partitioning, zero extra
+    shuffle) and the scoring join. The log-ratio table is at most 1024
+    rows and broadcasts onto the scoring join. Ratios round to 6 dp
+    then accumulate as exact integer micro-units, so the per-doc average
+    is bit-stable at any parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    g = t.filter(F.size("toks") >= 2).select(
+        "doc_id", "lang", shingles(F.col("toks"), 2).alias("sgl2")
+    )
+    f = g.select(
+        "doc_id", "lang", F.explode("sgl2").alias("gram")
+    ).select("doc_id", "lang", (md5_long(F.col("gram")) % DSIR_BUCKETS).alias("bucket"))
+    db = (
+        f.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .repartition("bucket")
+    )
+    dist = db.groupBy("bucket").agg(
+        F.sum("c").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0)
+        ).alias("ct"),
+    )
+    tot = dist.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+    )
+    lr_val = F.log(
+        (F.col("ct") + 1.0) / (F.col("t_tot") + DSIR_BUCKETS)
+    ) - F.log((F.col("cr") + 1.0) / (F.col("r_tot") + DSIR_BUCKETS))
+    lr = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(1_000_000 * F.round(lr_val, 6)).cast("bigint").alias("lr_micro"),
+    )
+    return (
+        db.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr_micro")).alias("_wm"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(
+                F.col("_wm").cast("double") / (1_000_000 * F.col("n_feats")), 6
+            ).alias("dsir_logw"),
+        )
+    )

@@ -245,3 +245,26 @@ def test_ccnet_buckets_tercile_semantics(spark, micro_sf):
     if len(set(scores)) == len(scores) and len(scores) >= 3:
         sizes = sorted(len(v) for v in by_bucket.values())
         assert sizes[-1] - sizes[0] <= 1
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    # target slice (lang=en) is dominated by the bigram "alpha beta";
+    # a doc made of that bigram must outscore a doc of bigrams that
+    # never appear in the target distribution.
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "alpha beta alpha beta alpha beta"),
+            (1, "en", "alpha beta gamma"),
+            (2, "de", "alpha beta alpha beta"),     # target-like, non-en
+            (3, "de", "zeta eta theta iota kappa"), # nothing in target
+        ],
+        "doc_id long, lang string, text string",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in get_queries()["dsir_weights"](spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] > got[3]
+    assert got[2] > got[3]  # scored by content, not by its lang label

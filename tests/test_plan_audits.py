@@ -144,6 +144,7 @@ CARTESIAN_OK = {
     "perplexity_bigram",  # broadcasts the 1-row vocabulary-size aggregate
     "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
     "ccnet_buckets",  # broadcasts the 1-row percentile-cutoff aggregate
+    "dsir_weights",  # broadcasts the 1-row target/raw total aggregates
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
