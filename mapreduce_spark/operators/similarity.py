@@ -642,3 +642,141 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tier_report("lsh", similarity_ann_lsh(spark, sf_dir)).unionByName(
         tier_report("ivf", similarity_ann_ivf(spark, sf_dir))
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal direction by power iteration, exact integer arithmetic.
+EMB_DIM = 64  # embeddings.embedding width (TESTDATA.md contract)
+PCA_ITERS = 2
+PCA_XQ_SCALE = 10_000   # float*1e4 is exact in double (24+14 mantissa bits)
+PCA_V_SCALE = 1_000     # direction vector renormalized to +-1000 units
+PCA_DOT_SHRINK = 10_000  # dot products shrunk before the second product
+
+
+def _sql_pca_power() -> str:
+    """Unrolled DuckDB CTE chain mirroring the Spark plan iteration-for-
+    iteration. All arithmetic is integer with sign-split truncating
+    division, so both engines produce bit-identical BIGINT directions."""
+    ctes = [
+        f"""
+    ex AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {PCA_XQ_SCALE})
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    v0 AS (SELECT CAST(range AS BIGINT) AS pos,
+                  CAST({PCA_V_SCALE} AS BIGINT) AS vq
+           FROM range(0, {EMB_DIM}))"""
+    ]
+    for i in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""
+    d{i} AS (
+        SELECT ex.vec_id, CAST(sum(ex.xq * v.vq) AS BIGINT) AS dot
+        FROM ex JOIN v{i - 1} v USING (pos) GROUP BY ex.vec_id),
+    ds{i} AS (
+        SELECT vec_id,
+               CASE WHEN dot < 0 THEN -((-dot) // {PCA_DOT_SHRINK})
+                    ELSE dot // {PCA_DOT_SHRINK} END AS dot_s
+        FROM d{i}),
+    w{i} AS (
+        SELECT ex.pos, CAST(sum(ex.xq * ds.dot_s) AS BIGINT) AS w
+        FROM ex JOIN ds{i} ds USING (vec_id) GROUP BY ex.pos),
+    m{i} AS (SELECT greatest(CAST(max(abs(w)) AS BIGINT), 1) AS m FROM w{i}),
+    v{i} AS (
+        SELECT pos,
+               CASE WHEN w < 0 THEN -((-w * {PCA_V_SCALE}) // m)
+                    ELSE (w * {PCA_V_SCALE}) // m END AS vq
+        FROM w{i} CROSS JOIN m{i})"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT pos, vq AS axis_unit,
+           round(CAST(vq AS DOUBLE) / {PCA_V_SCALE}, 6) AS axis
+    FROM v{PCA_ITERS}
+    """
+    )
+
+
+@register("embedding_pca_power", oracle=_sql_pca_power())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud (uncentered Gram)
+    by 2 unrolled power iterations — the dimensionality-analysis pass a
+    training pipeline runs before choosing projection/whitening. Each
+    iteration: per-vector dot with the current direction, then a
+    per-dimension weighted sum, renormalized to ±1000 integer units by
+    max-abs (no float sqrt in the loop).
+
+    Exactness discipline (the pagerank playbook): embeddings quantize to
+    floor(x*1e4) — exact in double for float32 inputs — and every later
+    step is integer multiply/sum/truncating-divide with the division
+    sign-split so Spark's `div` and DuckDB's `//` agree on negatives; both
+    engines produce bit-identical BIGINT axes. Intermediate magnitudes
+    fit BIGINT to ~4e7 vectors (term<=2.1e8 * rows, then *1000); beyond
+    that the two sums upgrade to DECIMAL(38,0) with the same formulas.
+
+    Plan shape: ONE explode of the embedding table, pinned under a vec_id
+    repartition reused by every iteration (the dot aggregate and the
+    dot-join are co-partitioned on it — zero extra exchanges); the
+    direction vector is a 64-row broadcast per iteration; the only
+    per-iteration shuffle is the pos-keyed partial-agg sum, 64 groups."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("x").cast("double") * PCA_XQ_SCALE)
+            .cast("bigint")
+            .alias("xq"),
+        )
+        .repartition("vec_id")
+    )
+    v = spark.range(0, EMB_DIM).select(
+        F.col("id").cast("bigint").alias("pos"),
+        F.lit(PCA_V_SCALE).cast("bigint").alias("vq"),
+    )
+
+    for _ in range(PCA_ITERS):
+        dots = (
+            ex.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xq") * F.col("vq")).cast("bigint").alias("dot"))
+        )
+        ds = dots.select(
+            "vec_id",
+            F.when(
+                F.col("dot") < 0,
+                -F.expr(f"(-dot) div {PCA_DOT_SHRINK}"),
+            )
+            .otherwise(F.expr(f"dot div {PCA_DOT_SHRINK}"))
+            .alias("dot_s"),
+        )
+        w = (
+            ex.join(ds, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("xq") * F.col("dot_s")).cast("bigint").alias("w"))
+        )
+        m = w.agg(
+            F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).cast("bigint").alias("m")
+        )
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "pos",
+                F.when(
+                    F.col("w") < 0,
+                    -F.expr(f"((-w) * {PCA_V_SCALE}) div m"),
+                )
+                .otherwise(F.expr(f"(w * {PCA_V_SCALE}) div m"))
+                .alias("vq"),
+            )
+        )
+    return v.select(
+        "pos",
+        F.col("vq").alias("axis_unit"),
+        F.round(F.col("vq").cast("double") / PCA_V_SCALE, 6).alias("axis"),
+    )

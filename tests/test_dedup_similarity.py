@@ -249,3 +249,32 @@ def test_ann_recall_report_bounds_and_consistency(spark, sf_dir, qs):
         for q in exact_sets:
             want = len(exact_sets[q] & ann_sets.get(q, set()))
             assert rep[(tier, q)]["n_hits"] == want
+
+
+def test_embedding_pca_power_finds_dominant_axis(spark, tmp_path):
+    """Vectors spread widely along dim 3 (and faintly elsewhere) must
+    yield a principal direction dominated by dim 3, at full +-1000 units
+    after max-abs renormalization."""
+    import random
+
+    from mapreduce_spark.operators.similarity import EMB_DIM
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        vec = [rng.uniform(-0.01, 0.01) for _ in range(EMB_DIM)]
+        vec[3] = rng.choice([-1, 1]) * rng.uniform(0.3, 0.5)
+        rows.append((i, vec, i % 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    from mapreduce_spark.registry import get_queries
+
+    got = {
+        r["pos"]: r["axis_unit"]
+        for r in get_queries()["embedding_pca_power"](spark, str(tmp_path)).collect()
+    }
+    assert len(got) == EMB_DIM
+    assert abs(got[3]) == 1000  # dominant axis pegs the renormalizer
+    others = [abs(v) for p, v in got.items() if p != 3]
+    assert max(others) < 200  # everything else is noise-scale

@@ -145,6 +145,7 @@ CARTESIAN_OK = {
     "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
     "ccnet_buckets",  # broadcasts the 1-row percentile-cutoff aggregate
     "dsir_weights",  # broadcasts the 1-row target/raw total aggregates
+    "embedding_pca_power",  # broadcasts the 1-row max-abs renormalizer
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
