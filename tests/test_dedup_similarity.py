@@ -278,3 +278,32 @@ def test_embedding_pca_power_finds_dominant_axis(spark, tmp_path):
     assert abs(got[3]) == 1000  # dominant axis pegs the renormalizer
     others = [abs(v) for p, v in got.items() if p != 3]
     assert max(others) < 200  # everything else is noise-scale
+
+
+def test_dedup_recall_report_semantics(spark, tmp_path):
+    from mapreduce_spark.registry import get_queries
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [
+            (0, "en", base),
+            (1, "en", base.upper()),  # exact normalized dup: J = 1.0, so the
+            # minhash signatures are identical and every band collides —
+            # the one case LSH can NEVER miss, keeping this deterministic
+            (2, "en", "completely different words about spark shuffles"),
+        ],
+        "doc_id long, lang string, text string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    (r,) = get_queries()["dedup_recall_report"](spark, str(tmp_path)).collect()
+    assert r["n_true"] == 1
+    assert r["n_found"] == 1
+    assert r["recall"] == 1.0
+
+    # a corpus with no near-dups: vacuous recall of 1.0, zero counts
+    spark.createDataFrame(
+        [(0, "en", "alpha beta gamma delta epsilon zeta"),
+         (1, "en", "one two three four five six seven")],
+        "doc_id long, lang string, text string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/e/documents.parquet")
+    (r2,) = get_queries()["dedup_recall_report"](spark, f"{tmp_path}/e").collect()
+    assert (r2["n_true"], r2["n_found"], r2["recall"]) == (0, 0, 1.0)

@@ -146,6 +146,7 @@ CARTESIAN_OK = {
     "ccnet_buckets",  # broadcasts the 1-row percentile-cutoff aggregate
     "dsir_weights",  # broadcasts the 1-row target/raw total aggregates
     "embedding_pca_power",  # broadcasts the 1-row max-abs renormalizer
+    "dedup_recall_report",  # crossJoin of the two 1-row count aggregates
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
