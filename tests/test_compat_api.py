@@ -126,3 +126,23 @@ def test_new_manager_job_runs_on_spark(processes, tmp_path):
     for p in processes:
         p.join(timeout=30)
         assert p.exitcode == 0
+
+
+def test_dead_worker_detected_and_shutdown_still_clean(processes):
+    """Reference heartbeat semantics (manager/__main__.py:318-333): a
+    worker that stops heartbeating is marked dead after 5 missed 2s
+    periods, and shutdown must still complete cleanly without it (the
+    shutdown broadcast skips dead workers instead of hanging)."""
+    from mapreduce_spark.compat import HEARTBEAT_DEAD_MISSES, HEARTBEAT_EVERY_S
+
+    manager_port = _start_cluster(processes, n_workers=2)
+    victim = processes[-1]  # one worker goes silent
+    victim.terminate()
+    victim.join()
+    time.sleep(HEARTBEAT_EVERY_S * (HEARTBEAT_DEAD_MISSES + 1))
+    send_json("localhost", manager_port, {"message_type": "shutdown"})
+    survivors = [p for p in processes if p is not victim]
+    for p in survivors:
+        p.join(timeout=30)
+        assert not p.is_alive(), f"{p.name} survived shutdown"
+        assert p.exitcode == 0, f"{p.name} exit {p.exitcode}"
