@@ -940,9 +940,8 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MAX_TOP_WORD_FRAC = 0.3
 
 
-@register(
-    "gopher_rules",
-    oracle=f"""
+# Shared with the streaming gate (streaming/events.py) and both oracles.
+GOPHER_SQL = f"""
     WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
     d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_words
           FROM t WHERE len(toks) > 0),
@@ -970,22 +969,14 @@ GOPHER_MAX_TOP_WORD_FRAC = 0.3
             AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
             AND top_word_frac <= {GOPHER_MAX_TOP_WORD_FRAC}) AS keep
     FROM r
-    """,
-)
-def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher heuristic quality rules per document (Rae et al. 2021):
-    word-count bounds, mean-word-length band, minimum stopword evidence,
-    alphabetic-token fraction, and top-word mass cap, each surfaced as a
-    boolean rule column plus the conjunctive keep flag — the canonical
-    pre-training heuristic gate alongside quality_score's soft score.
+    """
 
-    Plan shape: ZERO shuffles — every rule is per-row array math, with the
-    top-word multiplicity computed as the longest equal run in the sorted
-    token array (the repetition_stats fold), never an explode. Ratios are
-    rounded to 6 dp on both engines before threshold compares so a flag
-    cannot flip on a last-ulp divergence; the oracle recomputes the mode
-    via grouped SQL, keeping the formulations independent."""
-    docs = load_table(spark, sf_dir, "documents")
+
+def gopher_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, signal columns, rule booleans, keep) for any
+    (doc_id, text) frame — batch or streaming: every rule is per-row and
+    stateless, so the SAME plan fragment serves both (the quality_frame
+    pattern)."""
     d = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
@@ -1020,6 +1011,23 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     for n in rules:
         keep = keep & F.col(n)
     return out.withColumn("keep", keep)
+
+
+@register("gopher_rules", oracle=GOPHER_SQL)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic quality rules per document (Rae et al. 2021):
+    word-count bounds, mean-word-length band, minimum stopword evidence,
+    alphabetic-token fraction, and top-word mass cap, each surfaced as a
+    boolean rule column plus the conjunctive keep flag — the canonical
+    pre-training heuristic gate alongside quality_score's soft score.
+
+    Plan shape: ZERO shuffles — every rule is per-row array math, with the
+    top-word multiplicity computed as the longest equal run in the sorted
+    token array (the repetition_stats fold), never an explode. Ratios are
+    rounded to 6 dp on both engines before threshold compares so a flag
+    cannot flip on a last-ulp divergence; the oracle recomputes the mode
+    via grouped SQL, keeping the formulations independent."""
+    return gopher_frame(load_table(spark, sf_dir, "documents"))
 
 # --------------------------------------------------------------------------
 # CCNet head/middle/tail bucketing over the self-trained perplexity score.

@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from mapreduce_spark.functions.exact import dsum
 from mapreduce_spark.operators.curation import QUALITY_THRESHOLD
 from mapreduce_spark.operators.textops import (
+    GOPHER_SQL,
     QUALITY_SQL,
+    gopher_frame,
     quality_frame,
     scrub_expr,
     sql_scrub,
@@ -370,3 +372,30 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = quality_frame(docs).filter(F.col("quality") >= QUALITY_THRESHOLD)
     return _drain(out, "stream_quality_gate", spark, "append")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "stream_gopher_gate",
+    oracle=f"""
+    SELECT * FROM ({GOPHER_SQL}) WHERE keep
+    """,
+)
+def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher-rule gating: the documents file stream filtered to
+    rows passing ALL Gopher heuristic rules, using the IDENTICAL per-row
+    plan fragment as the batch gopher_rules query (textops.gopher_frame) —
+    so the admitted stream provably equals the batch keep=true slice.
+    Stateless (every rule is row-local array math, including the top-word
+    mode via the sorted-run fold): no watermark, no state store; on a
+    cluster this is the kafka-side hard filter that drops junk before it
+    ever reaches the expensive dedup/scoring stages."""
+    load_table(spark, sf_dir, "documents")  # tunes session conf
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+    )
+    out = gopher_frame(docs).filter(F.col("keep"))
+    return _drain(out, "stream_gopher_gate", spark, "append")

@@ -218,3 +218,11 @@ def test_stream_quality_gate_equals_batch_filter(spark, sf_dir, qs):
     # the gate admits a strict, non-empty subset (the threshold is the median)
     n_all = qs["quality_score"](spark, sf_dir).count()
     assert 0 < streamed.count() < n_all
+
+
+def test_stream_gopher_gate_equals_batch_keep(spark, sf_dir, qs):
+    streamed = qs["stream_gopher_gate"](spark, sf_dir)
+    batch = qs["gopher_rules"](spark, sf_dir).filter(F.col("keep"))
+    a = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b and len(a) > 0
