@@ -1147,12 +1147,18 @@ DSIR_TARGET_LANG = "en"
                       - ln((dist.cr + 1.0) / (tot.r_tot + {DSIR_BUCKETS})), 6))
                     AS BIGINT) AS lr_micro
            FROM dist CROSS JOIN tot)
-    SELECT db.doc_id,
-           CAST(sum(db.c) AS BIGINT) AS n_feats,
-           round(CAST(sum(db.c * lr.lr_micro) AS DOUBLE)
-                 / (1000000 * sum(db.c)), 6) AS dsir_logw
-    FROM db JOIN lr ON lr.bucket = db.bucket
-    GROUP BY db.doc_id
+    , agg AS (
+        SELECT db.doc_id,
+               CAST(sum(db.c) AS BIGINT) AS n_feats,
+               CAST(sum(db.c * lr.lr_micro) AS BIGINT) AS wm
+        FROM db JOIN lr ON lr.bucket = db.bucket
+        GROUP BY db.doc_id)
+    SELECT doc_id, n_feats,
+           CASE WHEN wm < 0 THEN -((-wm) // n_feats)
+                ELSE wm // n_feats END AS dsir_logw_micro,
+           CAST(CASE WHEN wm < 0 THEN -((-wm) // n_feats)
+                     ELSE wm // n_feats END AS DOUBLE) / 1000000 AS dsir_logw
+    FROM agg
     """,
 )
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,18 +1208,24 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.round(1_000_000 * F.round(lr_val, 6)).cast("bigint").alias("lr_micro"),
     )
-    return (
+    agg = (
         db.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("c").alias("n_feats"),
-            F.sum(F.col("c") * F.col("lr_micro")).alias("_wm"),
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr_micro")).cast("bigint").alias("wm"),
         )
-        .select(
-            "doc_id",
-            "n_feats",
-            F.round(
-                F.col("_wm").cast("double") / (1_000_000 * F.col("n_feats")), 6
-            ).alias("dsir_logw"),
-        )
+    )
+    # Integer micro-unit average (sign-split truncating division) — a
+    # rounded double here diverged between engines on a 6dp tie at sf0.1;
+    # the convenience double is ONE IEEE division of exact integers, so
+    # its bits are identical on both sides.
+    micro = F.when(
+        F.col("wm") < 0, -F.expr("(-wm) div n_feats")
+    ).otherwise(F.expr("wm div n_feats"))
+    return agg.select(
+        "doc_id",
+        "n_feats",
+        micro.alias("dsir_logw_micro"),
+        (micro.cast("double") / 1_000_000).alias("dsir_logw"),
     )
