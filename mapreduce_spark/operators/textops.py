@@ -840,8 +840,8 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN v)
     SELECT doc_id,
            CAST(sum(n) AS BIGINT) AS n_bigrams,
-           round(CAST(sum(n * nll_micro) AS DOUBLE) / (1000000 * sum(n)), 6)
-             AS avg_nll
+           CAST(CAST(sum(n * nll_micro) AS BIGINT) // CAST(sum(n) AS BIGINT)
+                AS DOUBLE) / 1000000 AS avg_nll
     FROM scored GROUP BY doc_id
     """,
 )
@@ -891,18 +891,24 @@ def perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1_000_000 * F.round(nll, 6)).cast("bigint").alias("nll_micro"),
         )
     )
+    # Integer micro-unit average: nll_micro and n are exact BIGINTs, the
+    # truncating division is engine-identical (both nonnegative), and the
+    # final /1e6 is one IEEE division of an exact integer — bit-identical
+    # on both engines. A rounded double quotient here can land within an
+    # ulp of a 6dp half-way and round differently per engine (the
+    # dsir_weights sf0.1 lesson).
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.sum("n").alias("n_bigrams"),
-            F.sum(F.col("n") * F.col("nll_micro")).alias("_nm"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("nll_micro")).cast("bigint").alias("_nm"),
         )
         .select(
             "doc_id",
             "n_bigrams",
-            F.round(
-                F.col("_nm").cast("double") / (1_000_000 * F.col("n_bigrams")), 6
-            ).alias("avg_nll"),
+            (F.expr("_nm div n_bigrams").cast("double") / 1_000_000).alias(
+                "avg_nll"
+            ),
         )
     )
 
@@ -1055,8 +1061,8 @@ _PPL_SCORED_SQL = f"""
         CROSS JOIN v),
     ppl AS (
         SELECT doc_id,
-               round(CAST(sum(n * nll_micro) AS DOUBLE) / (1000000 * sum(n)), 6)
-                 AS avg_nll
+               CAST(CAST(sum(n * nll_micro) AS BIGINT) // CAST(sum(n) AS BIGINT)
+                    AS DOUBLE) / 1000000 AS avg_nll
         FROM scored GROUP BY doc_id)
 """
 

@@ -133,8 +133,10 @@ def test_perplexity_bigram_hand_computed(spark, tmp_path):
     got = {r["doc_id"]: (r["n_bigrams"], r["avg_nll"]) for r in df.collect()}
     # P(b|a) = 4/5 -> nll 0.223144; P(a|b) = 2/3 -> nll 0.405465
     assert got[2] == (1, 0.223144)
-    # doc 1: (2*223144 + 405465) / 3e6 = 0.283918
-    assert got[1] == (3, 0.283918)
+    # doc 1: (2*223144 + 405465) div 3 = 283917 micro -> 0.283917
+    # (truncating micro average; engine-identical, unlike a rounded
+    # double quotient)
+    assert got[1] == (3, 0.283917)
     # the repeated-bigram doc is more "fluent" (lower nll) than uniform
     assert got[1][1] > got[2][1]
 
