@@ -387,3 +387,196 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The near-dup variant of the flagship pipeline: scrub -> gate -> MinHash
+# LSH keeper (drop any doc with a verified near-dup of smaller id) ->
+# per-source rollup. Exact dedup misses one-token edits; this is the
+# pipeline real pretraining runs execute (Lee et al. 2021).
+def _sql_neardup_ctes() -> str:
+    from mapreduce_spark.operators.dedup import (
+        _SQL_BASE_HASH,
+        _sql_band_hash,
+        _sql_minhash_sig,
+        JACCARD_THRESHOLD,
+        N_BANDS,
+        N_PERMS,
+    )
+    from mapreduce_spark.functions.text import sql_shingles
+
+    return (
+        _SQL_KEPT_CTES
+        + f""",
+    shx AS (
+        SELECT doc_id, source, n_tokens, quality,
+               list_distinct({sql_shingles('toks2', 3)}) AS sgl
+        FROM (SELECT g.*, {SQL_TOKENS.format(col='g.clean_text')} AS toks2
+              FROM gated g)),
+    hb AS (SELECT doc_id, sgl, {_SQL_BASE_HASH} AS bs FROM shx WHERE len(sgl) > 0),
+    sig AS (SELECT doc_id, sgl, """
+        + ", ".join(f"{_sql_minhash_sig(i)} AS sig{i}" for i in range(N_PERMS))
+        + """ FROM hb),
+    bands AS (SELECT doc_id, band_idx, band_hash FROM sig, UNNEST(["""
+        + ", ".join(
+            f"struct_pack(band_idx := {b}, band_hash := {_sql_band_hash(b)})"
+            for b in range(N_BANDS)
+        )
+        + """]) AS u(s), LATERAL (SELECT s.band_idx AS band_idx, s.band_hash AS band_hash)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+    dup_pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN shx sa ON sa.doc_id = c.doc_a
+        JOIN shx sb ON sb.doc_id = c.doc_b
+        WHERE round(CAST(len(list_intersect(sa.sgl, sb.sgl)) AS DOUBLE)
+              / (len(sa.sgl) + len(sb.sgl) - len(list_intersect(sa.sgl, sb.sgl))),
+              6) >= """
+        + str(JACCARD_THRESHOLD)
+        + """),
+    dominated AS (SELECT DISTINCT doc_b AS doc_id FROM dup_pairs),
+    kept_nd AS (
+        SELECT s.doc_id, s.source, s.n_tokens, s.quality
+        FROM shx s LEFT JOIN dominated d ON d.doc_id = s.doc_id
+        WHERE d.doc_id IS NULL)
+"""
+    )
+
+
+@register(
+    "curation_pipeline_neardup",
+    oracle=_sql_neardup_ctes()
+    + """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                / count(*) AS DOUBLE) AS mean_quality
+    FROM kept_nd
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def curation_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation pipeline with NEAR-dup dedup: scrub ->
+    quality gate -> MinHash LSH keeper -> per-source rollup, one Catalyst
+    plan. Keeper policy is greedy min-id domination: a document is
+    dropped iff a verified near-duplicate (shingle-Jaccard >= 0.5 on the
+    SCRUBBED text) with a smaller doc_id survives the gate — the
+    single-pass policy real pretraining dedup runs use (full transitive
+    clustering is dedup_cluster's job).
+
+    Scale shape: identical to dedup_minhash_lsh's — signatures per-row
+    (one md5 per shingle), candidate generation a band-bucket equi-join
+    shuffling only (doc_id, band) keys, exact verify joins shingle sets
+    for candidates only, and the dominated set folds back as a LEFT ANTI
+    join on doc_id so document text never re-shuffles."""
+    from mapreduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        N_BANDS,
+        N_PERMS,
+        ROWS_PER_BAND,
+        _band_hash,
+        _minhash_sig,
+        base_hashes,
+    )
+    from mapreduce_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select(
+        "doc_id", "source", scrub_expr(F.col("text")).alias("clean_text")
+    )
+    toks = tokens(F.col("clean_text"))
+    scored = clean.select(
+        "doc_id",
+        "source",
+        "clean_text",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(
+            0.4 * F.least(F.size(toks) / 100.0, F.lit(1.0))
+            + 0.4 * F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+            + 0.2
+            * (
+                1.0
+                - _hits(toks, STOPWORDS["en"]).cast("double") / F.size(toks)
+            ),
+            6,
+        ).alias("quality"),
+    ).filter(F.size(toks) >= MIN_TOKENS)
+    gated = scored.filter(F.col("quality") >= QUALITY_THRESHOLD)
+
+    shx = gated.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality",
+        F.array_distinct(shingles(tokens(F.col("clean_text")), 3)).alias("sgl"),
+    )
+    hb = shx.filter(F.size("sgl") > 0).select(
+        "doc_id", "sgl", base_hashes(F.col("sgl")).alias("bs")
+    )
+    sig = hb.select(
+        "doc_id",
+        "sgl",
+        *[_minhash_sig(F.col("bs"), i).alias(f"sig{i}") for i in range(N_PERMS)],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                _band_hash(
+                    [
+                        F.col(f"sig{i}")
+                        for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = (
+        sig.select("doc_id", F.explode(band_structs).alias("bh"))
+        .select("doc_id", "bh.band_idx", "bh.band_hash")
+        .repartition("band_idx", "band_hash")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = shx.select(F.col("doc_id").alias("doc_a"), F.col("sgl").alias("sgl_a"))
+    sb = shx.select(F.col("doc_id").alias("doc_b"), F.col("sgl").alias("sgl_b"))
+    inter = F.size(F.array_intersect("sgl_a", "sgl_b"))
+    union = F.size("sgl_a") + F.size("sgl_b") - inter
+    dominated = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.round(inter.cast("double") / union, 6) >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = shx.join(dominated, "doc_id", "left_anti")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("mean_quality"),
+        )
+        .orderBy("source")
+    )

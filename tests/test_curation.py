@@ -122,3 +122,35 @@ def test_pack_bins_follow_prefix_sum_definition(spark, sf_dir):
             assert b["bin_tokens"] >= 1
             assert fill // C.PACK_BUDGET == b["bin_id"], (source, fill, b)
             fill += b["bin_tokens"]
+
+
+def test_curation_neardup_drops_one_token_edits(spark, tmp_path):
+    """A one-token edit of a kept doc survives EXACT dedup but must be
+    dropped by the near-dup pipeline (min-id domination); the edited copy
+    has the larger doc_id, so the original is the keeper."""
+    from mapreduce_spark.registry import get_queries
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while many other "
+        "common words fill this document with enough tokens to pass the "
+        "quality gate easily today"
+    )
+    edited = base.replace("lazy", "sleepy")
+    spark.createDataFrame(
+        [
+            (0, "en", base, "srcA"),
+            (7, "en", edited, "srcA"),  # near-dup, larger id -> dominated
+            (3, "en", "an unrelated document about spark shuffle plans "
+                      "and catalyst optimizer internals with plenty of "
+                      "distinct vocabulary to stay above the gate", "srcB"),
+        ],
+        "doc_id long, lang string, text string, source string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    qs = get_queries()
+    nd = {r["source"]: r["n_docs"] for r in
+          qs["curation_pipeline_neardup"](spark, str(tmp_path)).collect()}
+    exact = {r["source"]: r["n_docs"] for r in
+             qs["curation_pipeline"](spark, str(tmp_path)).collect()}
+    assert exact["srcA"] == 2  # exact dedup keeps both variants
+    assert nd["srcA"] == 1     # near-dup pipeline drops the edit
+    assert nd["srcB"] == exact["srcB"] == 1
