@@ -307,3 +307,22 @@ def test_dedup_recall_report_semantics(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/e/documents.parquet")
     (r2,) = get_queries()["dedup_recall_report"](spark, f"{tmp_path}/e").collect()
     assert (r2["n_true"], r2["n_found"], r2["recall"]) == (0, 0, 1.0)
+
+
+def test_source_contamination_matrix_attribution(spark, tmp_path):
+    from mapreduce_spark.registry import get_queries
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [
+            (0, "en", base, "crawlA"),
+            (1, "en", base.upper(), "crawlB"),   # cross-source exact dup
+            (2, "en", "unrelated text about catalyst optimizer rules", "crawlB"),
+        ],
+        "doc_id long, lang string, text string, source string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = get_queries()["source_contamination_matrix"](
+        spark, str(tmp_path)
+    ).collect()
+    got = {(r["source_a"], r["source_b"]): r["n_pairs"] for r in rows}
+    assert got == {("crawlA", "crawlB"): 1}  # one straddling pair, attributed
