@@ -326,3 +326,54 @@ def test_source_contamination_matrix_attribution(spark, tmp_path):
     ).collect()
     got = {(r["source_a"], r["source_b"]): r["n_pairs"] for r in rows}
     assert got == {("crawlA", "crawlB"): 1}  # one straddling pair, attributed
+
+
+def test_cluster_stats_accounting(spark, tmp_path):
+    """Sizes histogram must exactly account for every document, and the
+    removable budget must equal docs minus clusters."""
+    from mapreduce_spark.registry import get_queries
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spark.createDataFrame(
+        [
+            (0, "en", base),
+            (1, "en", base.upper()),      # exact dup of 0 -> one 2-cluster
+            (2, "en", "unrelated words about catalyst optimizer internals"),
+            (3, "en", "another singleton document with distinct vocabulary"),
+        ],
+        "doc_id long, lang string, text string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = get_queries()["dedup_cluster_stats"](spark, str(tmp_path)).collect()
+    got = {r["cluster_size"]: r for r in rows}
+    assert got[1]["n_clusters"] == 2 and got[1]["n_removable"] == 0
+    assert got[2]["n_clusters"] == 1 and got[2]["n_removable"] == 1
+    assert sum(r["n_docs"] for r in rows) == 4
+    assert sum(r["n_removable"] for r in rows) == 4 - sum(
+        r["n_clusters"] for r in rows
+    )
+
+
+def test_minhash_signatures_match_inline_pipeline(spark, sf_dir):
+    """The exported signature table equals what dedup_minhash_lsh
+    computes inline (same base hashes, same permutations)."""
+    from mapreduce_spark.operators.dedup import (
+        N_PERMS,
+        _doc_shingles,
+        _minhash_sig,
+        base_hashes,
+    )
+    from mapreduce_spark.registry import get_queries
+
+    exported = get_queries()["minhash_signatures"](spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sgl") > 0)
+    inline = sh.select(
+        "doc_id",
+        *[
+            _minhash_sig(base_hashes(F.col("sgl")), i).alias(f"sig{i}")
+            for i in range(N_PERMS)
+        ],
+    )
+    cols = ["doc_id"] + [f"sig{i}" for i in range(N_PERMS)]
+    a = sorted(tuple(r[c] for c in cols) for r in exported.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in inline.collect())
+    assert a == b and len(a) > 0

@@ -156,6 +156,7 @@ PLAN_SWEEP_SKIP = {
     "stream_static_join", "stream_stream_join", "stream_text_clean",
     "stream_quality_gate", "stream_gopher_gate",
     "dedup_cluster",  # runs a convergence loop when invoked
+    "dedup_cluster_stats",  # rolls up dedup_cluster's converged labels
     "pipe_exec", "pipe_grep",  # RDD pipelines, no SQL plan to audit
 }
 
