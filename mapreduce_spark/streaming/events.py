@@ -26,6 +26,7 @@ from mapreduce_spark.functions.exact import dsum
 from mapreduce_spark.operators.curation import QUALITY_THRESHOLD
 from mapreduce_spark.operators.textops import (
     GOPHER_SQL,
+    SQL_TOKENS,
     QUALITY_SQL,
     gopher_frame,
     quality_frame,
@@ -399,3 +400,89 @@ def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = gopher_frame(docs).filter(F.col("keep"))
     return _drain(out, "stream_gopher_gate", spark, "append")
+
+
+# ---------------------------------------------------------------------------
+from mapreduce_spark.functions.text import sql_shingles as _sql_shingles_f
+from mapreduce_spark.operators.dedup import (
+    BENCH_SOURCE as _BENCH_SOURCE,
+    CONTAM_THRESHOLD as _CONTAM_THRESHOLD,
+)
+
+_SQL_CONTAM_GATE = f"""
+    WITH t AS (SELECT doc_id, source,
+                      {SQL_TOKENS.format(col='text')} AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, source,
+                  list_distinct({_sql_shingles_f('toks', 3)}) AS sgl FROM t),
+    bench AS (
+        SELECT list(DISTINCT u.s) AS bset
+        FROM sh, unnest(sh.sgl) AS u(s) WHERE sh.source = '{_BENCH_SOURCE}'),
+    scored AS (
+        SELECT sh.doc_id, sh.source,
+               round(CAST(len(list_intersect(sh.sgl, bench.bset)) AS DOUBLE)
+                     / len(sh.sgl), 6) AS bench_overlap
+        FROM sh CROSS JOIN bench
+        WHERE sh.source <> '{_BENCH_SOURCE}' AND len(sh.sgl) > 0)
+    SELECT doc_id, source, bench_overlap
+    FROM scored WHERE bench_overlap < {_CONTAM_THRESHOLD}
+    """
+
+
+@register(
+    "stream_contamination_gate",
+    oracle=_SQL_CONTAM_GATE,
+)
+def stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark-decontamination gate: incoming documents whose
+    3-shingle overlap with the held-out benchmark slice (source =
+    BENCH_SOURCE) reaches CONTAM_THRESHOLD are dropped at ingest — the
+    live counterpart of the batch contamination_check sweep, applied
+    BEFORE a document can ever enter the training corpus. Overlap here is
+    the fraction of the DOC's distinct shingles found anywhere in the
+    benchmark (the ingest-side direction; the batch sweep scores per
+    benchmark doc).
+
+    Plan shape: the benchmark shingle set is a static 1-row array built
+    once per micro-batch and broadcast onto the stream (stream-static
+    join); scoring is then per-row array math — stateless, append mode,
+    no watermark. At 100 TB the broadcast array becomes a bloom filter
+    over benchmark shingles; the join shape is identical."""
+    from mapreduce_spark.functions.text import shingles, tokens
+    from mapreduce_spark.operators.dedup import BENCH_SOURCE, CONTAM_THRESHOLD
+
+    batch_docs = load_table(spark, sf_dir, "documents")  # tunes session conf
+    bench = (
+        batch_docs.filter(F.col("source") == BENCH_SOURCE)
+        .select(
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col("text")), 3))
+            ).alias("s")
+        )
+        .agg(F.collect_set("s").alias("bset"))
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+    )
+    sgl = F.array_distinct(shingles(tokens(F.col("text")), 3))
+    stream_sh = docs.filter(F.col("source") != BENCH_SOURCE).select(
+        "doc_id", "source", sgl.alias("sgl")
+    ).filter(F.size("sgl") > 0)
+    scored = (
+        stream_sh.withColumn("_k", F.lit(1))
+        .join(F.broadcast(bench.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            "doc_id",
+            "source",
+            F.round(
+                F.size(F.array_intersect("sgl", "bset")).cast("double")
+                / F.size("sgl"),
+                6,
+            ).alias("bench_overlap"),
+        )
+        .filter(F.col("bench_overlap") < CONTAM_THRESHOLD)
+    )
+    return _drain(scored, "stream_contamination_gate", spark, "append")

@@ -154,7 +154,7 @@ CARTESIAN_OK = {
 PLAN_SWEEP_SKIP = {
     "stream_window_counts", "stream_sessionize", "stream_dedup",
     "stream_static_join", "stream_stream_join", "stream_text_clean",
-    "stream_quality_gate", "stream_gopher_gate",
+    "stream_quality_gate", "stream_gopher_gate", "stream_contamination_gate",
     "dedup_cluster",  # runs a convergence loop when invoked
     "dedup_cluster_stats",  # rolls up dedup_cluster's converged labels
     "pipe_exec", "pipe_grep",  # RDD pipelines, no SQL plan to audit

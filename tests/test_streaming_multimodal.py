@@ -226,3 +226,37 @@ def test_stream_gopher_gate_equals_batch_keep(spark, sf_dir, qs):
     a = sorted(tuple(r) for r in streamed.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert a == b and len(a) > 0
+
+
+def test_stream_contamination_gate_drops_bench_copies(spark, tmp_path):
+    """A training doc that copies benchmark content must be dropped at
+    ingest; clean docs pass; benchmark rows themselves never appear."""
+    from mapreduce_spark.registry import get_queries
+
+    import glob
+    import shutil
+
+    bench_text = ("held out benchmark question about the quick brown fox "
+                  "jumping over lazy dogs in every evaluation prompt")
+    spark.createDataFrame(
+        [
+            (0, "en", bench_text, "src0"),                 # benchmark slice
+            (1, "en", bench_text + " stolen", "srcX"),     # contaminated
+            (2, "en", "a genuinely novel training document about spark "
+                      "adaptive query execution and shuffle partitions",
+             "srcX"),
+        ],
+        "doc_id long, lang string, text string, source string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/_docs")
+    # the file-stream source's pathGlobFilter matches FILE names (the
+    # driver testdata are single files, not directories) — lay the part
+    # file down as documents.parquet itself
+    shutil.copy(
+        glob.glob(f"{tmp_path}/_docs/part-*.parquet")[0],
+        f"{tmp_path}/documents.parquet",
+    )
+    rows = get_queries()["stream_contamination_gate"](spark, str(tmp_path)).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert ids == {2}
+    (r2,) = rows
+    assert r2["bench_overlap"] == 0.0
