@@ -1131,3 +1131,57 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) >= Z_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+PATH_TOP_K = 15  # most common 3-step user journeys
+
+
+@register(
+    "event_path_topk",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+           count(*) AS n_paths
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT {PATH_TOP_K}
+    """,
+)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most common 3-step user journeys (second-order path
+    mining) — the sequence generalization of event_transitions that
+    surfaces funnel shapes ('click -> view -> purchase') instead of
+    single hops.
+
+    One user_id window shuffle computes BOTH lags (same frame as
+    event_transitions, so an analytics job running several journey
+    queries reuses the sort), the rollup is at most |event_types|^3
+    rows with map-side combine, and the top-k compiles to
+    TakeOrderedAndProject — no global sort. The full (step1,step2,step3)
+    tie-break makes LIMIT deterministic under any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        seq.filter(F.col("p2").isNotNull())
+        .select(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "step1", "step2", "step3")
+        .limit(PATH_TOP_K)
+    )

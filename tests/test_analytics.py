@@ -220,3 +220,16 @@ def test_zscore_outliers_are_extreme_per_type(spark):
         mu = statistics.fmean(vals)
         sd = statistics.stdev(vals)
         assert abs((r["value"] - mu) / sd) > Z_THRESHOLD - 0.01
+
+
+def test_event_path_topk_orders_and_bounds(spark):
+    from mapreduce_spark.operators.analytics import PATH_TOP_K, event_path_topk
+
+    rows = event_path_topk(spark, SF).collect()
+    assert 0 < len(rows) <= PATH_TOP_K
+    counts = [r["n_paths"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # total path occurrences can't exceed total events (each event ends
+    # at most one 3-path)
+    n_events = load_table(spark, SF, "events").count()
+    assert sum(counts) <= n_events
