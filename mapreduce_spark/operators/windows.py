@@ -266,3 +266,50 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
         )
     )
+
+
+@register(
+    "window_percentiles",
+    oracle="""
+    WITH r AS (
+        SELECT c_custkey, c_nationkey,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))
+    SELECT c_custkey, c_nationkey,
+           CASE WHEN n = 1 THEN CAST(0 AS BIGINT)
+                ELSE ((rn - 1) * 1000000) // (n - 1) END AS pct_rank_micro,
+           (rn * 1000000) // n AS cume_dist_micro
+    FROM r
+    """,
+)
+def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a group: percent_rank and cume_dist of
+    each customer's balance within their nation — the windowed
+    percentile pair every cohort/benchmarking report needs. The order is
+    made TOTAL by the c_custkey tie-break, so percent_rank == (rn-1)/(n-1)
+    and cume_dist == rn/n, and both are emitted as truncating integer
+    micro-units: (rn-1)/(n-1) is not exactly representable and a rounded
+    double diverged between engines at sf0.1 (the dsir/perplexity
+    lesson). One shuffle on the partition key; the count-over-partition
+    reuses the same exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("c_nationkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.when(F.col("n") == 1, F.lit(0).cast("bigint"))
+            .otherwise(F.expr("((rn - 1) * 1000000) div (n - 1)"))
+            .alias("pct_rank_micro"),
+            F.expr("(rn * 1000000) div n").alias("cume_dist_micro"),
+        )
+    )
