@@ -1071,15 +1071,27 @@ _PPL_SCORED_SQL = f"""
     "ccnet_buckets",
     oracle=_PPL_SCORED_SQL
     + """
-    , cuts AS (
-        SELECT round(quantile_cont(avg_nll, CAST(1 AS DOUBLE)/3), 6) AS c1,
-               round(quantile_cont(avg_nll, CAST(2 AS DOUBLE)/3), 6) AS c2
-        FROM ppl)
-    SELECT ppl.doc_id, ppl.avg_nll,
-           CASE WHEN ppl.avg_nll <= cuts.c1 THEN 'head'
-                WHEN ppl.avg_nll <= cuts.c2 THEN 'middle'
+    , pm AS (SELECT doc_id, avg_nll,
+                    CAST(round(avg_nll * 1000000) AS BIGINT) AS m FROM ppl),
+    s AS (SELECT m, row_number() OVER (ORDER BY m) - 1 AS idx FROM pm),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pm),
+    cuts AS (
+        SELECT
+            (3 - (n - 1) % 3) * max(CASE WHEN idx = (n - 1) // 3 THEN m END)
+            + ((n - 1) % 3) * coalesce(
+                max(CASE WHEN idx = (n - 1) // 3 + 1 THEN m END),
+                max(CASE WHEN idx = (n - 1) // 3 THEN m END)) AS c1_3,
+            (3 - (2 * (n - 1)) % 3)
+              * max(CASE WHEN idx = (2 * (n - 1)) // 3 THEN m END)
+            + ((2 * (n - 1)) % 3) * coalesce(
+                max(CASE WHEN idx = (2 * (n - 1)) // 3 + 1 THEN m END),
+                max(CASE WHEN idx = (2 * (n - 1)) // 3 THEN m END)) AS c2_3
+        FROM s CROSS JOIN nn GROUP BY n)
+    SELECT pm.doc_id, pm.avg_nll,
+           CASE WHEN 3 * pm.m <= cuts.c1_3 THEN 'head'
+                WHEN 3 * pm.m <= cuts.c2_3 THEN 'middle'
                 ELSE 'tail' END AS ppl_bucket
-    FROM ppl CROSS JOIN cuts
+    FROM pm CROSS JOIN cuts
     """,
 )
 def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,12 +1100,21 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most-fluent third that CCNet feeds to training first. Scores come
     from the same self-trained bigram LM as perplexity_bigram.
 
-    Scale shape: NO global sort — the tercile cutoffs are one 2-value
-    percentile aggregate (exact, over 6dp-rounded scores so both engines
-    interpolate identical inputs) broadcast back onto the scored table;
-    bucketing is then a map-side comparison. The ntile() window a naive
-    translation would use needs every row through ONE partition — this
-    shape scales with splits instead.
+    Tercile cutoffs are INTEGER-EXACT: avg_nll is already an exact
+    micro-unit quotient, so the linear interpolation at positions
+    (N-1)/3 and 2(N-1)/3 is computed in units of micro/3 —
+    (3-f)*x[i] + f*x[i+1] with f = the position's remainder — entirely
+    in BIGINT. Both engines therefore derive bit-identical cutoffs; the
+    float percentile() the previous version used could flip a bucket on
+    a last-ulp interpolation difference at a 6dp rounding tie (the
+    divergence class that hit dsir_weights at sf0.1).
+
+    Scale shape: NO global sort over documents — the order statistics
+    x[i] come from a cumulative count over the (value, count) HISTOGRAM
+    of distinct micro scores (cardinality = distinct scores, orders of
+    magnitude below row count), then one conditional-min aggregate. The
+    ntile() window a naive translation would use needs every row through
+    ONE partition — this shape scales with splits instead.
 
     The scored table feeds BOTH the cutoff aggregate and the output
     projection; the explicit repartition pins an identical Exchange atop
@@ -1105,15 +1126,44 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "avg_nll")
         .repartition("doc_id")
     )
-    cuts = ppl.agg(
-        F.round(F.expr("percentile(avg_nll, CAST(1 AS DOUBLE)/3)"), 6).alias("c1"),
-        F.round(F.expr("percentile(avg_nll, CAST(2 AS DOUBLE)/3)"), 6).alias("c2"),
+    pm = ppl.withColumn(
+        "m", F.round(F.col("avg_nll") * 1000000).cast("bigint")
     )
-    return ppl.crossJoin(F.broadcast(cuts)).select(
+    hist = pm.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    ncnt = pm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # x[i] = smallest value whose cumulative count exceeds i (0-based).
+    x = lambda pos: F.min(F.when(F.col("cum") >= pos + 1, F.col("m")))
+    i1, f1 = F.expr("(n - 1) div 3"), F.expr("(n - 1) % 3")
+    i2, f2 = F.expr("(2 * (n - 1)) div 3"), F.expr("(2 * (n - 1)) % 3")
+    cuts = (
+        cum.crossJoin(F.broadcast(ncnt))
+        .groupBy("n")
+        .agg(
+            x(i1).alias("x1lo"),
+            x(i1 + 1).alias("x1hi"),
+            x(i2).alias("x2lo"),
+            x(i2 + 1).alias("x2hi"),
+        )
+        .select(
+            (
+                (3 - F.expr("(n - 1) % 3")) * F.col("x1lo")
+                + F.expr("(n - 1) % 3") * F.coalesce("x1hi", "x1lo")
+            ).alias("c1_3"),
+            (
+                (3 - F.expr("(2 * (n - 1)) % 3")) * F.col("x2lo")
+                + F.expr("(2 * (n - 1)) % 3") * F.coalesce("x2hi", "x2lo")
+            ).alias("c2_3"),
+        )
+    )
+    return pm.crossJoin(F.broadcast(cuts)).select(
         "doc_id",
         "avg_nll",
-        F.when(F.col("avg_nll") <= F.col("c1"), "head")
-        .when(F.col("avg_nll") <= F.col("c2"), "middle")
+        F.when(3 * F.col("m") <= F.col("c1_3"), "head")
+        .when(3 * F.col("m") <= F.col("c2_3"), "middle")
         .otherwise("tail")
         .alias("ppl_bucket"),
     )

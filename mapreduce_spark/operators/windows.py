@@ -292,8 +292,10 @@ def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and cume_dist == rn/n, and both are emitted as truncating integer
     micro-units: (rn-1)/(n-1) is not exactly representable and a rounded
     double diverged between engines at sf0.1 (the dsir/perplexity
-    lesson). One shuffle on the partition key; the count-over-partition
-    reuses the same exchange."""
+    lesson). rn is cast to BIGINT before the *1000000 products so
+    partitions beyond ~2147 rows (TPC-H sf1 has ~6000 customers/nation)
+    cannot overflow 32-bit arithmetic. One shuffle on the partition key;
+    the count-over-partition reuses the same exchange."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     wp = Window.partitionBy("c_nationkey")
@@ -301,7 +303,7 @@ def window_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select(
             "c_custkey",
             "c_nationkey",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
             F.count(F.lit(1)).over(wp).alias("n"),
         )
         .select(

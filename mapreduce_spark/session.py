@@ -70,6 +70,16 @@ def get_spark(
     """
     cpus = cpus or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # Python workers must import this package even when the driver process
+    # runs from another CWD (e.g. the compat Manager spawned in a scratch
+    # dir): pin the repo root onto the executor PYTHONPATH.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in py_path.split(os.pathsep):
+        py_path = repo_root + (os.pathsep + py_path if py_path else "")
+        # local-mode python workers are forked by the in-process JVM and
+        # read the driver's environment, not executorEnv — set both.
+        os.environ["PYTHONPATH"] = py_path
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -77,6 +87,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+        .config("spark.executorEnv.PYTHONPATH", py_path)
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

@@ -416,7 +416,10 @@ _SQL_CONTAM_GATE = f"""
     sh AS (SELECT doc_id, source,
                   list_distinct({_sql_shingles_f('toks', 3)}) AS sgl FROM t),
     bench AS (
-        SELECT list(DISTINCT u.s) AS bset
+        -- COALESCE: an empty benchmark slice must mean "no contamination"
+        -- (overlap 0, keep everything), matching Spark's collect_set -> []
+        -- rather than NULL-propagating every row away.
+        SELECT coalesce(list(DISTINCT u.s), CAST([] AS VARCHAR[])) AS bset
         FROM sh, unnest(sh.sgl) AS u(s) WHERE sh.source = '{_BENCH_SOURCE}'),
     scored AS (
         SELECT sh.doc_id, sh.source,

@@ -92,6 +92,17 @@ def _next_seq(jobs_dir: str) -> str:
     return f"{(max(seqs) + 1) if seqs else 0:06d}"
 
 
+def _spool_write(jobs_dir: str, name: str, msg: dict) -> None:
+    """Atomic spool drop: the daemon polls ``*.json`` every 200 ms, so a
+    plain open-write-close can expose a half-written file and crash its
+    json.load. Write to a ``.tmp`` name (excluded from the daemon's
+    filter) and os.rename into place — rename is atomic on POSIX."""
+    tmp = os.path.join(jobs_dir, name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(msg, f)
+    os.rename(tmp, os.path.join(jobs_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # daemon
 
@@ -121,14 +132,23 @@ def _daemon_main() -> int:
                 continue
             name = pending[0]  # FIFO: lowest sequence number first
             path = os.path.join(p["jobs"], name)
-            with open(path) as f:
-                msg = json.load(f)
+            try:
+                with open(path) as f:
+                    msg = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                # One corrupt spool file must not tear down the cluster
+                # (clients write via _spool_write's atomic rename, but a
+                # foreign/damaged drop is still survivable: discard it).
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+                continue
             os.remove(path)
             if msg.get("message_type") == "shutdown":
                 return 0
             result = _run_job(spark, msg)
-            with open(os.path.join(p["done"], name), "w") as f:
-                json.dump(result, f)
+            _spool_write(p["done"], name, result)  # atomic: client polls it
     finally:
         for f in (p["ready"], p["pid"]):
             try:
@@ -204,8 +224,7 @@ def cmd_stop() -> int:
     print("stopping mapreduce...")
     p = _paths()
     seq = _next_seq(p["jobs"])
-    with open(os.path.join(p["jobs"], f"{seq}-shutdown.json"), "w") as f:
-        json.dump({"message_type": "shutdown"}, f)
+    _spool_write(p["jobs"], f"{seq}-shutdown.json", {"message_type": "shutdown"})
     deadline = time.monotonic() + STOP_GRACE_S
     while time.monotonic() < deadline:
         if _alive_pid() is None:
@@ -251,8 +270,7 @@ def cmd_submit(args: argparse.Namespace) -> int:
         "num_mappers": args.num_mappers,
         "num_reducers": args.num_reducers,
     }
-    with open(os.path.join(p["jobs"], name), "w") as f:
-        json.dump(msg, f)
+    _spool_write(p["jobs"], name, msg)
     print(f"submitted {name}")
     if args.no_wait:
         return 0
