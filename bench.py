@@ -28,6 +28,7 @@ HEADLINE = [
     "topk",
     "agg_distinct",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_scaled",
     "similarity_topk",
     "text_stats",
     "tpch_q5_local_volume",
@@ -67,16 +68,18 @@ def main() -> int:
     for name in HEADLINE:
         qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
-    # Best-of-2 per query: reports steady-state throughput, insulating
-    # round-over-round comparisons from one-off GC/IO jitter. The
-    # DataFrame is built once per query so the timed section is
-    # execution (optimize + run), not Python plan construction — the
-    # part that scales with data.
+    # Best-of-3 per query: reports steady-state throughput, insulating
+    # round-over-round comparisons from one-off GC/IO jitter (the r4
+    # 5x-rerun experiment, BENCH_NOTES_r04.md, measured 60-200% min-max
+    # spread on sub-second queries with best-of-2). The DataFrame is
+    # built once per query so the timed section is execution
+    # (optimize + run), not Python plan construction — the part that
+    # scales with data.
     times: dict[str, float] = {}
     for name in HEADLINE:
         df = qs[name](spark, sf_dir)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)

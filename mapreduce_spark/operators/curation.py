@@ -65,7 +65,8 @@ _SQL_KEPT_CTES = f"""
     gated AS (
         SELECT * FROM scored WHERE quality >= {QUALITY_THRESHOLD}),
     keeper AS (
-        SELECT min(doc_id) AS doc_id FROM gated GROUP BY clean_text),
+        SELECT min(doc_id) AS doc_id FROM gated
+        GROUP BY {md5_long_sql('clean_text')}),
     kept AS (
         SELECT g.doc_id, g.source, g.n_tokens, g.quality
         FROM gated g JOIN keeper k ON g.doc_id = k.doc_id)
@@ -96,7 +97,13 @@ def _kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality"),
     ).filter(F.size(toks) >= MIN_TOKENS)
     gated = scored.filter(F.col("quality") >= QUALITY_THRESHOLD)
-    keeper = gated.groupBy("clean_text").agg(F.min("doc_id").alias("doc_id"))
+    # Keeper groups on the 60-bit content DIGEST, not the text: the dedup
+    # shuffle moves 8-byte keys instead of full documents (dedup_exact's
+    # form — at 100 TB this is the difference between shuffling keys and
+    # shuffling the corpus). Same digest on both engines.
+    keeper = gated.groupBy(md5_long(F.col("clean_text")).alias("_fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
     return (
         gated.join(keeper.select("doc_id"), "doc_id", "left_semi")
         .select("doc_id", "source", "n_tokens", "quality")
@@ -114,11 +121,10 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document manifest of the curated corpus — the file list a
     training job consumes. One plan: the scrub + score + gate are
     per-row expressions fused into the scan stage; the exact-dedup
-    keeper (min doc_id per identical clean text) is the only shuffle,
-    and the keeper set folds back as a LEFT SEMI join on doc_id, so full
-    text strings cross the wire once (inside the groupBy), never in the
-    rejoin. At 100 TB the groupBy key would be a text digest rather than
-    the text itself — dedup_exact already demonstrates that form."""
+    keeper (min doc_id per identical clean text, keyed on its 60-bit
+    digest) is the only shuffle — it carries (digest, doc_id) pairs, not
+    text — and the keeper set folds back as a LEFT SEMI join on doc_id,
+    so document text never crosses the wire at all."""
     return _kept(spark, sf_dir)
 
 
