@@ -403,33 +403,9 @@ def stream_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-from mapreduce_spark.functions.text import sql_shingles as _sql_shingles_f
 from mapreduce_spark.operators.dedup import (
-    BENCH_SOURCE as _BENCH_SOURCE,
-    CONTAM_THRESHOLD as _CONTAM_THRESHOLD,
+    CONTAM_GATE_SQL as _SQL_CONTAM_GATE,
 )
-
-_SQL_CONTAM_GATE = f"""
-    WITH t AS (SELECT doc_id, source,
-                      {SQL_TOKENS.format(col='text')} AS toks
-               FROM documents),
-    sh AS (SELECT doc_id, source,
-                  list_distinct({_sql_shingles_f('toks', 3)}) AS sgl FROM t),
-    bench AS (
-        -- COALESCE: an empty benchmark slice must mean "no contamination"
-        -- (overlap 0, keep everything), matching Spark's collect_set -> []
-        -- rather than NULL-propagating every row away.
-        SELECT coalesce(list(DISTINCT u.s), CAST([] AS VARCHAR[])) AS bset
-        FROM sh, unnest(sh.sgl) AS u(s) WHERE sh.source = '{_BENCH_SOURCE}'),
-    scored AS (
-        SELECT sh.doc_id, sh.source,
-               round(CAST(len(list_intersect(sh.sgl, bench.bset)) AS DOUBLE)
-                     / len(sh.sgl), 6) AS bench_overlap
-        FROM sh CROSS JOIN bench
-        WHERE sh.source <> '{_BENCH_SOURCE}' AND len(sh.sgl) > 0)
-    SELECT doc_id, source, bench_overlap
-    FROM scored WHERE bench_overlap < {_CONTAM_THRESHOLD}
-    """
 
 
 @register(
@@ -446,24 +422,31 @@ def stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark (the ingest-side direction; the batch sweep scores per
     benchmark doc).
 
-    Plan shape: the benchmark shingle set is a static 1-row array built
-    once per micro-batch and broadcast onto the stream (stream-static
-    join); scoring is then per-row array math — stateless, append mode,
-    no watermark. At 100 TB the broadcast array becomes a bloom filter
-    over benchmark shingles; the join shape is identical."""
+    Plan shape (the 100 TB one): the benchmark shingles aggregate into a
+    CONSTANT-SIZE Bloom bit set (functions/bloom.py — 64 KiB regardless of
+    benchmark size) broadcast onto the stream; a per-row JVM filter keeps
+    only shingles the bloom admits (for a typical training doc: none), and
+    only those survivors pay the exact equi-join against the true
+    benchmark shingle table plus a per-doc count. No false negatives, and
+    the equi-join removes bloom false positives, so the admitted set is
+    bit-identical to exact per-row intersection — the oracle is unchanged.
+    The raw shingle array never ships; state is one streaming aggregation
+    keyed by doc (bounded per micro-batch)."""
+    from mapreduce_spark.functions.bloom import bloom_build, bloom_probe
     from mapreduce_spark.functions.text import shingles, tokens
     from mapreduce_spark.operators.dedup import BENCH_SOURCE, CONTAM_THRESHOLD
 
     batch_docs = load_table(spark, sf_dir, "documents")  # tunes session conf
-    bench = (
+    bench_sh = (
         batch_docs.filter(F.col("source") == BENCH_SOURCE)
         .select(
             F.explode(
                 F.array_distinct(shingles(tokens(F.col("text")), 3))
-            ).alias("s")
+            ).alias("bs")
         )
-        .agg(F.collect_set("s").alias("bset"))
+        .distinct()
     )
+    bloom = bloom_build(bench_sh, "bs")
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     docs = (
         spark.readStream.schema(schema)
@@ -474,18 +457,34 @@ def stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_sh = docs.filter(F.col("source") != BENCH_SOURCE).select(
         "doc_id", "source", sgl.alias("sgl")
     ).filter(F.size("sgl") > 0)
-    scored = (
+    cand = (
         stream_sh.withColumn("_k", F.lit(1))
-        .join(F.broadcast(bench.withColumn("_k", F.lit(1))), "_k")
+        .join(F.broadcast(bloom.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            "doc_id",
+            "source",
+            F.size("sgl").alias("n"),
+            F.filter(
+                "sgl", lambda s: bloom_probe(F.col("bw"), s)
+            ).alias("cand"),
+        )
+        # explode_outer keeps zero-candidate docs (the common case) on the
+        # aggregation path with a NULL shingle that the left join scores 0
+        .select(
+            "doc_id", "source", "n", F.explode_outer("cand").alias("cs")
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(bench_sh), cand.cs == bench_sh.bs, "left")
+        .groupBy("doc_id", "source", "n")
+        .agg(F.count("bs").alias("matched"))
         .select(
             "doc_id",
             "source",
             F.round(
-                F.size(F.array_intersect("sgl", "bset")).cast("double")
-                / F.size("sgl"),
-                6,
+                F.col("matched").cast("double") / F.col("n"), 6
             ).alias("bench_overlap"),
         )
         .filter(F.col("bench_overlap") < CONTAM_THRESHOLD)
     )
-    return _drain(scored, "stream_contamination_gate", spark, "append")
+    return _drain(scored, "stream_contamination_gate", spark, "complete")

@@ -400,3 +400,70 @@ def test_minhash_signatures_match_inline_pipeline(spark, sf_dir):
     a = sorted(tuple(r[c] for c in cols) for r in exported.collect())
     b = sorted(tuple(r[c] for c in cols) for r in inline.collect())
     assert a == b and len(a) > 0
+
+
+def test_contamination_gate_bloom_matches_exact_intersection(spark, sf_dir, qs):
+    """The Bloom-prefiltered gate must be BIT-identical to the naive
+    exact plan (per-row array_intersect against the full benchmark
+    shingle set): no false negatives from the bloom, false positives
+    removed by the equi-join re-check."""
+    got = {
+        (r["doc_id"], r["source"], r["bench_overlap"])
+        for r in qs["contamination_gate_bloom"](spark, sf_dir).collect()
+    }
+    from mapreduce_spark.functions.text import shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sgl = F.array_distinct(shingles(tokens("text"), 3))
+    bench = (
+        docs.filter(F.col("source") == D.BENCH_SOURCE)
+        .select(F.explode(sgl).alias("s"))
+        .agg(F.coalesce(F.collect_set("s"), F.array()).alias("bset"))
+    )
+    naive = {
+        (r["doc_id"], r["source"], r["bench_overlap"])
+        for r in (
+            docs.filter(F.col("source") != D.BENCH_SOURCE)
+            .select("doc_id", "source", sgl.alias("sgl"))
+            .filter(F.size("sgl") > 0)
+            .crossJoin(F.broadcast(bench))
+            .select(
+                "doc_id",
+                "source",
+                F.round(
+                    F.size(F.array_intersect("sgl", "bset")).cast("double")
+                    / F.size("sgl"),
+                    6,
+                ).alias("bench_overlap"),
+            )
+            .filter(F.col("bench_overlap") < D.CONTAM_THRESHOLD)
+        ).collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_bloom_filter_no_false_negatives_and_low_fpp(spark):
+    """functions/bloom.py contract: every inserted value probes True;
+    the probe-miss rate for 10k absent values stays under 2% at the
+    default 2^19-bit / 4-hash geometry with 5k inserted values."""
+    from mapreduce_spark.functions.bloom import bloom_build, bloom_probe
+
+    vals = spark.range(5000).select(F.concat(F.lit("in-"), "id").alias("v"))
+    absent = spark.range(10000).select(F.concat(F.lit("out-"), "id").alias("v"))
+    bloom = bloom_build(vals, "v")
+    probed_in = (
+        vals.withColumn("_k", F.lit(1))
+        .join(F.broadcast(bloom.withColumn("_k", F.lit(1))), "_k")
+        .select(bloom_probe(F.col("bw"), F.col("v")).alias("hit"))
+        .agg(F.sum(F.col("hit").cast("int")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert probed_in == 5000  # zero false negatives, by construction
+    fp = (
+        absent.withColumn("_k", F.lit(1))
+        .join(F.broadcast(bloom.withColumn("_k", F.lit(1))), "_k")
+        .select(bloom_probe(F.col("bw"), F.col("v")).alias("hit"))
+        .agg(F.sum(F.col("hit").cast("int")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert fp / 10000 < 0.02

@@ -147,6 +147,8 @@ CARTESIAN_OK = {
     "dsir_weights",  # broadcasts the 1-row target/raw total aggregates
     "embedding_pca_power",  # broadcasts the 1-row max-abs renormalizer
     "dedup_recall_report",  # crossJoin of the two 1-row count aggregates
+    "dedup_recall_report_scaled",  # same 1-row crossJoin, scaled profile
+    "contamination_gate_bloom",  # broadcasts the 1-row 64 KiB bloom array
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
