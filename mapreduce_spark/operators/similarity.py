@@ -645,18 +645,21 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Top principal direction by power iteration, exact integer arithmetic.
+# Top principal direction by power iteration over the Gram matrix, exact
+# integer arithmetic.
 EMB_DIM = 64  # embeddings.embedding width (TESTDATA.md contract)
 PCA_ITERS = 2
 PCA_XQ_SCALE = 10_000   # float*1e4 is exact in double (24+14 mantissa bits)
 PCA_V_SCALE = 1_000     # direction vector renormalized to +-1000 units
-PCA_DOT_SHRINK = 10_000  # dot products shrunk before the second product
+PCA_GRAM_SHRINK = 10_000  # Gram entries shrunk once before the iterations
 
 
 def _sql_pca_power() -> str:
-    """Unrolled DuckDB CTE chain mirroring the Spark plan iteration-for-
-    iteration. All arithmetic is integer with sign-split truncating
-    division, so both engines produce bit-identical BIGINT directions."""
+    """Unrolled DuckDB CTE chain mirroring the Spark plan: Gram matrix
+    (via a plain self-join on vec_id — oracle clarity over speed), one
+    sign-split truncating shrink, then matrix-vector power iterations.
+    All arithmetic is integer, so both engines produce bit-identical
+    BIGINT directions."""
     ctes = [
         f"""
     ex AS (
@@ -665,6 +668,13 @@ def _sql_pca_power() -> str:
                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {PCA_XQ_SCALE})
                     AS BIGINT) AS xq
         FROM embeddings),
+    gram AS (SELECT a.pos AS i, b.pos AS j,
+                    CAST(sum(a.xq * b.xq) AS BIGINT) AS g
+             FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+    gsm AS (SELECT i, j,
+                   CASE WHEN g < 0 THEN -((-g) // {PCA_GRAM_SHRINK})
+                        ELSE g // {PCA_GRAM_SHRINK} END AS gs
+            FROM gram),
     v0 AS (SELECT CAST(range AS BIGINT) AS pos,
                   CAST({PCA_V_SCALE} AS BIGINT) AS vq
            FROM range(0, {EMB_DIM}))"""
@@ -672,17 +682,9 @@ def _sql_pca_power() -> str:
     for i in range(1, PCA_ITERS + 1):
         ctes.append(
             f"""
-    d{i} AS (
-        SELECT ex.vec_id, CAST(sum(ex.xq * v.vq) AS BIGINT) AS dot
-        FROM ex JOIN v{i - 1} v USING (pos) GROUP BY ex.vec_id),
-    ds{i} AS (
-        SELECT vec_id,
-               CASE WHEN dot < 0 THEN -((-dot) // {PCA_DOT_SHRINK})
-                    ELSE dot // {PCA_DOT_SHRINK} END AS dot_s
-        FROM d{i}),
     w{i} AS (
-        SELECT ex.pos, CAST(sum(ex.xq * ds.dot_s) AS BIGINT) AS w
-        FROM ex JOIN ds{i} ds USING (vec_id) GROUP BY ex.pos),
+        SELECT g.i AS pos, CAST(sum(g.gs * v.vq) AS BIGINT) AS w
+        FROM gsm g JOIN v{i - 1} v ON g.j = v.pos GROUP BY g.i),
     m{i} AS (SELECT greatest(CAST(max(abs(w)) AS BIGINT), 1) AS m FROM w{i}),
     v{i} AS (
         SELECT pos,
@@ -704,77 +706,105 @@ def _sql_pca_power() -> str:
 @register("embedding_pca_power", oracle=_sql_pca_power())
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding cloud (uncentered Gram)
-    by 2 unrolled power iterations — the dimensionality-analysis pass a
-    training pipeline runs before choosing projection/whitening. Each
-    iteration: per-vector dot with the current direction, then a
-    per-dimension weighted sum, renormalized to ±1000 integer units by
-    max-abs (no float sqrt in the loop).
+    by power iteration — the dimensionality-analysis pass a training
+    pipeline runs before choosing projection/whitening.
+
+    Single-pass Gram formulation (VERDICT r3 #7; replaces the r3 plan
+    whose every iteration re-joined the full exploded table and shuffled
+    64*N rows): the 64x64 Gram matrix G = X^T X is aggregated in ONE
+    pass over the data — each vector emits its d(d+1)/2 upper-triangle
+    products (posexplode over a sliced copy of the quantized array,
+    symmetry supplies the lower triangle after the shuffle) into a
+    map-side-combined groupBy with 2,080 groups. Everything downstream
+    operates on the 4,096-row (or 64-row) constant-size tables: per
+    iteration one broadcast join + 64-group aggregate computes w = G.v,
+    and a collect_list fold to ONE array row renormalizes by max-abs
+    without a second reference to the w subtree. The half-matrix ends in
+    a pinned repartition exchange (the dedup.py:218 exchange-reuse idiom)
+    so the mirror union and both iterations read one materialized shuffle
+    — the data-sized pass executes once. Adding iterations costs zero
+    additional passes over the data, vs one 64*N-row shuffle each in r3.
 
     Exactness discipline (the pagerank playbook): embeddings quantize to
-    floor(x*1e4) — exact in double for float32 inputs — and every later
-    step is integer multiply/sum/truncating-divide with the division
-    sign-split so Spark's `div` and DuckDB's `//` agree on negatives; both
-    engines produce bit-identical BIGINT axes. Intermediate magnitudes
-    fit BIGINT to ~4e7 vectors (term<=2.1e8 * rows, then *1000); beyond
-    that the two sums upgrade to DECIMAL(38,0) with the same formulas.
-
-    Plan shape: ONE explode of the embedding table, pinned under a vec_id
-    repartition reused by every iteration (the dot aggregate and the
-    dot-join are co-partitioned on it — zero extra exchanges); the
-    direction vector is a 64-row broadcast per iteration; the only
-    per-iteration shuffle is the pos-keyed partial-agg sum, 64 groups."""
+    floor(x*1e4) — exact in double for float32 inputs — then G sums
+    xq_i*xq_j exactly, shrinks ONCE by sign-split truncating div (agreeing
+    with DuckDB's // on negatives), and the iterations are pure integer
+    matrix-vector products renormalized to +-1000 units. Bit-identical
+    BIGINT axes on both engines. Magnitudes: |G| <= N*1e8, exact to
+    N ~ 9e10 vectors; after shrink, each w term <= |G|/1e4 * 1e3 * 64
+    stays in BIGINT to the same N — two orders past a 100 TB corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = (
-        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-        .select(
-            "vec_id",
-            "pos",
-            F.floor(F.col("x").cast("double") * PCA_XQ_SCALE)
-            .cast("bigint")
-            .alias("xq"),
-        )
-        .repartition("vec_id")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * PCA_XQ_SCALE).cast("bigint"),
     )
+    ex = emb.select(q.alias("qarr")).select(
+        F.posexplode("qarr").alias("i", "xi"), "qarr"
+    )
+    half = ex.select(
+        "i",
+        "xi",
+        F.posexplode(
+            F.slice("qarr", F.col("i") + 1, F.lit(EMB_DIM) - F.col("i"))
+        ).alias("jj", "xj"),
+    ).select(
+        "i",
+        (F.col("i") + F.col("jj")).alias("j"),
+        (F.col("xi") * F.col("xj")).alias("p"),
+    )
+    gram_h = half.groupBy("i", "j").agg(F.sum("p").cast("bigint").alias("g"))
+    gs_h = gram_h.select(
+        "i",
+        "j",
+        F.when(F.col("g") < 0, -F.expr(f"(-g) div {PCA_GRAM_SHRINK}"))
+        .otherwise(F.expr(f"g div {PCA_GRAM_SHRINK}"))
+        .alias("gs"),
+    ).repartition(1)  # pin: one materialized shuffle, every reader reuses it
+    gs = gs_h.unionByName(
+        gs_h.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gs"
+        )
+    )
+
     v = spark.range(0, EMB_DIM).select(
         F.col("id").cast("bigint").alias("pos"),
         F.lit(PCA_V_SCALE).cast("bigint").alias("vq"),
     )
-
     for _ in range(PCA_ITERS):
-        dots = (
-            ex.join(F.broadcast(v), "pos")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("xq") * F.col("vq")).cast("bigint").alias("dot"))
-        )
-        ds = dots.select(
-            "vec_id",
-            F.when(
-                F.col("dot") < 0,
-                -F.expr(f"(-dot) div {PCA_DOT_SHRINK}"),
-            )
-            .otherwise(F.expr(f"dot div {PCA_DOT_SHRINK}"))
-            .alias("dot_s"),
-        )
         w = (
-            ex.join(ds, "vec_id")
-            .groupBy("pos")
-            .agg(F.sum(F.col("xq") * F.col("dot_s")).cast("bigint").alias("w"))
+            gs.join(F.broadcast(v), gs.j == v.pos)
+            .groupBy("i")
+            .agg(F.sum(F.col("gs") * F.col("vq")).cast("bigint").alias("w"))
         )
-        m = w.agg(
-            F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).cast("bigint").alias("m")
+        # fold the 64 w rows into ONE array attribute so max-abs and the
+        # renormalize read a single column — w's subtree referenced once
+        warr = w.agg(
+            F.array_sort(F.collect_list(F.struct("i", "w"))).alias("wa")
         )
-        v = (
-            w.crossJoin(F.broadcast(m))
-            .select(
-                "pos",
-                F.when(
-                    F.col("w") < 0,
-                    -F.expr(f"((-w) * {PCA_V_SCALE}) div m"),
+        mx = F.greatest(
+            F.array_max(F.transform("wa", lambda x: F.abs(x["w"]))),
+            F.lit(1).cast("bigint"),
+        )
+        v = warr.select(
+            F.posexplode(
+                F.transform(
+                    "wa",
+                    lambda e: F.struct(
+                        e["i"].alias("pos"),
+                        F.when(
+                            e["w"] < 0,
+                            -F.call_function(
+                                "div", -(e["w"] * PCA_V_SCALE), mx
+                            ),
+                        )
+                        .otherwise(
+                            F.call_function("div", e["w"] * PCA_V_SCALE, mx)
+                        )
+                        .alias("vq"),
+                    ),
                 )
-                .otherwise(F.expr(f"(w * {PCA_V_SCALE}) div m"))
-                .alias("vq"),
-            )
-        )
+            ).alias("ign", "e")
+        ).select(F.col("e.pos").alias("pos"), F.col("e.vq").alias("vq"))
     return v.select(
         "pos",
         F.col("vq").alias("axis_unit"),

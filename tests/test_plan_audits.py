@@ -145,7 +145,6 @@ CARTESIAN_OK = {
     "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
     "ccnet_buckets",  # broadcasts the 1-row percentile-cutoff aggregate
     "dsir_weights",  # broadcasts the 1-row target/raw total aggregates
-    "embedding_pca_power",  # broadcasts the 1-row max-abs renormalizer
     "dedup_recall_report",  # crossJoin of the two 1-row count aggregates
     "dedup_recall_report_scaled",  # same 1-row crossJoin, scaled profile
     "contamination_gate_bloom",  # broadcasts the 1-row 64 KiB bloom array
