@@ -1285,3 +1285,113 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro.alias("dsir_logw_micro"),
         (micro.cast("double") / 1_000_000).alias("dsir_logw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup as REMOVAL (Lee et al. 2022): dup_span_stats
+# measures duplicated-span mass; this operator actually excises it.
+
+
+@register(
+    "dedup_span_remove",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks
+               FROM documents),
+    d AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+    g AS (SELECT doc_id, {sql_shingles('toks', SPAN_N)} AS spans
+          FROM d WHERE len(toks) >= {SPAN_N}),
+    sp AS (SELECT doc_id, generate_subscripts(spans, 1) - 1 AS st,
+                  {md5_long_sql('unnest(spans)')} AS h
+           FROM g),
+    cc AS (SELECT h FROM (SELECT h, count(*) AS c FROM sp GROUP BY h)
+           WHERE c >= 2),
+    dupst AS (SELECT sp.doc_id, sp.st FROM sp JOIN cc USING (h)),
+    tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p,
+                   unnest(toks) AS tok
+            FROM d),
+    covered AS (SELECT DISTINCT tok.doc_id, tok.p
+                FROM tok JOIN dupst ds
+                  ON tok.doc_id = ds.doc_id
+                 AND tok.p BETWEEN ds.st AND ds.st + {SPAN_N} - 1),
+    kept AS (SELECT tok.doc_id, tok.p, tok.tok
+             FROM tok LEFT JOIN covered cv
+               ON tok.doc_id = cv.doc_id AND tok.p = cv.p
+             WHERE cv.p IS NULL)
+    SELECT d.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           coalesce(k.n_kept, 0) AS n_kept,
+           len(d.toks) - coalesce(k.n_kept, 0) AS n_removed
+    FROM d LEFT JOIN (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id) k USING (doc_id)
+    """,
+)
+def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication as removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    token covered by a {SPAN_N}-token span that occurs 2+ times across
+    the WHOLE corpus is excised; the survivors re-join as clean_text.
+    Complements dup_span_stats (the measurement) — this is the pass that
+    actually strips boilerplate/templates before training. Documents
+    shorter than {SPAN_N} tokens cannot carry a span and pass through
+    unchanged (n_removed = 0).
+
+    Plan shape: spans hash to 60-bit keys BEFORE any shuffle (the
+    dup_span_stats layout) — the corpus-frequency groupBy and the
+    duplicate-hash semi-join move fixed-width integers, never text. Each
+    doc's duplicated-span STARTS come back as one sorted int array
+    (collect_set per doc — second shuffle), left-joined onto the token
+    arrays so the excision itself is a per-row indexed filter with an
+    exists() over that array: zero additional shuffles, text crosses the
+    wire zero times. Per-doc cost is O(n_tokens * n_dup_starts) — the
+    worst case (a fully-duplicated document) is O(n^2) in ITS OWN length
+    only, bounded and row-local; AQE deskews the hash join if one
+    boilerplate span dominates."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    sp = (
+        d.filter(F.size("toks") >= SPAN_N)
+        .select(
+            "doc_id",
+            F.posexplode(shingles(F.col("toks"), SPAN_N)).alias("st", "s"),
+        )
+        .select("doc_id", "st", md5_long(F.col("s")).alias("h"))
+    )
+    dup_h = (
+        sp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    starts = (
+        sp.join(dup_h, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("st")).alias("sts"))
+    )
+    j = d.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            "sts", F.array().cast("array<int>")
+        ).alias("sts"),
+    )
+    kept = F.filter(
+        "toks",
+        lambda t, i: ~F.exists(
+            F.col("sts"),
+            lambda st: (st <= i) & (i <= st + F.lit(SPAN_N - 1)),
+        ),
+    )
+    # projection boundary: the filter/exists scan runs once per row, the
+    # three consumers below read the materialized attribute (SPARK-36718
+    # keeps multiply-referenced expensive expressions un-inlined)
+    k = j.select("doc_id", F.size("toks").alias("n_toks"), kept.alias("kept"))
+    return k.select(
+        "doc_id",
+        F.concat_ws(" ", "kept").alias("clean_text"),
+        F.size("kept").cast("bigint").alias("n_kept"),
+        (F.col("n_toks") - F.size("kept")).cast("bigint").alias("n_removed"),
+    )

@@ -270,3 +270,29 @@ def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
     assert set(got) == {0, 1, 2, 3}
     assert got[0] > got[3]
     assert got[2] > got[3]  # scored by content, not by its lang label
+
+
+def test_dedup_span_remove_excises_shared_boilerplate(spark, tmp_path):
+    """A 5-token footer shared by two docs must vanish from BOTH; unique
+    prose survives; a short doc (< SPAN_N tokens) passes through
+    unchanged."""
+    from mapreduce_spark.registry import get_queries
+
+    footer = "subscribe to our newsletter for updates"  # 6 tokens
+    rows = [
+        (0, "en", "alpha beta gamma delta epsilon zeta " + footer, "a"),
+        (1, "en", footer + " totally different unique closing words here", "b"),
+        (2, "en", "tiny doc", "c"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in get_queries()["dedup_span_remove"](spark, str(tmp_path)).collect()
+    }
+    # every token of the 6-token footer is covered by one of its two
+    # duplicated 5-token spans; nothing else repeats corpus-wide
+    assert got[0] == ("alpha beta gamma delta epsilon zeta", 6, 6)
+    assert got[1] == ("totally different unique closing words here", 6, 6)
+    assert got[2] == ("tiny doc", 2, 0)
