@@ -810,3 +810,119 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vq").alias("axis_unit"),
         F.round(F.col("vq").cast("double") / PCA_V_SCALE, 6).alias("axis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): cluster-scoped semantic
+# near-dup removal over the embedding space.
+SEMDEDUP_TAU = 0.35  # same planted-near-dup threshold as dedup_embedding
+
+
+@register(
+    "semdedup_clusters",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                  WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}),
+    assign AS (
+        SELECT vec_id, cid, embedding FROM (
+            SELECT v.vec_id, c.cid, v.embedding,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({sql_cosine_pair('v.embedding', 'c.ce')}, 6) DESC,
+                                c.cid) AS rn
+            FROM embeddings v, cent c)
+        WHERE rn = 1),
+    pairs AS (
+        SELECT a.cid, a.vec_id AS ka, b.vec_id AS kb,
+               round({sql_cosine_pair('a.embedding', 'b.embedding')}, 6) AS c
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round({sql_cosine_pair('a.embedding', 'b.embedding')}, 6)
+              >= {SEMDEDUP_TAU}),
+    ranked AS (
+        SELECT cid, kb AS drop_id, ka, c,
+               row_number() OVER (PARTITION BY kb ORDER BY ka) AS rn
+        FROM pairs)
+    SELECT cid, ka AS keep_id, drop_id, c AS cosine
+    FROM ranked WHERE rn = 1
+    """,
+)
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: vectors are assigned to
+    their nearest seed centroid (the IVF/kmeans_refine assignment), and
+    only WITHIN each cluster are pairwise cosines computed; a vector is
+    dropped when some lower-id cluster-mate sits at cosine >=
+    SEMDEDUP_TAU = 0.35 (its keeper = the lowest such id, reported with
+    that pair's cosine). This is the paper's cost model verbatim: the
+    quadratic pair search is confined to cluster cells, so total work is
+    sum(|cell|^2) ~ |V|^2/k instead of |V|^2, and each cell's pairs come
+    from one equi-join on cid.
+
+    Plan shape: assignment is the argmax AGGREGATE over broadcast
+    centroids (map-side partial, |V| assignment rows shuffle once); the
+    pair search is a self-equi-join on cid (AQE splits a skewed cell);
+    keeper election is a min-struct aggregate on the dropped id, not a
+    window sort. Distinct from dedup_embedding, which buckets by random
+    hyperplanes: SemDeDup's cells follow the data's cluster structure,
+    the production recipe when a quantizer already exists (e.g. the IVF
+    index is built anyway)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    cent = emb.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.struct(
+                F.round(
+                    cosine_n(
+                        F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn")
+                    ),
+                    6,
+                ).alias("score"),
+                (-F.col("cid")).alias("negcid"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sc").alias("m"))
+        .select("vec_id", (-F.col("m.negcid")).alias("cid"))
+    )
+    av = assign.join(emb, "vec_id").select("cid", "vec_id", "embedding", "nrm")
+    a, b = av.alias("a"), av.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("ka"),
+            F.col("b.vec_id").alias("kb"),
+            F.round(
+                cosine_n(
+                    F.col("a.embedding"),
+                    F.col("b.embedding"),
+                    F.col("a.nrm"),
+                    F.col("b.nrm"),
+                ),
+                6,
+            ).alias("c"),
+        )
+        .filter(F.col("c") >= SEMDEDUP_TAU)
+    )
+    return (
+        pairs.groupBy("cid", F.col("kb").alias("drop_id"))
+        .agg(F.min(F.struct("ka", "c")).alias("m"))
+        .select(
+            "cid",
+            F.col("m.ka").alias("keep_id"),
+            "drop_id",
+            F.col("m.c").alias("cosine"),
+        )
+    )

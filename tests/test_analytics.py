@@ -233,3 +233,16 @@ def test_event_path_topk_orders_and_bounds(spark):
     # at most one 3-path)
     n_events = load_table(spark, SF, "events").count()
     assert sum(counts) <= n_events
+
+
+def test_cms_estimates_never_undercount_and_hit_exact_at_small_scale(spark, sf_dir):
+    """CMS one-sided guarantee: estimate >= exact always; at fixture
+    scale the 4x8192 grid is collision-free for the top-20, so the
+    estimates equal the exact counts and every bound check is TRUE."""
+    from mapreduce_spark.registry import get_queries
+
+    rows = get_queries()["cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["c_cms"] >= r["c_exact"]
+        assert r["bound_ok"]

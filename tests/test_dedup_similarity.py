@@ -467,3 +467,31 @@ def test_bloom_filter_no_false_negatives_and_low_fpp(spark):
         .collect()[0]["n"]
     )
     assert fp / 10000 < 0.02
+
+
+def test_semdedup_drops_near_twin_keeps_distant(spark, tmp_path):
+    """Two planted near-parallel vectors in the same centroid cell: the
+    higher id is dropped with the lower as keeper; an orthogonal vector
+    survives. Centroid seeds are vec_id % 100 == 7."""
+    from mapreduce_spark.registry import get_queries
+
+    base = [0.0] * 64
+    base[0] = 1.0
+    twin = [0.0] * 64
+    twin[0] = 0.98
+    twin[1] = 0.05
+    ortho = [0.0] * 64
+    ortho[32] = 1.0
+    rows = [
+        (7, base, 0),      # centroid seed AND member
+        (50, twin, 0),     # near-duplicate of 7 -> dropped, keeper 7
+        (107, ortho, 1),   # second centroid seed, far from everything
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = {
+        (r["drop_id"], r["keep_id"])
+        for r in get_queries()["semdedup_clusters"](spark, str(tmp_path)).collect()
+    }
+    assert got == {(50, 7)}

@@ -135,10 +135,12 @@ CARTESIAN_OK = {
     "knn_label",  # reuses the similarity_topk broadcast-NLJ scoring plan
     "ann_recall_report",  # embeds the similarity_topk broadcast-NLJ baseline
     "kmeans_refine",  # broadcasts the seed-centroid list against vectors
+    "semdedup_clusters",  # same broadcast-centroid assignment NLJ
     "scalar_subquery",
     "tfidf_top_terms",  # broadcasts the 1-row corpus-size aggregate
     "tpch_q22_dormant",  # broadcasts the 1-row average-balance aggregate
     "key_skew_report",  # broadcasts the 1-row grand-total aggregate
+    "cms_heavy_hitters",  # broadcasts the 1-row total-token aggregate
     "mix_weighted_sample",  # broadcasts the 1-row weight-total aggregate
     "bm25_topk",  # broadcasts the 1-row (n_docs, avgdl) corpus aggregate
     "perplexity_bigram",  # broadcasts the 1-row vocabulary-size aggregate
