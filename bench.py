@@ -45,6 +45,14 @@ HEADLINE = [
     "train_test_split",
     "global_shuffle",
     "dedup_incremental",
+    # round-4 additions: removal-grade exact-substring dedup, the bloom
+    # contamination gate, cluster-scoped semantic dedup, the CMS sketch,
+    # and the single-pass Gram PCA
+    "dedup_span_remove",
+    "contamination_gate_bloom",
+    "semdedup_clusters",
+    "cms_heavy_hitters",
+    "embedding_pca_power",
 ]
 
 
