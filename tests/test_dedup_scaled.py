@@ -82,3 +82,34 @@ def test_demo_profile_misses_threshold_pairs(sh):
         f"demo profile recall {demo_recall:.3f} >= 0.9 - fixture has no "
         "threshold-band pairs, tighten the overlap sweep"
     )
+
+
+def test_incremental_index_scaled_profile_matches_one_shot(spark, sf_dir):
+    """The persistable index under the PRODUCTION 144/36 profile must
+    reproduce dedup_minhash_lsh_scaled's cross (old, new) pairs exactly —
+    the profile parameter threads through index build and probe."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.operators import dedup as D
+    from mapreduce_spark.registry import get_queries
+    from mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    bands, hashes = D.minhash_index(old, D.SCALED_PERMS, D.SCALED_BANDS)
+    got = {
+        (r["new_doc"], r["old_doc"], r["jaccard"])
+        for r in D.dedup_against_index(
+            new, bands, hashes, D.SCALED_PERMS, D.SCALED_BANDS
+        ).collect()
+    }
+    full = get_queries()["dedup_minhash_lsh_scaled"](spark, sf_dir).collect()
+    expect = set()
+    for r in full:
+        a_new, b_new = r["doc_a"] % 5 == 0, r["doc_b"] % 5 == 0
+        if a_new and not b_new:
+            expect.add((r["doc_a"], r["doc_b"], r["jaccard"]))
+        elif b_new and not a_new:
+            expect.add((r["doc_b"], r["doc_a"], r["jaccard"]))
+    assert got == expect and len(expect) > 0

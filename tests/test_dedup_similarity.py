@@ -495,3 +495,23 @@ def test_semdedup_drops_near_twin_keeps_distant(spark, tmp_path):
         for r in get_queries()["semdedup_clusters"](spark, str(tmp_path)).collect()
     }
     assert got == {(50, 7)}
+
+
+def test_contamination_gate_bloom_empty_benchmark_keeps_everything(spark, tmp_path):
+    """No benchmark slice -> all-zero bloom -> zero candidates -> every
+    doc kept at overlap 0.0 (the advisor-flagged divergence class: an
+    empty static side must mean 'no contamination', not NULL-drop)."""
+    from mapreduce_spark.registry import get_queries
+
+    rows = [
+        (0, "en", "some perfectly ordinary training text here", "crawlA"),
+        (1, "en", "another unrelated document about something else", "crawlB"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r["bench_overlap"]
+        for r in get_queries()["contamination_gate_bloom"](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 0.0, 1: 0.0}
