@@ -59,6 +59,11 @@ def bloom_build(
     all-zero filter (probe always misses), so an empty static side means
     "keep everything" rather than NULL-propagating rows away.
     """
+    if m_bits % 64 != 0 or m_bits <= 0 or k < 1:
+        raise ValueError(
+            f"bloom geometry invalid: m_bits={m_bits} (need positive "
+            f"multiple of 64), k={k} (need >= 1)"
+        )
     n_words = m_bits // 64
     pairs = values.select(
         F.explode(
