@@ -1359,6 +1359,12 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(shingles(F.col("toks"), SPAN_N)).alias("st", "s"),
         )
         .select("doc_id", "st", md5_long(F.col("s")).alias("h"))
+        # pin the hashed-span rows behind one h-keyed exchange: the
+        # frequency groupBy reads it shuffle-free and the semi-join probe
+        # REUSES it, so the corpus text is scanned+shingled ONCE and what
+        # shuffles is fixed-width ints — at 100 TB a narrow int shuffle
+        # beats a second full text scan+md5 pass
+        .repartition("h")
     )
     dup_h = (
         sp.groupBy("h")
