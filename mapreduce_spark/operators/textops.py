@@ -704,6 +704,7 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 SPAN_N = 5  # token n-gram length for corpus-wide duplicate-span detection
+SPAN_POS_CAP = 1 << 20  # packed (doc_id, start) key base: docs < 2^20 tokens
 
 
 @register(
@@ -1303,9 +1304,10 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp AS (SELECT doc_id, generate_subscripts(spans, 1) - 1 AS st,
                   {md5_long_sql('unnest(spans)')} AS h
            FROM g),
-    cc AS (SELECT h FROM (SELECT h, count(*) AS c FROM sp GROUP BY h)
-           WHERE c >= 2),
-    dupst AS (SELECT sp.doc_id, sp.st FROM sp JOIN cc USING (h)),
+    cc AS (SELECT h, min(doc_id * {SPAN_POS_CAP} + st) AS keeper
+           FROM sp GROUP BY h HAVING count(*) >= 2),
+    dupst AS (SELECT sp.doc_id, sp.st FROM sp JOIN cc USING (h)
+              WHERE sp.doc_id * {SPAN_POS_CAP} + sp.st <> cc.keeper),
     tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p,
                    unnest(toks) AS tok
             FROM d),
@@ -1328,26 +1330,36 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring deduplication as removal (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better"): every
-    token covered by a {SPAN_N}-token span that occurs 2+ times across
-    the WHOLE corpus is excised; the survivors re-join as clean_text.
-    Complements dup_span_stats (the measurement) — this is the pass that
-    actually strips boilerplate/templates before training. Documents
+    """Exact-substring deduplication as removal, KEEP-FIRST semantics
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for every 5-token span occurring 2+ times corpus-wide, the
+    canonical FIRST occurrence — the lexicographically least
+    (doc_id, start) — survives, and tokens covered by every OTHER
+    occurrence are excised; survivors re-join as clean_text. One copy of
+    each boilerplate block remains in the corpus, matching the paper's
+    ExactSubstr output (excising all copies would delete the content
+    entirely). Complements dup_span_stats (the measurement). Documents
     shorter than {SPAN_N} tokens cannot carry a span and pass through
     unchanged (n_removed = 0).
 
-    Plan shape: spans hash to 60-bit keys BEFORE any shuffle (the
-    dup_span_stats layout) — the corpus-frequency groupBy and the
-    duplicate-hash semi-join move fixed-width integers, never text. Each
-    doc's duplicated-span STARTS come back as one sorted int array
-    (collect_set per doc — second shuffle), left-joined onto the token
-    arrays so the excision itself is a per-row indexed filter with an
-    exists() over that array: zero additional shuffles, text crosses the
-    wire zero times. Per-doc cost is O(n_tokens * n_dup_starts) — the
-    worst case (a fully-duplicated document) is O(n^2) in ITS OWN length
-    only, bounded and row-local; AQE deskews the hash join if one
-    boilerplate span dominates."""
+    Keeper election rides the SAME frequency aggregate: min over the
+    packed occurrence key doc_id * 2^20 + start (exact while documents
+    stay under 2^20 = 1,048,576 tokens — far past any training doc; both
+    engines compute the identical BIGINT). The join back then drops only
+    non-keeper occurrences.
+
+    Plan shape: spans hash to 60-bit keys BEFORE any shuffle and are
+    pinned behind one h-keyed exchange — the corpus text is
+    scanned+shingled once, the frequency+keeper groupBy reads the
+    exchange shuffle-free, and the probe join reuses it; everything that
+    moves is fixed-width integers. Each doc's duplicated-span STARTS
+    come back as one sorted int array (collect_set per doc), left-joined
+    onto the token arrays so the excision itself is a per-row indexed
+    filter with an exists() over that array: zero additional shuffles,
+    text crosses the wire zero times. Per-doc cost is O(n_tokens *
+    n_dup_starts) — the worst case (a fully-duplicated document) is
+    O(n^2) in ITS OWN length only, bounded and row-local; AQE deskews
+    the hash join if one boilerplate span dominates."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
@@ -1366,14 +1378,19 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         # beats a second full text scan+md5 pass
         .repartition("h")
     )
+    occ_key = F.col("doc_id") * F.lit(SPAN_POS_CAP) + F.col("st")
     dup_h = (
         sp.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(occ_key).alias("keeper"),
+        )
         .filter(F.col("c") >= 2)
-        .select("h")
+        .select("h", "keeper")
     )
     starts = (
-        sp.join(dup_h, "h", "left_semi")
+        sp.join(dup_h, "h")
+        .filter(occ_key != F.col("keeper"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("st")).alias("sts"))
     )

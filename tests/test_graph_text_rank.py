@@ -272,10 +272,10 @@ def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
     assert got[2] > got[3]  # scored by content, not by its lang label
 
 
-def test_dedup_span_remove_excises_shared_boilerplate(spark, tmp_path):
-    """A 5-token footer shared by two docs must vanish from BOTH; unique
-    prose survives; a short doc (< SPAN_N tokens) passes through
-    unchanged."""
+def test_dedup_span_remove_keeps_first_occurrence_only(spark, tmp_path):
+    """Keep-first (Lee et al.): the footer's canonical first occurrence
+    (lowest doc_id) survives; the later copy is excised; unique prose
+    survives; a short doc (< SPAN_N tokens) passes through unchanged."""
     from mapreduce_spark.registry import get_queries
 
     footer = "subscribe to our newsletter for updates"  # 6 tokens
@@ -291,8 +291,9 @@ def test_dedup_span_remove_excises_shared_boilerplate(spark, tmp_path):
         r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
         for r in get_queries()["dedup_span_remove"](spark, str(tmp_path)).collect()
     }
-    # every token of the 6-token footer is covered by one of its two
-    # duplicated 5-token spans; nothing else repeats corpus-wide
-    assert got[0] == ("alpha beta gamma delta epsilon zeta", 6, 6)
+    # doc 0 holds the keeper occurrences of both duplicated 5-spans:
+    # nothing removed; doc 1's copy (starts 0 and 1, covering tokens
+    # 0..5) is excised in full
+    assert got[0] == ("alpha beta gamma delta epsilon zeta " + footer, 12, 0)
     assert got[1] == ("totally different unique closing words here", 6, 6)
     assert got[2] == ("tiny doc", 2, 0)
