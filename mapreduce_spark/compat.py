@@ -61,6 +61,7 @@ HEARTBEAT_DEAD_MISSES = 5
 ACCEPT_TIMEOUT_S = 1.0
 CHUNK = 4096
 DISPATCH_POLL_S = 0.05
+MAX_TASK_RETRIES = 3  # failed-task resends before the whole job is failed
 
 
 def send_json(host: str, port: int, obj: dict) -> None:
@@ -112,6 +113,8 @@ class _TaskFarm:
         self.completed = 0
         self.total = 0
         self.pending: list[dict] = []
+        self.attempts: dict[tuple[str, int], int] = {}
+        self.failed = False
 
     # -- task construction (the reference's observable splits) ------------
     def _map_tasks(self) -> list[dict]:
@@ -119,7 +122,12 @@ class _TaskFarm:
         groups; empty groups are skipped (reference doJob,
         manager/__main__.py:252-270)."""
         job = self.job
-        files = sorted(Path(job["input_directory"]).glob("*"), key=lambda p: p.name)
+        # files only: a stray subdirectory round-robined into a task would
+        # hand the worker an unopenable input path
+        files = sorted(
+            (p for p in Path(job["input_directory"]).glob("*") if p.is_file()),
+            key=lambda p: p.name,
+        )
         m = max(1, int(job.get("num_mappers", 2)))
         groups: list[list[str]] = [[] for _ in range(m)]
         for i, f in enumerate(files):
@@ -160,13 +168,28 @@ class _TaskFarm:
     # -- dispatch loop ----------------------------------------------------
     def run(self) -> None:
         map_outputs = self._run_stage(self._map_tasks())
-        if self.m._shutdown.is_set():
+        if self.m._shutdown.is_set() or self.failed:
+            self._mark_failed()
             return
         self._run_stage(self._reduce_tasks(map_outputs))
         if not self.m._shutdown.is_set():
+            if self.failed:
+                self._mark_failed()
+                return
             out = Path(self.job["output_directory"])
             out.mkdir(parents=True, exist_ok=True)
             (out / "_SUCCESS").touch()
+
+    def _mark_failed(self) -> None:
+        """A task exhausted its retries: surface the failure instead of
+        hanging the FIFO queue (the reference has no failure path — a
+        broken executable stalls it; this layer fails the JOB and moves
+        on)."""
+        if self.m._shutdown.is_set():
+            return
+        out = Path(self.job["output_directory"])
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "_FAILURE").touch()
 
     def _run_stage(self, tasks: list[dict]) -> list[str]:
         with self.m._lock:
@@ -206,15 +229,36 @@ class _TaskFarm:
 
     # -- called from the manager's serve loop / heartbeat checker ---------
     def on_finished(self, msg: dict) -> None:
-        """A worker reported a task done (caller holds the manager lock)."""
+        """A worker reported a task done (caller holds the manager lock).
+
+        Only the worker's CURRENT in-flight task counts: a report from a
+        falsely-declared-dead worker (its task was popped on death and
+        requeued) or any duplicate/stale task_id is ignored, so stage
+        accounting and output_paths never double-count. A report carrying
+        task_status='failed' frees the worker and requeues the task up to
+        MAX_TASK_RETRIES attempts, after which the JOB is failed."""
         for w in self.m.workers:
-            if w["host"] == msg.get("worker_host") and w["port"] == msg.get(
+            if w["host"] != msg.get("worker_host") or w["port"] != msg.get(
                 "worker_port"
             ):
-                w["status"] = "ready" if w["status"] != "dead" else "dead"
-                w.pop("task", None)
-        self.output_paths.extend(msg.get("output_paths", []))
-        self.completed += 1
+                continue
+            task = w.get("task")
+            if task is None or task.get("task_id") != msg.get("task_id"):
+                return  # stale or duplicate report
+            w["status"] = "ready" if w["status"] != "dead" else "dead"
+            w.pop("task", None)
+            if msg.get("task_status") == "failed":
+                key = (task["message_type"], int(task["task_id"]))
+                self.attempts[key] = self.attempts.get(key, 0) + 1
+                if self.attempts[key] >= MAX_TASK_RETRIES:
+                    self.failed = True
+                    self.completed += 1  # unblock the stage loop
+                else:
+                    self.requeue(task)
+                return
+            self.output_paths.extend(msg.get("output_paths", []))
+            self.completed += 1
+            return
 
     def requeue(self, task_msg: dict) -> None:
         """A busy worker died: resend its task to the next ready worker
@@ -487,22 +531,23 @@ class Worker:
 
     # -- task execution ---------------------------------------------------
     def _run_task(self, fn, msg: dict) -> None:
+        reply = {
+            "message_type": "finished",
+            "task_id": msg["task_id"],
+            "worker_host": self.host,
+            "worker_port": self.port,
+        }
         try:
-            output_paths = fn(msg)
+            reply["output_paths"] = fn(msg)
         except Exception:
-            return  # a broken task must not kill the worker process
+            # A broken task must not kill the worker process — but silence
+            # would leave the manager waiting forever with this worker
+            # marked busy. Report the failure; the manager requeues the
+            # task (bounded retries) and frees the worker.
+            reply["output_paths"] = []
+            reply["task_status"] = "failed"
         try:
-            send_json(
-                self.manager_host,
-                self.manager_port,
-                {
-                    "message_type": "finished",
-                    "task_id": msg["task_id"],
-                    "output_paths": output_paths,
-                    "worker_host": self.host,
-                    "worker_port": self.port,
-                },
-            )
+            send_json(self.manager_host, self.manager_port, reply)
         except OSError:
             pass  # manager gone; shutdown will arrive or heartbeats lapse
 

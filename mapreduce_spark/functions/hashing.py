@@ -24,3 +24,16 @@ def md5_long(c: Column) -> Column:
 def md5_long_sql(expr: str) -> str:
     """DuckDB fragment equal to md5_long for the same string expression."""
     return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def md5_long2(c: Column) -> Column:
+    """The OTHER 60 bits of the md5 (hex chars 16..30). Pairing this with
+    md5_long gives a 120-bit key whose birthday-collision odds are
+    negligible at any corpus size (n^2/2^121), where a single 60-bit key
+    predicts thousands of collisions at ~1e11 rows."""
+    return F.conv(F.substring(F.md5(c), 16, 15), 16, 10).cast("bigint")
+
+
+def md5_long2_sql(expr: str) -> str:
+    """DuckDB fragment equal to md5_long2 for the same expression."""
+    return f"CAST('0x' || substring(md5({expr}), 16, 15) AS BIGINT)"

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql.window import Window
 
-from mapreduce_spark.functions.hashing import md5_long, md5_long_sql
+from mapreduce_spark.functions.hashing import (
+    md5_long,
+    md5_long2,
+    md5_long2_sql,
+    md5_long_sql,
+)
 from mapreduce_spark.functions.text import SQL_TOKENS, tokens
 from mapreduce_spark.operators.textops import (
     STOPWORDS,
@@ -66,7 +71,7 @@ _SQL_KEPT_CTES = f"""
         SELECT * FROM scored WHERE quality >= {QUALITY_THRESHOLD}),
     keeper AS (
         SELECT min(doc_id) AS doc_id FROM gated
-        GROUP BY {md5_long_sql('clean_text')}),
+        GROUP BY {md5_long_sql('clean_text')}, {md5_long2_sql('clean_text')}),
     kept AS (
         SELECT g.doc_id, g.source, g.n_tokens, g.quality
         FROM gated g JOIN keeper k ON g.doc_id = k.doc_id)
@@ -97,13 +102,18 @@ def _kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality"),
     ).filter(F.size(toks) >= MIN_TOKENS)
     gated = scored.filter(F.col("quality") >= QUALITY_THRESHOLD)
-    # Keeper groups on the 60-bit content DIGEST, not the text: the dedup
-    # shuffle moves 8-byte keys instead of full documents (dedup_exact's
+    # Keeper groups on the content DIGEST, not the text: the dedup
+    # shuffle moves 16-byte keys instead of full documents (dedup_exact's
     # form — at 100 TB this is the difference between shuffling keys and
-    # shuffling the corpus). Same digest on both engines.
-    keeper = gated.groupBy(md5_long(F.col("clean_text")).alias("_fp")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
+    # shuffling the corpus). BOTH 60-bit md5 halves form the key: 120
+    # bits makes a digest collision (two distinct documents silently
+    # merged) astronomically unlikely at any corpus size, where one
+    # 60-bit half predicts thousands of collisions at ~1e11 docs
+    # (r4 review). Same digests on both engines.
+    keeper = gated.groupBy(
+        md5_long(F.col("clean_text")).alias("_fp"),
+        md5_long2(F.col("clean_text")).alias("_fp2"),
+    ).agg(F.min("doc_id").alias("doc_id"))
     return (
         gated.join(keeper.select("doc_id"), "doc_id", "left_semi")
         .select("doc_id", "source", "n_tokens", "quality")
@@ -121,8 +131,8 @@ def curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document manifest of the curated corpus — the file list a
     training job consumes. One plan: the scrub + score + gate are
     per-row expressions fused into the scan stage; the exact-dedup
-    keeper (min doc_id per identical clean text, keyed on its 60-bit
-    digest) is the only shuffle — it carries (digest, doc_id) pairs, not
+    keeper (min doc_id per identical clean text, keyed on its 120-bit
+    digest pair) is the only shuffle — it carries (digest, doc_id) pairs, not
     text — and the keeper set folds back as a LEFT SEMI join on doc_id,
     so document text never crosses the wire at all."""
     return _kept(spark, sf_dir)

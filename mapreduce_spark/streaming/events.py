@@ -422,69 +422,50 @@ def stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark (the ingest-side direction; the batch sweep scores per
     benchmark doc).
 
-    Plan shape (the 100 TB one): the benchmark shingles aggregate into a
-    CONSTANT-SIZE Bloom bit set (functions/bloom.py — 64 KiB regardless of
-    benchmark size) broadcast onto the stream; a per-row JVM filter keeps
-    only shingles the bloom admits (for a typical training doc: none), and
-    only those survivors pay the exact equi-join against the true
-    benchmark shingle table plus a per-doc count. No false negatives, and
-    the equi-join removes bloom false positives, so the admitted set is
-    bit-identical to exact per-row intersection — the oracle is unchanged.
-    The raw shingle array never ships; state is one streaming aggregation
-    keyed by doc (bounded per micro-batch)."""
-    from mapreduce_spark.functions.bloom import bloom_build, bloom_probe
-    from mapreduce_spark.functions.text import shingles, tokens
-    from mapreduce_spark.operators.dedup import BENCH_SOURCE, CONTAM_THRESHOLD
+    Plan shape (the 100 TB one): each micro-batch is scored as a
+    self-contained BATCH plan via ``foreachBatch`` — the production idiom
+    for a gate that is stateless across batches (every document is scored
+    on its own content) but needs a join + aggregate within the batch.
+    ZERO streaming state: no state store, no watermark, nothing retained
+    between triggers; admitted rows append to a parquet sink. The scoring
+    itself is dedup.score_contamination_gate, shared verbatim with the
+    batch contamination_gate_bloom query: benchmark shingles fold into
+    the constant-64-KiB Bloom bit set (functions/bloom.py), a per-row JVM
+    prefilter keeps only bloom-admitted shingles (typical doc: none), and
+    survivors pay an exact equi-join (UNHINTED — AQE size-driven) plus a
+    per-doc count. No false negatives + exact re-check of bloom positives
+    => bit-identical to per-row exact intersection; oracle unchanged."""
+    import tempfile
+
+    from mapreduce_spark.operators.dedup import (
+        BENCH_SOURCE,
+        bench_shingles,
+        score_contamination_gate,
+    )
 
     batch_docs = load_table(spark, sf_dir, "documents")  # tunes session conf
-    bench_sh = (
-        batch_docs.filter(F.col("source") == BENCH_SOURCE)
-        .select(
-            F.explode(
-                F.array_distinct(shingles(tokens(F.col("text")), 3))
-            ).alias("bs")
-        )
-        .distinct()
-    )
-    bloom = bloom_build(bench_sh, "bs")
+    bench_sh = bench_shingles(batch_docs)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     docs = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents*.parquet")
         .parquet(sf_dir)
     )
-    sgl = F.array_distinct(shingles(tokens(F.col("text")), 3))
-    stream_sh = docs.filter(F.col("source") != BENCH_SOURCE).select(
-        "doc_id", "source", sgl.alias("sgl")
-    ).filter(F.size("sgl") > 0)
-    cand = (
-        stream_sh.withColumn("_k", F.lit(1))
-        .join(F.broadcast(bloom.withColumn("_k", F.lit(1))), "_k")
-        .select(
-            "doc_id",
-            "source",
-            F.size("sgl").alias("n"),
-            F.filter(
-                "sgl", lambda s: bloom_probe(F.col("bw"), s)
-            ).alias("cand"),
-        )
-        # explode_outer keeps zero-candidate docs (the common case) on the
-        # aggregation path with a NULL shingle that the left join scores 0
-        .select(
-            "doc_id", "source", "n", F.explode_outer("cand").alias("cs")
-        )
+    out_dir = tempfile.mkdtemp(prefix="stream_contamination_gate_")
+
+    def _score_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        score_contamination_gate(
+            batch_df.filter(F.col("source") != BENCH_SOURCE), bench_sh
+        ).write.mode("append").parquet(out_dir)
+
+    for q in spark.streams.active:
+        if q.name == "stream_contamination_gate":
+            q.stop()
+    query = (
+        docs.writeStream.foreachBatch(_score_batch)
+        .queryName("stream_contamination_gate")
+        .trigger(availableNow=True)
+        .start()
     )
-    scored = (
-        cand.join(F.broadcast(bench_sh), cand.cs == bench_sh.bs, "left")
-        .groupBy("doc_id", "source", "n")
-        .agg(F.count("bs").alias("matched"))
-        .select(
-            "doc_id",
-            "source",
-            F.round(
-                F.col("matched").cast("double") / F.col("n"), 6
-            ).alias("bench_overlap"),
-        )
-        .filter(F.col("bench_overlap") < CONTAM_THRESHOLD)
-    )
-    return _drain(scored, "stream_contamination_gate", spark, "complete")
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -471,3 +471,103 @@ def test_dead_worker_task_resend(processes, scripted, tmp_path, monkeypatch):
     send_json("localhost", manager_port, {"message_type": "shutdown"})
     p.join(timeout=30)
     assert p.exitcode == 0
+
+
+def test_broken_executable_fails_job_without_hanging_queue(
+    processes, tmp_path, monkeypatch
+):
+    """r4 review finding: a mapper that crashes used to be swallowed by
+    the worker, leaving it marked busy forever and wedging the FIFO
+    queue. Now the worker reports task_status='failed', the manager
+    retries up to MAX_TASK_RETRIES then fails the JOB (writes _FAILURE,
+    no _SUCCESS), and the next job in the queue still runs."""
+    monkeypatch.chdir(tmp_path)
+    manager_port = _start_cluster(processes, n_workers=1)
+    in_dir = tmp_path / "input"
+    in_dir.mkdir()
+    (in_dir / "f1.txt").write_text("Hello World\n")
+    bad_out = tmp_path / "bad_out"
+    send_json(
+        "localhost",
+        manager_port,
+        {
+            "message_type": "new_manager_job",
+            "input_directory": str(in_dir),
+            "output_directory": str(bad_out),
+            "mapper_executable": "/nonexistent/mapper",
+            "reducer_executable": f"python3 {EXEC_DIR}/wc_reduce.py",
+            "num_mappers": 1,
+            "num_reducers": 1,
+        },
+    )
+    good_out = tmp_path / "good_out"
+    _submit_wordcount(manager_port, in_dir, good_out, n_map=1, n_red=1)
+    _wait_success(good_out, 60)  # queue not wedged by the failed job
+    assert (bad_out / "_FAILURE").exists()
+    assert not (bad_out / "_SUCCESS").exists()
+    assert _read_counts(good_out) == {"hello": 1, "world": 1}
+    send_json("localhost", manager_port, {"message_type": "shutdown"})
+    for p in processes:
+        p.join(timeout=30)
+        assert p.exitcode == 0
+
+
+def test_subdirectory_in_input_is_ignored(processes, tmp_path, monkeypatch):
+    """r4 review finding: glob('*') used to round-robin subdirectories
+    into map tasks, handing workers unopenable input paths."""
+    monkeypatch.chdir(tmp_path)
+    manager_port = _start_cluster(processes, n_workers=1)
+    in_dir = tmp_path / "input"
+    in_dir.mkdir()
+    (in_dir / "f1.txt").write_text("Hello World Bye World\nHello Hadoop\n")
+    (in_dir / "nested_dir").mkdir()  # must be skipped, not dispatched
+    out_dir = tmp_path / "output"
+    _submit_wordcount(manager_port, in_dir, out_dir, n_map=2, n_red=1)
+    _wait_success(out_dir, 60)
+    assert _read_counts(out_dir) == {"hello": 2, "world": 2, "bye": 1, "hadoop": 1}
+    send_json("localhost", manager_port, {"message_type": "shutdown"})
+    for p in processes:
+        p.join(timeout=30)
+        assert p.exitcode == 0
+
+
+def test_duplicate_or_stale_finished_reports_are_ignored():
+    """r4 review finding: on_finished used to count ANY report. A
+    falsely-declared-dead worker whose task was requeued (its 'task'
+    popped) must not double-count the stage or duplicate output_paths."""
+    import types
+
+    from mapreduce_spark.compat import _TaskFarm
+
+    m = types.SimpleNamespace(
+        workers=[
+            {
+                "host": "h",
+                "port": 1,
+                "status": "busy",
+                "missed_hb": 0,
+                "task": {"message_type": "new_map_task", "task_id": 0},
+            }
+        ],
+        _lock=threading.Lock(),
+        _shutdown=threading.Event(),
+    )
+    farm = _TaskFarm(m, {})
+    farm.total = 2
+    msg = {
+        "message_type": "finished",
+        "worker_host": "h",
+        "worker_port": 1,
+        "task_id": 0,
+        "output_paths": ["p1"],
+    }
+    farm.on_finished(dict(msg))
+    assert (farm.completed, farm.output_paths) == (1, ["p1"])
+    farm.on_finished(dict(msg))  # duplicate: task already cleared
+    assert (farm.completed, farm.output_paths) == (1, ["p1"])
+    # stale report for a DIFFERENT task_id than the one in flight
+    m.workers[0]["status"] = "busy"
+    m.workers[0]["task"] = {"message_type": "new_map_task", "task_id": 1}
+    farm.on_finished(dict(msg))  # task_id 0 != in-flight 1 -> ignored
+    assert (farm.completed, farm.output_paths) == (1, ["p1"])
+    assert m.workers[0]["status"] == "busy"  # untouched
