@@ -512,3 +512,85 @@ def tpch_q19_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(_revenue("revenue"))
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1: the canonical pricing summary report. Every aggregate is an
+# exact decimal sum (inputs carry <=2dp); the charge term caps each
+# intermediate's precision so BOTH engines' decimal typing rules keep the
+# product inside 38 digits: (18,4) * (18,2) -> (37,6).
+_Q1_CHARGE = (
+    "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
+    " * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
+)
+_Q1_AGGS = f"""
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           {_REV} AS sum_disc_price,
+           {_Q1_CHARGE} AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_disc,
+           COUNT(*) AS count_order
+"""
+
+
+@register(
+    "tpch_q1_pricing",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_Q1_AGGS}
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1, the canonical pricing summary report: 8 aggregates over
+    shipped lineitems grouped by (returnflag, linestatus). The reference
+    would run this as one map (filter+project) -> shuffle on the 2-key ->
+    reduce (/root/reference/mapreduce/worker/__main__.py:94-155); here it
+    is one partial+final hash aggregate with the shipdate predicate pushed
+    into the parquet scan and only 8 needed columns read.
+
+    Exactness: every SUM is an order-independent DECIMAL sum (inputs are
+    fixed-point doubles with <=2dp); averages are one IEEE division of
+    exact operands; the 3-factor charge product stages its casts so both
+    engines' decimal-typing rules keep it inside 38 digits. Output is a
+    constant ~6 rows at any scale — the final exchange is a no-op."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_qty"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_base_price"),
+            _revenue("sum_disc_price"),
+            F.expr(_Q1_CHARGE).alias("sum_charge"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("avg_qty"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("avg_price"),
+            F.expr(
+                "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

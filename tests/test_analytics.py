@@ -246,3 +246,28 @@ def test_cms_estimates_never_undercount_and_hit_exact_at_small_scale(spark, sf_d
     for r in rows:
         assert r["c_cms"] >= r["c_exact"]
         assert r["bound_ok"]
+
+
+def test_tpch_q1_pricing_invariants(spark):
+    """Q1's aggregates reconcile against an independent recount: group
+    counts partition the filtered lineitems, averages times counts equal
+    the sums, and the discounted/charged totals bracket the base price."""
+    from mapreduce_spark.operators.tpch import tpch_q1_pricing
+
+    rows = tpch_q1_pricing(spark, SF).collect()
+    assert 0 < len(rows) <= 9  # |returnflag| x |linestatus| is tiny
+    li = load_table(spark, SF, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    assert sum(r["count_order"] for r in rows) == li.count()
+    for r in rows:
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+        assert r["sum_charge"] >= r["sum_disc_price"]
+        assert math.isclose(
+            r["avg_qty"] * r["count_order"], r["sum_qty"], rel_tol=1e-9
+        )
+        assert math.isclose(
+            r["avg_price"] * r["count_order"], r["sum_base_price"], rel_tol=1e-9
+        )
+    keys = [(r["l_returnflag"], r["l_linestatus"]) for r in rows]
+    assert keys == sorted(keys)

@@ -515,3 +515,22 @@ def test_contamination_gate_bloom_empty_benchmark_keeps_everything(spark, tmp_pa
         for r in get_queries()["contamination_gate_bloom"](spark, str(tmp_path)).collect()
     }
     assert got == {0: 0.0, 1: 0.0}
+
+
+def test_dedup_keep_best_elects_max_quality_keeper(spark, sf_dir, qs):
+    """keep-best partitions documents identically to dedup_cluster but
+    elects the (quality desc, doc_id asc)-max member of each cluster."""
+    rows = qs["dedup_keep_best"](spark, sf_dir).collect()
+    cluster_of = {
+        r["doc_id"]: r["cluster_id"]
+        for r in qs["dedup_cluster"](spark, sf_dir).collect()
+    }
+    assert {r["doc_id"]: r["cluster_id"] for r in rows} == cluster_of
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1
+        best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
