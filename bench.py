@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash_lsh_scaled",
     "similarity_topk",
     "text_stats",
+    "tpch_q1_pricing",
     "tpch_q5_local_volume",
     "sessionize_batch",
     "tpch_q6_forecast",
