@@ -29,6 +29,7 @@ from mapreduce_spark.functions.vectors import (
     sql_cosine_pair,
     sql_dot_literal,
 )
+from mapreduce_spark.operators.textops import BM25_SQL
 from mapreduce_spark.registry import register
 from mapreduce_spark.sources.tables import load_table
 
@@ -924,5 +925,127 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.ka").alias("keep_id"),
             "drop_id",
             F.col("m.c").alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) of
+# the BM25 lexical list and an embedding-cosine semantic list — the
+# standard way modern retrieval (and retrieval-driven data curation)
+# combines keyword and vector search without score calibration.
+RRF_K = 60           # the paper's smoothing constant
+HYBRID_SEM_QUERY = 0  # semantic query = this vec_id's embedding
+HYBRID_LIST_K = 20    # depth of each input ranking (matches BM25_TOP_K)
+HYBRID_TOP_K = 10     # fused results returned
+
+
+def _rrf_term(rank_col: str) -> Column:
+    """round(1e9 / (RRF_K + rank)) as BIGINT nano-units; 0 when the doc
+    is absent from that list — exact on both engines."""
+    return F.coalesce(
+        F.round(F.lit(1_000_000_000.0) / (F.lit(RRF_K) + F.col(rank_col))).cast(
+            "bigint"
+        ),
+        F.lit(0).cast("bigint"),
+    )
+
+
+@register(
+    "hybrid_rrf",
+    oracle=f"""
+    WITH lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                    AS BIGINT) AS lex_rank
+        FROM ({BM25_SQL}) bq),
+    q0 AS (SELECT embedding AS qe FROM embeddings
+           WHERE vec_id = {HYBRID_SEM_QUERY}),
+    semtop AS (
+        SELECT vec_id AS doc_id, cosine FROM (
+            SELECT v.vec_id,
+                   round({sql_cosine_pair('q0.qe', 'v.embedding')}, 6) AS cosine
+            FROM embeddings v CROSS JOIN q0
+            WHERE v.vec_id <> {HYBRID_SEM_QUERY})
+        ORDER BY cosine DESC, vec_id LIMIT {HYBRID_LIST_K}),
+    sem AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                    AS BIGINT) AS sem_rank
+        FROM semtop),
+    fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+               coalesce(CAST(round(1000000000.0 / ({RRF_K} + l.lex_rank))
+                             AS BIGINT), 0)
+             + coalesce(CAST(round(1000000000.0 / ({RRF_K} + s.sem_rank))
+                             AS BIGINT), 0) AS rrf_nano
+        FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id)
+    SELECT doc_id, lex_rank, sem_rank,
+           round(CAST(rrf_nano AS DOUBLE) / 1000000000, 9) AS rrf
+    FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT {HYBRID_TOP_K}
+    """,
+)
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    the BM25 top-{HYBRID_LIST_K} lexical list (textops.bm25_topk, fixed
+    query) and the cosine top-{HYBRID_LIST_K} semantic list (query =
+    vec_id {HYBRID_SEM_QUERY}'s embedding; doc_id and vec_id share one id
+    domain in the testdata) are fused by rrf(d) = sum 1/({RRF_K}+rank),
+    each term in exact integer nano-units so the fused ordering cannot
+    diverge on float summation.
+
+    Scale shape: both input rankings end in TakeOrdered top-k (never a
+    global sort); the partitionless row_number windows run AFTER the
+    limit, over constant {HYBRID_LIST_K}-row sets, so the single-partition
+    window is O(k) regardless of corpus size; the fusion join and final
+    top-k are over 2k rows. The semantic side is one pass over the vector
+    table against a 1-row broadcast query."""
+    from mapreduce_spark.operators.textops import bm25_topk
+
+    wlex = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    lex = (
+        bm25_topk(spark, sf_dir)
+        .select("doc_id", "score_micro")
+        .withColumn("lex_rank", F.row_number().over(wlex).cast("bigint"))
+        .select("doc_id", "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q0 = emb.filter(F.col("vec_id") == HYBRID_SEM_QUERY).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    semtop = (
+        emb.filter(F.col("vec_id") != HYBRID_SEM_QUERY)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_n(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(HYBRID_LIST_K)
+    )
+    wsem = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    sem = (
+        semtop.withColumn("sem_rank", F.row_number().over(wsem).cast("bigint"))
+        .select("doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (_rrf_term("lex_rank") + _rrf_term("sem_rank")).alias("rrf_nano"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_nano").desc(), "doc_id")
+        .limit(HYBRID_TOP_K)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(F.col("rrf_nano").cast("double") / 1_000_000_000, 9).alias("rrf"),
         )
     )

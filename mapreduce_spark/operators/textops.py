@@ -528,9 +528,9 @@ BM25_B = 0.75
 BM25_TOP_K = 20
 
 
-@register(
-    "bm25_topk",
-    oracle=f"""
+# Module constant so hybrid_rrf (operators/similarity.py) can embed the
+# SAME lexical ranking as a subquery of its fusion oracle.
+BM25_SQL = f"""
     WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
     d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t WHERE len(toks) > 0),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
@@ -552,8 +552,10 @@ BM25_TOP_K = 20
            round(CAST(sum(s_micro) AS DOUBLE) / 1000000, 6) AS bm25
     FROM scored GROUP BY doc_id
     ORDER BY score_micro DESC, doc_id LIMIT {BM25_TOP_K}
-    """,
-)
+    """
+
+
+@register("bm25_topk", oracle=BM25_SQL)
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents by BM25 (k1=1.2, b=0.75) for the
     fixed query {BM25_QUERY} — Robertson/Sparck-Jones ranking, the

@@ -534,3 +534,38 @@ def test_dedup_keep_best_elects_max_quality_keeper(spark, sf_dir, qs):
         assert len(keepers) == 1
         best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
         assert keepers[0]["doc_id"] == best["doc_id"]
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir, qs):
+    """Every fused doc comes from at least one input list, its rrf score
+    reconstructs exactly from the two ranks, and the output is ordered by
+    fused score with the doc_id tie-break."""
+    import pyspark.sql.functions as SF
+
+    from mapreduce_spark.operators.similarity import (
+        HYBRID_LIST_K,
+        HYBRID_SEM_QUERY,
+        HYBRID_TOP_K,
+        RRF_K,
+    )
+    from mapreduce_spark.operators.textops import bm25_topk
+
+    rows = qs["hybrid_rrf"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= HYBRID_TOP_K
+    lex_ids = [r["doc_id"] for r in bm25_topk(spark, sf_dir).collect()]
+    for r in rows:
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        if r["lex_rank"] is not None:
+            assert lex_ids[r["lex_rank"] - 1] == r["doc_id"]
+            assert 1 <= r["lex_rank"] <= HYBRID_LIST_K
+        if r["sem_rank"] is not None:
+            assert 1 <= r["sem_rank"] <= HYBRID_LIST_K
+            assert r["doc_id"] != HYBRID_SEM_QUERY
+        expect_nano = sum(
+            round(1e9 / (RRF_K + rk))
+            for rk in (r["lex_rank"], r["sem_rank"])
+            if rk is not None
+        )
+        assert round(r["rrf"] * 1e9) == expect_nano
+    scores = [(round(r["rrf"] * 1e9), -r["doc_id"]) for r in rows]
+    assert scores == sorted(scores, reverse=True)
