@@ -469,3 +469,82 @@ def stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+from mapreduce_spark.operators.dedup import _INCR_SQL as _SQL_INCR_PAIRS
+
+
+@register(
+    "stream_neardup_gate",
+    oracle=f"""
+    WITH dup AS (SELECT DISTINCT new_doc FROM ({_SQL_INCR_PAIRS}) z)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id % 2 = 1
+      AND d.doc_id NOT IN (SELECT new_doc FROM dup)
+    """,
+)
+def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup admission gate: incoming documents (the odd
+    doc_id half, playing live ingest) are probed against the PERSISTED
+    MinHash band index of the existing corpus (the even half —
+    dedup.minhash_index, materialized once before the stream starts) and
+    admitted only if no indexed document reaches JACCARD_THRESHOLD. The
+    live counterpart of the batch dedup_incremental query: same index,
+    same probe join, same exact verification over stored shingle hashes.
+
+    Plan shape (the 100 TB ingest one): the index is built ONCE and
+    reused across micro-batches (localCheckpoint here; bucketed parquet
+    in production, making the probe shuffle-free on the corpus side);
+    each batch is scored via ``foreachBatch`` as a self-contained batch
+    plan — candidates from a (band_idx, band_hash) equi-join, exact
+    Jaccard only on collisions, then a left-anti join keeps clean docs.
+    ZERO streaming state: admission depends only on (doc, static index),
+    so batch boundaries cannot change the answer. In-stream (odd-odd)
+    near-dups are deliberately NOT removed here — that is the ingest
+    gate's contract; intra-batch dedup runs in the batch pipeline."""
+    import tempfile
+
+    from mapreduce_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    index_bands, index_hashes = minhash_index(corpus)
+    index_bands = index_bands.localCheckpoint(eager=True)
+    index_hashes = index_hashes.localCheckpoint(eager=True)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_neardup_gate_")
+
+    def _admit_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch = batch_df.filter(F.col("doc_id") % 2 == 1)
+        dups = (
+            dedup_against_index(
+                batch.select("doc_id", "text"), index_bands, index_hashes
+            )
+            .select(F.col("new_doc").alias("doc_id"))
+            .dropDuplicates(["doc_id"])
+        )
+        batch.join(dups, "doc_id", "left_anti").select(
+            "doc_id", "source"
+        ).write.mode("append").parquet(out_dir)
+
+    for q in spark.streams.active:
+        if q.name == "stream_neardup_gate":
+            q.stop()
+    query = (
+        stream.writeStream.foreachBatch(_admit_batch)
+        .queryName("stream_neardup_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -260,3 +260,22 @@ def test_stream_contamination_gate_drops_bench_copies(spark, tmp_path):
     assert ids == {2}
     (r2,) = rows
     assert r2["bench_overlap"] == 0.0
+
+
+def test_stream_neardup_gate_matches_batch_incremental(spark, sf_dir, qs):
+    """The streaming admission gate is batch-boundary-invariant: admitted
+    docs = odd docs minus exactly the new_doc side of the batch
+    dedup_incremental pairs, and no admitted doc has an indexed
+    near-dup."""
+    admitted = {r["doc_id"] for r in qs["stream_neardup_gate"](spark, sf_dir).collect()}
+    odd = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .collect()
+    }
+    dup_new = {
+        r["new_doc"] for r in qs["dedup_incremental"](spark, sf_dir).collect()
+    }
+    assert admitted == odd - dup_new
+    assert admitted.isdisjoint(dup_new)
