@@ -29,7 +29,7 @@ from mapreduce_spark.functions.vectors import (
     sql_cosine_pair,
     sql_dot_literal,
 )
-from mapreduce_spark.operators.textops import BM25_SQL
+from mapreduce_spark.operators.textops import BM25_SQL, BM25_TOP_K
 from mapreduce_spark.registry import register
 from mapreduce_spark.sources.tables import load_table
 
@@ -936,7 +936,9 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combines keyword and vector search without score calibration.
 RRF_K = 60           # the paper's smoothing constant
 HYBRID_SEM_QUERY = 0  # semantic query = this vec_id's embedding
-HYBRID_LIST_K = 20    # depth of each input ranking (matches BM25_TOP_K)
+# Depth of each input ranking. The lexical depth IS BM25_SQL's LIMIT, so
+# tie the constant to it rather than shadowing it with a parallel literal.
+HYBRID_LIST_K = BM25_TOP_K
 HYBRID_TOP_K = 10     # fused results returned
 
 

@@ -524,18 +524,19 @@ _Q1_CHARGE = (
     " * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))"
     " * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(18,2))) AS DOUBLE)"
 )
+# Per-aggregate fragments shared by the Spark plan (F.expr) AND the
+# oracle, so the decimal-staging discipline cannot drift between engines.
+_Q1_SUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+_Q1_SUM_PRICE = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+_Q1_SUM_DISC = "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
 _Q1_AGGS = f"""
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_base_price,
+           {_Q1_SUM_QTY} AS sum_qty,
+           {_Q1_SUM_PRICE} AS sum_base_price,
            {_REV} AS sum_disc_price,
            {_Q1_CHARGE} AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-               AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-               AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-               AS avg_disc,
+           {_Q1_SUM_QTY} / COUNT(*) AS avg_qty,
+           {_Q1_SUM_PRICE} / COUNT(*) AS avg_price,
+           {_Q1_SUM_DISC} / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
 """
 
@@ -570,26 +571,13 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr(
-                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
-            ).alias("sum_qty"),
-            F.expr(
-                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
-            ).alias("sum_base_price"),
+            F.expr(_Q1_SUM_QTY).alias("sum_qty"),
+            F.expr(_Q1_SUM_PRICE).alias("sum_base_price"),
             _revenue("sum_disc_price"),
             F.expr(_Q1_CHARGE).alias("sum_charge"),
-            F.expr(
-                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
-                " / COUNT(*)"
-            ).alias("avg_qty"),
-            F.expr(
-                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
-                " / COUNT(*)"
-            ).alias("avg_price"),
-            F.expr(
-                "CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"
-                " / COUNT(*)"
-            ).alias("avg_disc"),
+            F.expr(f"{_Q1_SUM_QTY} / COUNT(*)").alias("avg_qty"),
+            F.expr(f"{_Q1_SUM_PRICE} / COUNT(*)").alias("avg_price"),
+            F.expr(f"{_Q1_SUM_DISC} / COUNT(*)").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -526,13 +526,10 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _admit_batch(batch_df: DataFrame, _batch_id: int) -> None:
         batch = batch_df.filter(F.col("doc_id") % 2 == 1)
-        dups = (
-            dedup_against_index(
-                batch.select("doc_id", "text"), index_bands, index_hashes
-            )
-            .select(F.col("new_doc").alias("doc_id"))
-            .dropDuplicates(["doc_id"])
-        )
+        # no dedup of the pair list needed: left_anti is multiplicity-blind
+        dups = dedup_against_index(
+            batch.select("doc_id", "text"), index_bands, index_hashes
+        ).select(F.col("new_doc").alias("doc_id"))
         batch.join(dups, "doc_id", "left_anti").select(
             "doc_id", "source"
         ).write.mode("append").parquet(out_dir)

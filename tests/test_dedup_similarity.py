@@ -540,8 +540,6 @@ def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir, qs):
     """Every fused doc comes from at least one input list, its rrf score
     reconstructs exactly from the two ranks, and the output is ordered by
     fused score with the doc_id tie-break."""
-    import pyspark.sql.functions as SF
-
     from mapreduce_spark.operators.similarity import (
         HYBRID_LIST_K,
         HYBRID_SEM_QUERY,

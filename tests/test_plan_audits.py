@@ -143,6 +143,7 @@ CARTESIAN_OK = {
     "cms_heavy_hitters",  # broadcasts the 1-row total-token aggregate
     "mix_weighted_sample",  # broadcasts the 1-row weight-total aggregate
     "bm25_topk",  # broadcasts the 1-row (n_docs, avgdl) corpus aggregate
+    "hybrid_rrf",  # embeds bm25's 1-row stats + the 1-row query embedding
     "perplexity_bigram",  # broadcasts the 1-row vocabulary-size aggregate
     "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
     "ccnet_buckets",  # broadcasts the 1-row percentile-cutoff aggregate
@@ -158,8 +159,10 @@ PLAN_SWEEP_SKIP = {
     "stream_window_counts", "stream_sessionize", "stream_dedup",
     "stream_static_join", "stream_stream_join", "stream_text_clean",
     "stream_quality_gate", "stream_gopher_gate", "stream_contamination_gate",
+    "stream_neardup_gate",  # drains the ingest stream when invoked
     "dedup_cluster",  # runs a convergence loop when invoked
     "dedup_cluster_stats",  # rolls up dedup_cluster's converged labels
+    "dedup_keep_best",  # runs dedup_cluster's convergence loop when invoked
     "pipe_exec", "pipe_grep",  # RDD pipelines, no SQL plan to audit
 }
 
