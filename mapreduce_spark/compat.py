@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import heapq
 import json
+import os
 import shlex
 import shutil
 import socket
@@ -192,6 +193,13 @@ class _TaskFarm:
         (out / "_FAILURE").touch()
 
     def _run_stage(self, tasks: list[dict]) -> list[str]:
+        """Dispatch tasks to ready workers until the stage completes.
+
+        With pending tasks and ZERO ready workers the loop WAITS — the
+        reference's semantics: a manager with no live workers holds the
+        job until a worker (re-)registers (a restarted worker revives
+        via _register's replace-on-reregister). Job-level FAILURE is
+        reserved for the executable-retry path, not worker scarcity."""
         with self.m._lock:
             self.pending = list(tasks)
             self.total = len(tasks)
@@ -244,7 +252,7 @@ class _TaskFarm:
                 continue
             task = w.get("task")
             if task is None or task.get("task_id") != msg.get("task_id"):
-                return  # stale or duplicate report
+                continue  # stale or duplicate report; keep scanning
             w["status"] = "ready" if w["status"] != "dead" else "dead"
             w.pop("task", None)
             if msg.get("task_status") == "failed":
@@ -361,6 +369,18 @@ class Manager:
         except OSError:
             return  # worker vanished before the ack; registration dropped
         with self._lock:
+            # A re-register from the same (host, port) REPLACES the old
+            # entry (the worker restarted, or its first ack was lost):
+            # keeping both would let the stale dead/task-less entry
+            # swallow 'finished' reports addressed to the live one. Any
+            # in-flight task on the old entry is lost with the old
+            # process — requeue it.
+            for old in list(self.workers):
+                if old["host"] == worker["host"] and old["port"] == worker["port"]:
+                    task = old.pop("task", None)
+                    if task is not None and self._farm is not None:
+                        self._farm.requeue(task)
+                    self.workers.remove(old)
             self.workers.append(worker)
 
     def _enqueue_job(self, msg: dict) -> None:
@@ -555,9 +575,19 @@ class Worker:
         """Pipe each input file through the mapper; append each output
         line to partition file md5(first-tab key) % R — the reference's
         maptask{task:05d}-part{part:05d} contract
-        (worker/__main__.py:85-117). Sinks open with 'w' (not the
-        reference's 'a'): a task RESENT after its first worker died
-        mid-write must truncate the partial output, not append dupes."""
+        (worker/__main__.py:85-117).
+
+        Two hardenings over the reference:
+        - nonzero mapper exit => the task FAILS (raise -> task_status=
+          'failed' -> bounded retries). The reference never checks, so a
+          mapper dying mid-stream yields a 'successful' job over
+          truncated output.
+        - partition files are written under an attempt-private name and
+          os.replace'd into place only after the mapper finishes. A
+          falsely-declared-dead worker still running while its requeued
+          duplicate writes the SAME final paths can therefore never
+          interleave bytes: each attempt publishes a complete file
+          atomically, and both attempts' contents are identical."""
         from mapreduce_spark.operators.mr import _md5_partition
 
         r = int(msg["num_partitions"])
@@ -567,7 +597,8 @@ class Worker:
             str(out_dir / f"maptask{int(msg['task_id']):05d}-part{p:05d}")
             for p in range(r)
         ]
-        sinks = [open(p, "w", encoding="utf-8") for p in paths]
+        tmp = f".inflight-{self.port}-{os.getpid()}"
+        sinks = [open(p + tmp, "w", encoding="utf-8") for p in paths]
         try:
             for input_path in msg["input_paths"]:
                 with open(input_path, encoding="utf-8") as infile:
@@ -583,14 +614,29 @@ class Worker:
                                 line += "\n"
                             key = line.split("\t", 1)[0]
                             sinks[_md5_partition(key) % r].write(line)
-        finally:
+                    if proc.returncode != 0:
+                        raise RuntimeError(
+                            f"mapper exited {proc.returncode}: "
+                            f"{msg['executable']}"
+                        )
+        except BaseException:
             for f in sinks:
                 f.close()
+            for p in paths:
+                Path(p + tmp).unlink(missing_ok=True)
+            raise
+        for f in sinks:
+            f.close()
+        for p in paths:
+            os.replace(p + tmp, p)
         return paths
 
     def _reduce_task(self, msg: dict) -> list[str]:
         """Sort each intermediate file, k-way merge into the reducer,
-        write part-{task:05d} (worker/__main__.py:127-157)."""
+        write part-{task:05d} (worker/__main__.py:127-157). Same
+        hardenings as _map_task: nonzero reducer exit fails the task, and
+        the part file is published atomically from an attempt-private
+        name so duplicate attempts can never interleave."""
         runs = []
         for input_path in msg["input_paths"]:
             with open(input_path, encoding="utf-8") as f:
@@ -598,17 +644,28 @@ class Worker:
         out_dir = Path(msg["output_directory"])
         out_dir.mkdir(parents=True, exist_ok=True)
         out_path = str(out_dir / f"part-{int(msg['task_id']):05d}")
-        with open(out_path, "w", encoding="utf-8") as outfile:
-            proc = subprocess.Popen(
-                shlex.split(msg["executable"]),
-                stdin=subprocess.PIPE,
-                stdout=outfile,
-                text=True,
-            )
-            with proc:
-                for line in heapq.merge(*runs):
-                    proc.stdin.write(line)
-                proc.stdin.close()
+        tmp_path = f"{out_path}.inflight-{self.port}-{os.getpid()}"
+        try:
+            with open(tmp_path, "w", encoding="utf-8") as outfile:
+                proc = subprocess.Popen(
+                    shlex.split(msg["executable"]),
+                    stdin=subprocess.PIPE,
+                    stdout=outfile,
+                    text=True,
+                )
+                with proc:
+                    for line in heapq.merge(*runs):
+                        proc.stdin.write(line)
+                    proc.stdin.close()
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"reducer exited {proc.returncode}: "
+                        f"{msg['executable']}"
+                    )
+        except BaseException:
+            Path(tmp_path).unlink(missing_ok=True)
+            raise
+        os.replace(tmp_path, out_path)
         return [out_path]
 
     def _heartbeat_loop(self) -> None:

@@ -40,6 +40,11 @@ from mapreduce_spark.compat import (
 from mapreduce_spark.operators.mr import EXEC_DIR
 
 
+# Manager port -> its UDP heartbeat port (recorded by _start_cluster so a
+# test can attach a fresh worker to a running manager).
+_HB_PORTS: dict[int, int] = {}
+
+
 def _free_ports(n: int) -> list[int]:
     socks, ports = [], []
     for _ in range(n):
@@ -78,6 +83,7 @@ def _start_cluster(processes, n_workers: int = 2) -> int:
     JVM/session state."""
     ctx = multiprocessing.get_context("spawn")
     manager_port, hb_port, *worker_ports = _free_ports(2 + n_workers)
+    _HB_PORTS[manager_port] = hb_port  # for tests that restart workers
     p = ctx.Process(
         name=f"Manager:{manager_port}",
         target=Manager,
@@ -571,3 +577,87 @@ def test_duplicate_or_stale_finished_reports_are_ignored():
     farm.on_finished(dict(msg))  # task_id 0 != in-flight 1 -> ignored
     assert (farm.completed, farm.output_paths) == (1, ["p1"])
     assert m.workers[0]["status"] == "busy"  # untouched
+
+
+def test_mapper_nonzero_exit_fails_job(processes, tmp_path, monkeypatch):
+    """r4 review finding: a mapper that EMITS OUTPUT then exits nonzero
+    used to be counted successful (only Popen failures were caught), so
+    the job finished over truncated data. Now the worker checks the exit
+    status, the task fails with bounded retries, the job gets _FAILURE,
+    and no partial output is published."""
+    monkeypatch.chdir(tmp_path)
+    manager_port = _start_cluster(processes, n_workers=1)
+    in_dir = tmp_path / "input"
+    in_dir.mkdir()
+    (in_dir / "f1.txt").write_text("Hello World\n")
+    bad_mapper = tmp_path / "half_then_die.py"
+    bad_mapper.write_text("import sys\nprint('hello\\t1')\nsys.exit(3)\n")
+    bad_out = tmp_path / "bad_out"
+    send_json(
+        "localhost",
+        manager_port,
+        {
+            "message_type": "new_manager_job",
+            "input_directory": str(in_dir),
+            "output_directory": str(bad_out),
+            "mapper_executable": f"python3 {bad_mapper}",
+            "reducer_executable": f"python3 {EXEC_DIR}/wc_reduce.py",
+            "num_mappers": 1,
+            "num_reducers": 1,
+        },
+    )
+    good_out = tmp_path / "good_out"
+    _submit_wordcount(manager_port, in_dir, good_out, n_map=1, n_red=1)
+    _wait_success(good_out, 60)  # queue not wedged by the failed job
+    assert (bad_out / "_FAILURE").exists()
+    assert not (bad_out / "_SUCCESS").exists()
+    # the failed attempts must not leave published intermediate files
+    inter = tmp_path / "tmp" / "job-0" / "intermediate"
+    assert not list(inter.glob("maptask*")), "truncated output was published"
+    send_json("localhost", manager_port, {"message_type": "shutdown"})
+    for p in processes:
+        p.join(timeout=30)
+        assert p.exitcode == 0
+
+
+def test_restarted_worker_reregisters_and_farms(processes, tmp_path, monkeypatch):
+    """r4 review finding: a worker restarting on the same (host, port)
+    used to leave TWO registry entries; the stale dead one swallowed
+    'finished' reports and wedged the stage. Re-register now REPLACES
+    the old entry, so a job submitted after the restart farms and
+    completes."""
+    import multiprocessing as mp
+
+    monkeypatch.chdir(tmp_path)
+    manager_port = _start_cluster(processes, n_workers=1)
+    victim = processes[-1]
+    worker_port = int(victim.name.split(":")[1])
+    victim.terminate()
+    victim.join()
+    # let the manager notice the death (5 missed 2s heartbeats)
+    time.sleep(HEARTBEAT_EVERY_S * (HEARTBEAT_DEAD_MISSES + 1))
+    # restart a worker on the SAME port; it re-registers with the manager
+    ctx = mp.get_context("spawn")
+    q = ctx.Process(
+        name=f"Worker:{worker_port}",
+        target=Worker,
+        args=("localhost", worker_port, "localhost", manager_port,
+              _HB_PORTS[manager_port]),
+    )
+    q.start()
+    processes.append(q)
+    _wait_port(worker_port)
+    time.sleep(1.0)  # registration round-trip
+    in_dir = tmp_path / "input"
+    in_dir.mkdir()
+    (in_dir / "f1.txt").write_text("Hello World\n")
+    out_dir = tmp_path / "output"
+    _submit_wordcount(manager_port, in_dir, out_dir, n_map=1, n_red=1)
+    _wait_success(out_dir, 60)
+    assert _read_counts(out_dir) == {"hello": 1, "world": 1}
+    send_json("localhost", manager_port, {"message_type": "shutdown"})
+    for p in processes:
+        if p is victim:
+            continue  # terminated by the test; exits with SIGTERM
+        p.join(timeout=30)
+        assert p.exitcode == 0

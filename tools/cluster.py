@@ -144,7 +144,10 @@ def _daemon_main() -> int:
                 except OSError:
                     pass
                 continue
-            os.remove(path)
+            try:
+                os.remove(path)
+            except OSError:
+                pass  # racing removal must not kill the daemon
             if msg.get("message_type") == "shutdown":
                 return 0
             result = _run_job(spark, msg)
