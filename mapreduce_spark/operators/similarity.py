@@ -670,11 +670,11 @@ def _sql_pca_power() -> str:
                     AS BIGINT) AS xq
         FROM embeddings),
     gram AS (SELECT a.pos AS i, b.pos AS j,
-                    CAST(sum(a.xq * b.xq) AS BIGINT) AS g
+                    CAST(sum(CAST(a.xq * b.xq AS HUGEINT)) AS HUGEINT) AS g
              FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
     gsm AS (SELECT i, j,
-                   CASE WHEN g < 0 THEN -((-g) // {PCA_GRAM_SHRINK})
-                        ELSE g // {PCA_GRAM_SHRINK} END AS gs
+                   CAST(CASE WHEN g < 0 THEN -((-g) // {PCA_GRAM_SHRINK})
+                             ELSE g // {PCA_GRAM_SHRINK} END AS BIGINT) AS gs
             FROM gram),
     v0 AS (SELECT CAST(range AS BIGINT) AS pos,
                   CAST({PCA_V_SCALE} AS BIGINT) AS vq
@@ -684,13 +684,14 @@ def _sql_pca_power() -> str:
         ctes.append(
             f"""
     w{i} AS (
-        SELECT g.i AS pos, CAST(sum(g.gs * v.vq) AS BIGINT) AS w
+        SELECT g.i AS pos,
+               CAST(sum(CAST(g.gs AS HUGEINT) * v.vq) AS HUGEINT) AS w
         FROM gsm g JOIN v{i - 1} v ON g.j = v.pos GROUP BY g.i),
-    m{i} AS (SELECT greatest(CAST(max(abs(w)) AS BIGINT), 1) AS m FROM w{i}),
+    m{i} AS (SELECT greatest(max(abs(w)), CAST(1 AS HUGEINT)) AS m FROM w{i}),
     v{i} AS (
         SELECT pos,
-               CASE WHEN w < 0 THEN -((-w * {PCA_V_SCALE}) // m)
-                    ELSE (w * {PCA_V_SCALE}) // m END AS vq
+               CAST(CASE WHEN w < 0 THEN -((-w * {PCA_V_SCALE}) // m)
+                         ELSE (w * {PCA_V_SCALE}) // m END AS BIGINT) AS vq
         FROM w{i} CROSS JOIN m{i})"""
         )
     return (
@@ -731,9 +732,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     xq_i*xq_j exactly, shrinks ONCE by sign-split truncating div (agreeing
     with DuckDB's // on negatives), and the iterations are pure integer
     matrix-vector products renormalized to +-1000 units. Bit-identical
-    BIGINT axes on both engines. Magnitudes: |G| <= N*1e8, exact to
-    N ~ 9e10 vectors; after shrink, each w term <= |G|/1e4 * 1e3 * 64
-    stays in BIGINT to the same N — two orders past a 100 TB corpus."""
+    BIGINT axes on both engines. Magnitudes: per-term products fit in
+    BIGINT, but every data-proportional ACCUMULATION (the Gram sum, the
+    w = G.v sum, and the w*1e3 renormalize product) runs in
+    DECIMAL(38,0) — HUGEINT on the oracle side — because 64-bit versions
+    wrap silently at N ~ 1.4e7 (w*1e3) and N ~ 9e10 (Gram) vectors;
+    38 digits are exact past N = 1e20. Only the bounded quotients
+    (gs <= N*1e4, vq <= 1e3) return to BIGINT."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = F.transform(
         "embedding",
@@ -753,7 +758,13 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i") + F.col("jj")).alias("j"),
         (F.col("xi") * F.col("xj")).alias("p"),
     )
-    gram_h = half.groupBy("i", "j").agg(F.sum("p").cast("bigint").alias("g"))
+    # DECIMAL(38,0) sum (HUGEINT in the oracle): per-term products fit in
+    # BIGINT (|xq_i*xq_j| <= 1e8) but the corpus-wide sum must not — with
+    # a 64-bit accumulator the Gram entries silently wrap at N ~ 9e10
+    # vectors; the 38-digit accumulator is exact at any realistic N.
+    gram_h = half.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("g")
+    )
     gs_h = gram_h.select(
         "i",
         "j",
@@ -772,10 +783,19 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(PCA_V_SCALE).cast("bigint").alias("vq"),
     )
     for _ in range(PCA_ITERS):
+        # w accumulates in DECIMAL(38,0) and the *PCA_V_SCALE renormalize
+        # product runs in decimal too: with BIGINT arithmetic w*1000
+        # wraps silently at N ~ 1.4e7 vectors (r4 review finding) — four
+        # orders below the exactness this operator claims. The quotient
+        # itself is <= PCA_V_SCALE, so vq lands back in BIGINT.
         w = (
             gs.join(F.broadcast(v), gs.j == v.pos)
             .groupBy("i")
-            .agg(F.sum(F.col("gs") * F.col("vq")).cast("bigint").alias("w"))
+            .agg(
+                F.sum(F.col("gs").cast("decimal(38,0)") * F.col("vq")).alias(
+                    "w"
+                )
+            )
         )
         # fold the 64 w rows into ONE array attribute so max-abs and the
         # renormalize read a single column — w's subtree referenced once
@@ -784,7 +804,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         mx = F.greatest(
             F.array_max(F.transform("wa", lambda x: F.abs(x["w"]))),
-            F.lit(1).cast("bigint"),
+            F.lit(1).cast("decimal(38,0)"),
         )
         v = warr.select(
             F.posexplode(

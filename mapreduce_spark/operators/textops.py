@@ -21,7 +21,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
-from mapreduce_spark.functions.hashing import md5_long, md5_long_sql
+from mapreduce_spark.functions.hashing import (
+    md5_long,
+    md5_long2,
+    md5_long2_sql,
+    md5_long_sql,
+)
 from mapreduce_spark.functions.text import SQL_TOKENS, shingles, sql_shingles, tokens
 from mapreduce_spark.registry import register
 from mapreduce_spark.sources.tables import load_table
@@ -1304,11 +1309,12 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT doc_id, {sql_shingles('toks', SPAN_N)} AS spans
           FROM d WHERE len(toks) >= {SPAN_N}),
     sp AS (SELECT doc_id, generate_subscripts(spans, 1) - 1 AS st,
-                  {md5_long_sql('unnest(spans)')} AS h
+                  {md5_long_sql('unnest(spans)')} AS h,
+                  {md5_long2_sql('unnest(spans)')} AS h2
            FROM g),
-    cc AS (SELECT h, min(doc_id * {SPAN_POS_CAP} + st) AS keeper
-           FROM sp GROUP BY h HAVING count(*) >= 2),
-    dupst AS (SELECT sp.doc_id, sp.st FROM sp JOIN cc USING (h)
+    cc AS (SELECT h, h2, min(doc_id * {SPAN_POS_CAP} + st) AS keeper
+           FROM sp GROUP BY h, h2 HAVING count(*) >= 2),
+    dupst AS (SELECT sp.doc_id, sp.st FROM sp JOIN cc USING (h, h2)
               WHERE sp.doc_id * {SPAN_POS_CAP} + sp.st <> cc.keeper),
     tok AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS p,
                    unnest(toks) AS tok
@@ -1350,8 +1356,10 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute the identical BIGINT). The join back then drops only
     non-keeper occurrences.
 
-    Plan shape: spans hash to 60-bit keys BEFORE any shuffle and are
-    pinned behind one h-keyed exchange — the corpus text is
+    Plan shape: spans hash to a 120-bit (h, h2) key pair (both halves of
+    one md5 — collision-safe at any corpus size, where a lone 60-bit key
+    would falsely excise unique text at ~1e11 spans) BEFORE any shuffle
+    and are pinned behind one (h, h2)-keyed exchange — the corpus text is
     scanned+shingled once, the frequency+keeper groupBy reads the
     exchange shuffle-free, and the probe join reuses it; everything that
     moves is fixed-width integers. Each doc's duplicated-span STARTS
@@ -1372,26 +1380,36 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.posexplode(shingles(F.col("toks"), SPAN_N)).alias("st", "s"),
         )
-        .select("doc_id", "st", md5_long(F.col("s")).alias("h"))
+        .select(
+            "doc_id",
+            "st",
+            md5_long(F.col("s")).alias("h"),
+            md5_long2(F.col("s")).alias("h2"),
+        )
         # pin the hashed-span rows behind one h-keyed exchange: the
         # frequency groupBy reads it shuffle-free and the semi-join probe
         # REUSES it, so the corpus text is scanned+shingled ONCE and what
         # shuffles is fixed-width ints — at 100 TB a narrow int shuffle
-        # beats a second full text scan+md5 pass
-        .repartition("h")
+        # beats a second full text scan+md5 pass. Span identity is the
+        # 120-bit (h, h2) pair — both halves of ONE md5 — because a
+        # single 60-bit key collides thousands of times at 1e11 spans
+        # and a collision here EXCISES unique text with no exact
+        # re-check downstream (unlike the LSH/bloom paths, where a
+        # collision only adds verification work).
+        .repartition("h", "h2")
     )
     occ_key = F.col("doc_id") * F.lit(SPAN_POS_CAP) + F.col("st")
     dup_h = (
-        sp.groupBy("h")
+        sp.groupBy("h", "h2")
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.min(occ_key).alias("keeper"),
         )
         .filter(F.col("c") >= 2)
-        .select("h", "keeper")
+        .select("h", "h2", "keeper")
     )
     starts = (
-        sp.join(dup_h, "h")
+        sp.join(dup_h, ["h", "h2"])
         .filter(occ_key != F.col("keeper"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("st")).alias("sts"))
