@@ -31,9 +31,13 @@ from mapreduce_spark.functions.hashing import (
 )
 from mapreduce_spark.functions.text import SQL_TOKENS, tokens
 from mapreduce_spark.operators.textops import (
+    GOPHER_SQL,
+    QUALITY_SQL,
     STOPWORDS,
     _hits,
     _sql_hits,
+    gopher_frame,
+    quality_frame,
     scrub_expr,
     sql_scrub,
 )
@@ -595,4 +599,62 @@ def curation_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_quality"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "filter_agreement_report",
+    oracle=f"""
+    WITH q AS (SELECT doc_id, n_tokens, quality FROM ({QUALITY_SQL}) qq),
+    g AS (SELECT doc_id, keep FROM ({GOPHER_SQL}) gg)
+    SELECT q.quality >= {QUALITY_THRESHOLD} AS quality_keep,
+           g.keep AS gopher_keep,
+           count(*) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CAST(SUM(CAST(q.quality AS DECIMAL(18,6))) AS DOUBLE)
+                / count(*) AS DOUBLE) AS mean_quality
+    FROM q JOIN g USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def filter_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the corpus's two independent quality
+    gates — the soft score threshold (quality_frame >= threshold) and
+    the Gopher heuristic rule conjunction (gopher_frame.keep): per
+    (quality_keep, gopher_keep) cell, document count, token mass, and
+    mean quality. The report every curation run reads before choosing a
+    gate: the disagreement cells are exactly the data one filter would
+    uniquely discard, and their token mass is the cost of switching.
+
+    Plan shape: both gates are zero-shuffle per-row plan fragments
+    (shared verbatim with the batch/streaming gate queries) over ONE
+    documents scan each; the equi-join on doc_id and the <=4-row rollup
+    are the only shuffles. Both frames drop zero-token docs by the same
+    rule, so the inner join loses nothing. Mean quality sums exact
+    DECIMAL(18,6) then divides once; the rounded-6dp score makes the
+    threshold compare engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_frame(docs).select("doc_id", "n_tokens", "quality")
+    g = gopher_frame(docs).select("doc_id", F.col("keep").alias("gopher_keep"))
+    return (
+        q.join(g, "doc_id")
+        .select(
+            (F.col("quality") >= QUALITY_THRESHOLD).alias("quality_keep"),
+            "gopher_keep",
+            "n_tokens",
+            "quality",
+        )
+        .groupBy("quality_keep", "gopher_keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("mean_quality"),
+        )
+        .orderBy("quality_keep", "gopher_keep")
     )

@@ -23,7 +23,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from mapreduce_spark.functions.hashing import (
     md5_long,
-    md5_long2,
     md5_long2_sql,
     md5_long_sql,
 )
@@ -1380,11 +1379,14 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.posexplode(shingles(F.col("toks"), SPAN_N)).alias("st", "s"),
         )
+        # one md5 per span, both 60-bit halves sliced from the same digest
+        # (a projection boundary pins the single evaluation)
+        .select("doc_id", "st", F.md5(F.col("s")).alias("md"))
         .select(
             "doc_id",
             "st",
-            md5_long(F.col("s")).alias("h"),
-            md5_long2(F.col("s")).alias("h2"),
+            F.conv(F.substring("md", 1, 15), 16, 10).cast("bigint").alias("h"),
+            F.conv(F.substring("md", 16, 15), 16, 10).cast("bigint").alias("h2"),
         )
         # pin the hashed-span rows behind one h-keyed exchange: the
         # frequency groupBy reads it shuffle-free and the semi-join probe

@@ -154,3 +154,24 @@ def test_curation_neardup_drops_one_token_edits(spark, tmp_path):
     assert exact["srcA"] == 2  # exact dedup keeps both variants
     assert nd["srcA"] == 1     # near-dup pipeline drops the edit
     assert nd["srcB"] == exact["srcB"] == 1
+
+
+def test_filter_agreement_cells_reconcile_with_both_gates(spark, sf_dir):
+    """The confusion matrix partitions the scored corpus, and each cell's
+    count matches an independent recompute from the two gate queries."""
+    qs = get_queries()
+    rows = qs["filter_agreement_report"](spark, sf_dir).collect()
+    cells = {(r["quality_keep"], r["gopher_keep"]): r["n_docs"] for r in rows}
+    q_keep = {
+        r["doc_id"]: r["quality"] >= C.QUALITY_THRESHOLD
+        for r in qs["quality_score"](spark, sf_dir).collect()
+    }
+    g_keep = {
+        r["doc_id"]: r["keep"] for r in qs["gopher_rules"](spark, sf_dir).collect()
+    }
+    assert set(q_keep) == set(g_keep)  # same zero-token drop rule
+    expect: dict[tuple[bool, bool], int] = {}
+    for d, qk in q_keep.items():
+        expect[(qk, g_keep[d])] = expect.get((qk, g_keep[d]), 0) + 1
+    assert cells == expect
+    assert sum(cells.values()) == len(q_keep)
