@@ -1071,3 +1071,102 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rrf_nano").cast("double") / 1_000_000_000, 9).alias("rrf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers: per-label distance-to-centroid ranking — the
+# prototypicality filter of curation pipelines (flag probable mislabels /
+# noise vectors for review before training).
+EMB_OUTLIER_K = 5  # most-distant vectors reported per label
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    sums AS (SELECT label, pos, CAST(sum(xq) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM ex GROUP BY label, pos),
+    d2 AS (SELECT e.vec_id, e.label,
+                  CAST(sum(CAST(e.xq * s.n - s.s AS HUGEINT)
+                           * CAST(e.xq * s.n - s.s AS HUGEINT)) AS HUGEINT)
+                    AS d2,
+                  max(s.n) AS n
+           FROM ex e JOIN sums s ON s.label = e.label AND s.pos = e.pos
+           GROUP BY e.vec_id, e.label),
+    ranked AS (
+        SELECT label, vec_id,
+               round(sqrt(CAST(d2 AS DOUBLE)) / n / 1000000, 6) AS dist,
+               CAST(row_number() OVER (PARTITION BY label
+                                       ORDER BY d2 DESC, vec_id) AS BIGINT)
+                 AS rank
+        FROM d2)
+    SELECT label, vec_id, dist, rank FROM ranked WHERE rank <= {EMB_OUTLIER_K}
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{EMB_OUTLIER_K} most-distant vectors from their own label's
+    mean centroid — the prototypicality screen a curation run uses to
+    surface probable mislabels/noise before training (the distance-based
+    complement of semdedup_clusters' too-similar filter).
+
+    Integer-exact distances: components quantize to micro-units, and the
+    scaled squared distance sum((xq*n - s)^2) — where s is the label's
+    exact component sum and n its count — is computed entirely in
+    integers, accumulated in DECIMAL(38,0) (HUGEINT on the oracle side;
+    the squares reach ~1e30 at n~1e9, far past BIGINT). Ordering ranks on
+    the exact integer, so ranking cannot diverge; the reported dist is
+    one identical double conversion + sqrt on both engines.
+
+    Plan shape: the per-(label, pos) sums table is |labels| x 64 rows —
+    one exploded map-side-combined aggregate, reassembled to arrays and
+    BROADCAST; scoring is then a zero-shuffle per-row zip_with fold over
+    each vector. The only post-scan shuffle is the per-label top-k
+    window over |labels| partitions."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e6).cast("bigint"),
+        ).alias("qarr"),
+    )
+    ex = emb.select("label", F.posexplode("qarr").alias("pos", "xq"))
+    sums = ex.groupBy("label", "pos").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    sarr = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda e: e["s"],
+        ).alias("sarr"),
+        F.max("n").alias("n"),
+    )
+    j = emb.join(F.broadcast(sarr), "label")
+    diff = F.zip_with(
+        "qarr", "sarr", lambda xq, s: xq * F.col("n") - s
+    )
+    dist2 = F.aggregate(
+        diff,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + t.cast("decimal(38,0)") * t,
+    )
+    scored = j.select("label", "vec_id", "n", dist2.alias("d2"))
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= EMB_OUTLIER_K)
+        .select(
+            "label",
+            "vec_id",
+            F.round(
+                F.sqrt(F.col("d2").cast("double")) / F.col("n") / 1e6, 6
+            ).alias("dist"),
+            "rank",
+        )
+    )

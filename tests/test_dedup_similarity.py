@@ -567,3 +567,41 @@ def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir, qs):
         assert round(r["rrf"] * 1e9) == expect_nano
     scores = [(round(r["rrf"] * 1e9), -r["doc_id"]) for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_embedding_outliers_are_the_most_distant_per_label(spark, sf_dir, qs):
+    """Flagged vectors are exactly the k most-distant from their label
+    centroid, per an independent float recompute (ranking margins are
+    far above float error on this data)."""
+    import math
+
+    from mapreduce_spark.operators.similarity import EMB_OUTLIER_K
+
+    rows = qs["embedding_outliers"](spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: (r["label"], r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    by_label: dict[int, list] = {}
+    for vid, (lab, vec) in emb.items():
+        by_label.setdefault(lab, []).append((vid, vec))
+    for lab, members in by_label.items():
+        dim = len(members[0][1])
+        cent = [
+            sum(v[i] for _, v in members) / len(members) for i in range(dim)
+        ]
+        dists = sorted(
+            (
+                (math.dist(v, cent), vid)
+                for vid, v in members
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect = [vid for _, vid in dists[:EMB_OUTLIER_K]]
+        got = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])
+               if r["label"] == lab]
+        assert got == expect, f"label {lab}: {got} != {expect}"
+        for r in rows:
+            if r["label"] == lab:
+                ref = next(d for d, vid in dists if vid == r["vec_id"])
+                assert abs(r["dist"] - ref) < 1e-3
