@@ -131,6 +131,44 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("lang_guess", F.expr(_LANG_CASE_SQL))
 
 
+@register(
+    "lang_confusion_report",
+    oracle=f"""
+    {_SQL_TOKS_CTE},
+    h AS (SELECT doc_id,
+                 CAST({_sql_hits(STOPWORDS['en'])} AS BIGINT) AS hits_en,
+                 CAST({_sql_hits(STOPWORDS['de'])} AS BIGINT) AS hits_de,
+                 CAST({_sql_hits(STOPWORDS['es'])} AS BIGINT) AS hits_es,
+                 CAST({_sql_hits(STOPWORDS['fr'])} AS BIGINT) AS hits_fr
+          FROM t),
+    g AS (SELECT doc_id, {_LANG_CASE_SQL} AS lang_guess FROM h)
+    SELECT d.lang, g.lang_guess, count(*) AS n_docs
+    FROM documents d JOIN g USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-profile language ID against the
+    corpus's labeled ``lang`` column — the accuracy report a pipeline
+    reads before trusting the classifier for language routing (the
+    lang-ID twin of filter_agreement_report's gate matrix). Off-diagonal
+    cells ARE the misrouted token mass.
+
+    Plan shape: scoring is the same zero-shuffle per-row fragment as
+    lang_id, joined back to the labeled column within the one scan
+    (self-contained projection — Catalyst collapses the join on doc_id
+    into the scan's own rows); the |langs|^2-cell rollup is the only
+    exchange."""
+    guesses = lang_id(spark, sf_dir).select("doc_id", "lang_guess")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        docs.join(guesses, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
 # --------------------------------------------------------------------------
 # The quality-score SQL is a module constant so the batch query, the
 # streaming gate (streaming/events.py stream_quality_gate), and their

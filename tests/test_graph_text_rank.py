@@ -297,3 +297,27 @@ def test_dedup_span_remove_keeps_first_occurrence_only(spark, tmp_path):
     assert got[0] == ("alpha beta gamma delta epsilon zeta " + footer, 12, 0)
     assert got[1] == ("totally different unique closing words here", 6, 6)
     assert got[2] == ("tiny doc", 2, 0)
+
+
+def test_lang_confusion_cells_partition_the_corpus(spark):
+    """Every document lands in exactly one (lang, lang_guess) cell, and
+    the diagonal recomputes from lang_id's own per-doc guesses."""
+    from mapreduce_spark.registry import get_queries
+    from mapreduce_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.001"
+    qs = get_queries()
+    rows = qs["lang_confusion_report"](spark, SF).collect()
+    total_docs = load_table(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total_docs
+    guesses = {
+        r["doc_id"]: r["lang_guess"] for r in qs["lang_id"](spark, SF).collect()
+    }
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    expect: dict[tuple[str, str], int] = {}
+    for d, g in guesses.items():
+        expect[(langs[d], g)] = expect.get((langs[d], g), 0) + 1
+    assert {(r["lang"], r["lang_guess"]): r["n_docs"] for r in rows} == expect
