@@ -1478,3 +1478,170 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("kept").cast("bigint").alias("n_kept"),
         (F.col("n_toks") - F.size("kept")).cast("bigint").alias("n_removed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Held-out trigram LM with stupid backoff (Brants et al. 2007, "Large
+# Language Models in Machine Translation" — the web-scale LM recipe).
+BACKOFF_ALPHA = 0.4  # the paper's backoff multiplier
+
+
+@register(
+    "perplexity_trigram_backoff",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks
+               FROM documents),
+    m AS (SELECT toks FROM t WHERE doc_id % 2 = 0),
+    tri AS (SELECT g AS tg, CAST(count(*) AS BIGINT) AS c3
+            FROM (SELECT unnest({sql_shingles('toks', 3)}) AS g FROM m)
+            GROUP BY g),
+    big AS (SELECT g AS bg, CAST(count(*) AS BIGINT) AS c2
+            FROM (SELECT unnest({sql_shingles('toks', 2)}) AS g FROM m)
+            GROUP BY g),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(toks) AS w FROM m) GROUP BY w),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+                     CAST(count(DISTINCT w) AS BIGINT) AS vs
+              FROM (SELECT unnest(toks) AS w FROM m)),
+    d AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 1 AND len(toks) >= 3),
+    dtc AS (SELECT doc_id, g AS tg, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, unnest({sql_shingles('toks', 3)}) AS g
+                  FROM d)
+            GROUP BY doc_id, g),
+    k AS (SELECT doc_id, tg, n,
+                 p[1] || ' ' || p[2] AS prefix,
+                 p[2] || ' ' || p[3] AS suffix,
+                 p[2] AS w2, p[3] AS w3
+          FROM (SELECT doc_id, tg, n, string_split(tg, ' ') AS p FROM dtc)),
+    s AS (SELECT k.doc_id, k.n,
+                 CASE WHEN coalesce(tri.c3, 0) > 0
+                      THEN CAST(tri.c3 AS DOUBLE) / bp.c2
+                      WHEN coalesce(bs.c2, 0) > 0
+                      THEN {BACKOFF_ALPHA} * CAST(bs.c2 AS DOUBLE) / u2.c1
+                      ELSE 0.16 * CAST(coalesce(u3.c1, 0) + 1 AS DOUBLE)
+                           / (stats.nt + stats.vs) END AS p
+          FROM k
+          LEFT JOIN tri ON tri.tg = k.tg
+          LEFT JOIN big bp ON bp.bg = k.prefix
+          LEFT JOIN big bs ON bs.bg = k.suffix
+          LEFT JOIN uni u2 ON u2.w = k.w2
+          LEFT JOIN uni u3 ON u3.w = k.w3
+          CROSS JOIN stats),
+    nll AS (SELECT doc_id, n,
+                   CAST(round(1000000 * round(-ln(p), 6)) AS BIGINT) AS micro
+            FROM s)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_trigrams,
+           CAST(CAST(sum(n * micro) AS BIGINT) // CAST(sum(n) AS BIGINT)
+                AS DOUBLE) / 1000000 AS avg_nll
+    FROM nll GROUP BY doc_id
+    """,
+)
+def perplexity_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram-LM scoring with stupid backoff (Brants et al.
+    2007): the model (trigram/bigram/unigram counts) trains on the
+    even-doc_id half of the corpus and scores the odd half, so unseen
+    trigrams genuinely back off — s = c3/c2(prefix), else
+    {BACKOFF_ALPHA} * c23/c1(w2), else {BACKOFF_ALPHA}^2 * smoothed
+    unigram (add-one over model tokens + vocab, covering OOV words).
+    The held-out split is what a real pipeline does (score candidate
+    data under a model trained on trusted data); perplexity_bigram is
+    the in-corpus sibling.
+
+    Exactness discipline (the perplexity_bigram playbook): every branch
+    is a couple of IEEE ops on exact BIGINT counts written identically
+    on both engines (the {BACKOFF_ALPHA}^2 factor is the LITERAL 0.16 on
+    both sides — 0.4*0.4 in double is NOT 0.16); per-trigram NLL rounds
+    to 6dp then accumulates as integer micro-units; per-doc average is
+    one truncating integer division.
+
+    Plan shape: model tables aggregate map-side to |distinct n-gram|
+    rows; the doc side shuffles once into (doc, trigram, n); scoring is
+    four LEFT equi-joins on n-gram keys (AQE picks broadcast-vs-shuffle
+    per table from runtime sizes — at 100 TB the trigram table shuffles
+    while unigrams broadcast) plus a 1-row stats broadcast; the final
+    rollup is per-doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    m = t.filter(F.col("doc_id") % 2 == 0)
+    tri = (
+        m.select(F.explode(shingles(F.col("toks"), 3)).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    big = (
+        m.select(F.explode(shingles(F.col("toks"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni = (
+        m.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    stats = m.select(F.explode("toks").alias("w")).agg(
+        F.count(F.lit(1)).alias("nt"), F.countDistinct("w").alias("vs")
+    )
+    d = t.filter((F.col("doc_id") % 2 == 1) & (F.size("toks") >= 3))
+    dtc = (
+        d.select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("tg"))
+        .groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    k = dtc.select(
+        "doc_id",
+        "tg",
+        "n",
+        F.substring_index("tg", " ", 2).alias("prefix"),
+        F.substring_index("tg", " ", -2).alias("suffix"),
+        F.substring_index(F.substring_index("tg", " ", 2), " ", -1).alias("w2"),
+        F.substring_index("tg", " ", -1).alias("w3"),
+    )
+    bp = big.select(F.col("bg").alias("prefix"), F.col("c2").alias("c2p"))
+    bs = big.select(F.col("bg").alias("suffix"), F.col("c2").alias("c2s"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1w2"))
+    u3 = uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1w3"))
+    p = (
+        F.when(
+            F.coalesce("c3", F.lit(0)) > 0,
+            F.col("c3").cast("double") / F.col("c2p"),
+        )
+        .when(
+            F.coalesce("c2s", F.lit(0)) > 0,
+            F.lit(BACKOFF_ALPHA) * F.col("c2s").cast("double") / F.col("c1w2"),
+        )
+        .otherwise(
+            F.lit(0.16)
+            * (F.coalesce("c1w3", F.lit(0)) + 1).cast("double")
+            / (F.col("nt") + F.col("vs"))
+        )
+    )
+    scored = (
+        k.join(tri, "tg", "left")
+        .join(bp, "prefix", "left")
+        .join(bs, "suffix", "left")
+        .join(u2, "w2", "left")
+        .join(u3, "w3", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "n",
+            F.round(1_000_000 * F.round(-F.log(p), 6)).cast("bigint").alias(
+                "micro"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_trigrams"),
+            F.sum(F.col("n") * F.col("micro")).cast("bigint").alias("_nm"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            (F.expr("_nm div n_trigrams").cast("double") / 1_000_000).alias(
+                "avg_nll"
+            ),
+        )
+    )

@@ -321,3 +321,38 @@ def test_lang_confusion_cells_partition_the_corpus(spark):
     for d, g in guesses.items():
         expect[(langs[d], g)] = expect.get((langs[d], g), 0) + 1
     assert {(r["lang"], r["lang_guess"]): r["n_docs"] for r in rows} == expect
+
+
+def test_trigram_backoff_branches_hand_computed(spark, tmp_path):
+    """All three stupid-backoff branches verified against hand-computed
+    NLLs on a 3-doc corpus: seen trigram (p = c3/c2), backed-off bigram
+    (p = 0.4*c23/c1), and OOV base case (p = 0.16*(c+1)/(nt+vs))."""
+    import math
+
+    from mapreduce_spark.registry import get_queries
+
+    spark.createDataFrame(
+        [
+            (0, "en", "a b c d", "s"),    # the model half (even doc_id)
+            (1, "en", "a b c x", "s"),    # seen trigram + OOV base case
+            (3, "en", "x b c y", "s"),    # bigram backoff + OOV base case
+        ],
+        "doc_id long, lang string, text string, source string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in get_queries()["perplexity_trigram_backoff"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {1, 3}
+    # model: c3("a b c")=1, c2("a b")=c2("b c")=c2("c d")=1, c1(all)=1,
+    # nt=4, vs=4
+    nll = lambda p: round(1e6 * round(-math.log(p), 6))
+    oov = nll(0.16 * 1 / 8)          # 0.16*(0+1)/(4+4)
+    seen = nll(1.0)                  # c3/c2 = 1/1
+    backoff = nll(0.4 * 1 / 1)       # 0.4*c2("b c")/c1("b")
+    assert rows[1]["n_trigrams"] == 2
+    assert rows[1]["avg_nll"] == ((seen + oov) // 2) / 1e6
+    assert rows[3]["n_trigrams"] == 2
+    assert rows[3]["avg_nll"] == ((backoff + oov) // 2) / 1e6
