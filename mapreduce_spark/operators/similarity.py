@@ -1170,3 +1170,97 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-corpus k-NN graph over the LSH buckets: every vector's top-k
+# bucket-mate neighbors — the input artifact for graph-based curation
+# (near-dup clustering, diversity sampling, label propagation).
+KNN_GRAPH_K = 3
+
+
+@register(
+    "knn_graph",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM buckets a JOIN buckets b
+          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+         AND b.vec_id <> a.vec_id),
+    scored AS (
+        SELECT c.src, c.dst,
+               round({sql_cosine_pair('ea.embedding', 'eb.embedding')}, 6)
+                 AS cosine
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.src
+        JOIN embeddings eb ON eb.vec_id = c.dst)
+    SELECT src, dst, cosine, rank FROM (
+        SELECT src, dst, cosine,
+               CAST(row_number() OVER (PARTITION BY src
+                                       ORDER BY cosine DESC, dst) AS BIGINT)
+                 AS rank
+        FROM scored)
+    WHERE rank <= {KNN_GRAPH_K}
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE vector table: each vector's
+    top-{KNN_GRAPH_K} neighbors among its LSH bucket-mates (hyperplane
+    buckets, {LSH_TABLES} tables x 2^{LSH_PLANES} buckets), ranked by
+    exact cosine. similarity_ann_lsh generalized from a fixed query set
+    to every vector — the neighbor-graph data product that graph-based
+    curation (connected-component dedup, diversity sampling, label
+    propagation) consumes.
+
+    Scale shape: candidates come ONLY from the (table, bucket) equi-join,
+    so pair volume tracks sum(bucket_size^2) — density-bound, never
+    |V|^2; norms are computed once per side; the per-source top-k is a
+    window over each vector's own candidate list. Vectors whose buckets
+    contain no other member yield no rows (the graph's honest sparsity
+    at the corpus fringe)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    tables_arr = F.array(
+        *[
+            F.struct(F.lit(t).alias("table_idx"), _bucket_col(t).alias("bucket"))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    buckets = emb.select("vec_id", F.explode(tables_arr).alias("tb")).select(
+        "vec_id", "tb.table_idx", "tb.bucket"
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.vec_id") != F.col("a.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    ea = embn.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ae"),
+        F.col("nrm").alias("an"),
+    )
+    eb = embn.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("be"),
+        F.col("nrm").alias("bn"),
+    )
+    scored = cand.join(ea, "src").join(eb, "dst").select(
+        "src",
+        "dst",
+        F.round(
+            cosine_n(F.col("ae"), F.col("be"), F.col("an"), F.col("bn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src", "dst", "cosine", "rank")
+    )

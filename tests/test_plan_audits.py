@@ -145,6 +145,7 @@ CARTESIAN_OK = {
     "bm25_topk",  # broadcasts the 1-row (n_docs, avgdl) corpus aggregate
     "hybrid_rrf",  # embeds bm25's 1-row stats + the 1-row query embedding
     "perplexity_bigram",  # broadcasts the 1-row vocabulary-size aggregate
+    "perplexity_trigram_backoff",  # broadcasts the 1-row (nt, vs) aggregate
     "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
     "ccnet_buckets",  # broadcasts the 1-row percentile-cutoff aggregate
     "dsir_weights",  # broadcasts the 1-row target/raw total aggregates
