@@ -1223,9 +1223,9 @@ DSIR_BUCKETS = 1024
 DSIR_TARGET_LANG = "en"
 
 
-@register(
-    "dsir_weights",
-    oracle=f"""
+# Module constant so dsir_resample can embed the SAME weight derivation
+# as a subquery of its acceptance oracle (the BM25_SQL precedent).
+DSIR_SQL = f"""
     WITH t AS (SELECT doc_id, lang, {SQL_TOKENS.format(col='text')} AS toks
                FROM documents),
     g AS (SELECT doc_id, lang, {sql_shingles('toks', 2)} AS sgl2
@@ -1260,8 +1260,10 @@ DSIR_TARGET_LANG = "en"
            CAST(CASE WHEN wm < 0 THEN -((-wm) // n_feats)
                      ELSE wm // n_feats END AS DOUBLE) / 1000000 AS dsir_logw
     FROM agg
-    """,
-)
+    """
+
+
+@register("dsir_weights", oracle=DSIR_SQL)
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weight per document: average hashed-bigram
     log-likelihood ratio log p_target(f)/p_raw(f) between the in-domain
@@ -1644,4 +1646,63 @@ def perplexity_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_nll"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+DSIR_RESAMPLE_RATE = 0.25   # corpus-average acceptance target
+DSIR_RESAMPLE_SEED = "dsir1|"  # key-domain tag; changing it redraws
+
+
+@register(
+    "dsir_resample",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, dsir_logw FROM ({DSIR_SQL}) ww),
+    drawn AS (
+        SELECT doc_id, dsir_logw,
+               CAST(least(1000000, greatest(0, round(1000000 * round(
+                   {DSIR_RESAMPLE_RATE} * exp(dsir_logw), 6)))) AS BIGINT)
+                 AS rate_micro,
+               {md5_long_sql(f"'{DSIR_RESAMPLE_SEED}' || CAST(doc_id AS VARCHAR)")}
+                 % 1000000 AS draw
+        FROM w)
+    SELECT doc_id, dsir_logw, rate_micro
+    FROM drawn WHERE draw < rate_micro
+    """,
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR paper's actual OUTPUT (Xie et al. 2023): the corpus
+    resampled by importance weight — each document kept with probability
+    proportional to exp(dsir_logw) (clamped to 1), realized by a
+    deterministic md5 draw against the per-doc acceptance rate (the
+    mix_weighted_sample hash-draw mechanics, importance-weighted). In
+    expectation this IS importance resampling; determinism makes the
+    selected set reproducible and the oracle exact.
+
+    Engine parity: the only transcendental, exp(dsir_logw), runs on the
+    same exact micro-unit quotient on both engines and is rounded to 6dp
+    BEFORE the micro-unit rate conversion, so a last-ulp libm difference
+    cannot flip an acceptance; the draw is an integer md5 residue.
+
+    Scale shape: dsir_weights' one corpus scan + bucket rollup, then a
+    per-row accept filter — no additional shuffle; the selected corpus
+    streams out embarrassingly parallel."""
+    w = dsir_weights(spark, sf_dir).select("doc_id", "dsir_logw")
+    rate = F.least(
+        F.lit(1_000_000),
+        F.greatest(
+            F.lit(0),
+            F.round(
+                1_000_000
+                * F.round(DSIR_RESAMPLE_RATE * F.exp("dsir_logw"), 6)
+            ),
+        ),
+    ).cast("bigint")
+    draw = md5_long(
+        F.concat(F.lit(DSIR_RESAMPLE_SEED), F.col("doc_id").cast("string"))
+    ) % 1_000_000
+    return (
+        w.select("doc_id", "dsir_logw", rate.alias("rate_micro"), draw.alias("_d"))
+        .filter(F.col("_d") < F.col("rate_micro"))
+        .select("doc_id", "dsir_logw", "rate_micro")
     )

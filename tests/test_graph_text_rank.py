@@ -356,3 +356,33 @@ def test_trigram_backoff_branches_hand_computed(spark, tmp_path):
     assert rows[1]["avg_nll"] == ((seen + oov) // 2) / 1e6
     assert rows[3]["n_trigrams"] == 2
     assert rows[3]["avg_nll"] == ((backoff + oov) // 2) / 1e6
+
+
+def test_dsir_resample_draws_reconcile_with_weights(spark):
+    """The accepted set recomputes exactly from dsir_weights + the
+    deterministic md5 draw, and the realized rate tracks the target."""
+    import hashlib
+
+    from mapreduce_spark.operators.textops import (
+        DSIR_RESAMPLE_RATE,
+        DSIR_RESAMPLE_SEED,
+    )
+    from mapreduce_spark.registry import get_queries
+
+    SF = "/root/testdata/sf0.001"
+    qs = get_queries()
+    picked = {r["doc_id"]: r for r in qs["dsir_resample"](spark, SF).collect()}
+    weights = {r["doc_id"]: r["dsir_logw"] for r in qs["dsir_weights"](spark, SF).collect()}
+    import math
+
+    expect = set()
+    for d, lw in weights.items():
+        rate = min(1_000_000, max(0, round(1e6 * round(DSIR_RESAMPLE_RATE * math.exp(lw), 6))))
+        h = int(hashlib.md5(f"{DSIR_RESAMPLE_SEED}{d}".encode()).hexdigest()[:15], 16)
+        if h % 1_000_000 < rate:
+            expect.add(d)
+    assert set(picked) == expect
+    for r in picked.values():
+        assert 0 <= r["rate_micro"] <= 1_000_000
+    # in-expectation rate: within a loose band of the target on 500 docs
+    assert 0.05 < len(picked) / len(weights) < 0.6
