@@ -154,16 +154,20 @@ def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang-ID twin of filter_agreement_report's gate matrix). Off-diagonal
     cells ARE the misrouted token mass.
 
-    Plan shape: scoring is the same zero-shuffle per-row fragment as
-    lang_id, joined back to the labeled column within the one scan
-    (self-contained projection — Catalyst collapses the join on doc_id
-    into the scan's own rows); the |langs|^2-cell rollup is the only
-    exchange."""
-    guesses = lang_id(spark, sf_dir).select("doc_id", "lang_guess")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    Plan shape: the labeled column rides the SAME projection as the
+    per-row scoring expressions — one documents scan, no join — so the
+    |langs|^2-cell rollup is the only exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    d = docs.select(
+        "lang",
+        _hits(toks, STOPWORDS["en"]).cast("bigint").alias("hits_en"),
+        _hits(toks, STOPWORDS["de"]).cast("bigint").alias("hits_de"),
+        _hits(toks, STOPWORDS["es"]).cast("bigint").alias("hits_es"),
+        _hits(toks, STOPWORDS["fr"]).cast("bigint").alias("hits_fr"),
+    ).withColumn("lang_guess", F.expr(_LANG_CASE_SQL))
     return (
-        docs.join(guesses, "doc_id")
-        .groupBy("lang", "lang_guess")
+        d.groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "lang_guess")
     )

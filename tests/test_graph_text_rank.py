@@ -299,23 +299,23 @@ def test_dedup_span_remove_keeps_first_occurrence_only(spark, tmp_path):
     assert got[2] == ("tiny doc", 2, 0)
 
 
-def test_lang_confusion_cells_partition_the_corpus(spark):
+def test_lang_confusion_cells_partition_the_corpus(spark, sf_dir):
     """Every document lands in exactly one (lang, lang_guess) cell, and
     the diagonal recomputes from lang_id's own per-doc guesses."""
     from mapreduce_spark.registry import get_queries
     from mapreduce_spark.sources.tables import load_table
 
-    SF = "/root/testdata/sf0.001"
     qs = get_queries()
-    rows = qs["lang_confusion_report"](spark, SF).collect()
-    total_docs = load_table(spark, SF, "documents").count()
+    rows = qs["lang_confusion_report"](spark, sf_dir).collect()
+    total_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r["n_docs"] for r in rows) == total_docs
     guesses = {
-        r["doc_id"]: r["lang_guess"] for r in qs["lang_id"](spark, SF).collect()
+        r["doc_id"]: r["lang_guess"]
+        for r in qs["lang_id"](spark, sf_dir).collect()
     }
     langs = {
         r["doc_id"]: r["lang"]
-        for r in load_table(spark, SF, "documents").collect()
+        for r in load_table(spark, sf_dir, "documents").collect()
     }
     expect: dict[tuple[str, str], int] = {}
     for d, g in guesses.items():
@@ -358,7 +358,7 @@ def test_trigram_backoff_branches_hand_computed(spark, tmp_path):
     assert rows[3]["avg_nll"] == ((backoff + oov) // 2) / 1e6
 
 
-def test_dsir_resample_draws_reconcile_with_weights(spark):
+def test_dsir_resample_draws_reconcile_with_weights(spark, sf_dir):
     """The accepted set recomputes exactly from dsir_weights + the
     deterministic md5 draw, and the realized rate tracks the target."""
     import hashlib
@@ -369,10 +369,14 @@ def test_dsir_resample_draws_reconcile_with_weights(spark):
     )
     from mapreduce_spark.registry import get_queries
 
-    SF = "/root/testdata/sf0.001"
     qs = get_queries()
-    picked = {r["doc_id"]: r for r in qs["dsir_resample"](spark, SF).collect()}
-    weights = {r["doc_id"]: r["dsir_logw"] for r in qs["dsir_weights"](spark, SF).collect()}
+    picked = {
+        r["doc_id"]: r for r in qs["dsir_resample"](spark, sf_dir).collect()
+    }
+    weights = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in qs["dsir_weights"](spark, sf_dir).collect()
+    }
     import math
 
     expect = set()

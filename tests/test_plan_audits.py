@@ -149,6 +149,7 @@ CARTESIAN_OK = {
     "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
     "ccnet_buckets",  # broadcasts the 1-row percentile-cutoff aggregate
     "dsir_weights",  # broadcasts the 1-row target/raw total aggregates
+    "dsir_resample",  # embeds dsir_weights' 1-row total broadcast
     "dedup_recall_report",  # crossJoin of the two 1-row count aggregates
     "dedup_recall_report_scaled",  # same 1-row crossJoin, scaled profile
     "contamination_gate_bloom",  # broadcasts the 1-row 64 KiB bloom array
