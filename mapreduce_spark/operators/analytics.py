@@ -1327,3 +1327,117 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bound_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: median absolute deviation per event type.
+MAD_K = 5  # flag |v - median| > MAD_K * MAD
+
+
+@register(
+    "event_anomaly_mad",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, event_type, value,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+    dist AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+             FROM ev GROUP BY event_type, cents),
+    cum AS (SELECT event_type, cents, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+                     AS cum_end,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM dist),
+    med AS (SELECT event_type,
+                   max(CASE WHEN (n + 1) // 2 > cum_end - cnt
+                             AND (n + 1) // 2 <= cum_end
+                            THEN cents END) AS med_cents
+            FROM cum GROUP BY event_type),
+    dev AS (SELECT ev.event_id, ev.event_type, ev.value,
+                   abs(ev.cents - med.med_cents) AS dev_cents
+            FROM ev JOIN med USING (event_type)),
+    ddist AS (SELECT event_type, dev_cents, CAST(count(*) AS BIGINT) AS cnt
+              FROM dev GROUP BY event_type, dev_cents),
+    dcum AS (SELECT event_type, dev_cents, cnt,
+                    sum(cnt) OVER (PARTITION BY event_type ORDER BY dev_cents)
+                      AS cum_end,
+                    sum(cnt) OVER (PARTITION BY event_type) AS n
+             FROM ddist),
+    mad AS (SELECT event_type,
+                   max(CASE WHEN (n + 1) // 2 > cum_end - cnt
+                             AND (n + 1) // 2 <= cum_end
+                            THEN dev_cents END) AS mad_cents
+            FROM dcum GROUP BY event_type)
+    SELECT d.event_id, d.event_type, d.value, d.dev_cents, m.mad_cents
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad_cents > 0 AND d.dev_cents > {MAD_K} * m.mad_cents
+    """,
+)
+def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly flags: events whose cent-quantized value
+    deviates from the type's MEDIAN by more than {MAD_K}x the median
+    absolute deviation — the outlier rule that, unlike zscore_outliers'
+    mean/stddev, is itself immune to the outliers it hunts. Types with
+    MAD = 0 (over half the values identical) are excluded, the
+    zscore_outliers zero-variance precedent.
+
+    Exactness: values quantize to integer cents (one shared rounding on
+    both engines); both medians come from the LOWER-median integer rank
+    rule (n+1)//2 evaluated over cumulative counts — no interpolation,
+    no floats — and the final flag is a pure integer compare.
+
+    Scale shape (the quantile_exact playbook twice): each median is
+    computed from the (type, value, count) DISTRIBUTION — map-side
+    partial agg shrinks input to |types| x |distinct cents| rows, the
+    windows run over that compact table, never the raw events. Spark's
+    percentile() would instead buffer every raw value of a type in one
+    executor — the scale-killer this shape avoids. The only raw-row
+    operations are two broadcast-joinable lookups of per-type scalars."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def lower_median(rows: DataFrame, val: str, alias: str) -> DataFrame:
+        dist = rows.groupBy("event_type", val).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = (
+            dist.withColumn("cum_end", F.sum("cnt").over(w_cum))
+            .withColumn(
+                "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+            )
+        )
+        rank = F.expr("(n + 1) div 2")
+        return cum.groupBy("event_type").agg(
+            F.max(
+                F.when(
+                    (rank > F.col("cum_end") - F.col("cnt"))
+                    & (rank <= F.col("cum_end")),
+                    F.col(val),
+                )
+            ).alias(alias)
+        )
+
+    med = lower_median(ev, "cents", "med_cents")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev_cents"),
+    )
+    mad = lower_median(dev, "dev_cents", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad_cents") > 0)
+            & (F.col("dev_cents") > MAD_K * F.col("mad_cents"))
+        )
+        .select("event_id", "event_type", "value", "dev_cents", "mad_cents")
+    )

@@ -271,3 +271,35 @@ def test_tpch_q1_pricing_invariants(spark):
         )
     keys = [(r["l_returnflag"], r["l_linestatus"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_event_anomaly_mad_matches_independent_recompute(spark):
+    """Flagged events are exactly those beyond MAD_K lower-median MADs,
+    per a pure-Python recompute of both medians over quantized cents."""
+    from mapreduce_spark.operators.analytics import MAD_K, event_anomaly_mad
+    from mapreduce_spark.registry import get_queries
+
+    rows = event_anomaly_mad(spark, SF).collect()
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["event_id"], round(r["value"] * 100))
+        )
+    expect = set()
+    for t, pairs in by_type.items():
+        med = lower_median([c for _, c in pairs])
+        devs = [(eid, abs(c - med)) for eid, c in pairs]
+        mad = lower_median([d for _, d in devs])
+        if mad > 0:
+            expect |= {eid for eid, d in devs if d > MAD_K * mad}
+    assert {r["event_id"] for r in rows} == expect
+    for r in rows:
+        assert r["dev_cents"] > MAD_K * r["mad_cents"] > 0
