@@ -1334,9 +1334,48 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAD_K = 5  # flag |v - median| > MAD_K * MAD
 
 
-@register(
-    "event_anomaly_mad",
-    oracle=f"""
+def lower_median(rows: DataFrame, val: str, alias: str) -> DataFrame:
+    """Per-event_type LOWER median of an integer column via the rank
+    rule (n+1)//2 over the (type, value, count) distribution — exact,
+    interpolation-free, and never pulls raw rows through a window.
+    Shared by event_anomaly_mad and the streaming anomaly gate so both
+    score against the identical statistic."""
+    dist = rows.groupBy("event_type", val).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.withColumn("cum_end", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("event_type"))
+    )
+    rank = F.expr("(n + 1) div 2")
+    return cum.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                (rank > F.col("cum_end") - F.col("cnt"))
+                & (rank <= F.col("cum_end")),
+                F.col(val),
+            )
+        ).alias(alias)
+    )
+
+
+def mad_stats(ev: DataFrame) -> DataFrame:
+    """(event_type, med_cents, mad_cents) from an (event_type, cents)
+    frame — the trained model the streaming anomaly gate broadcasts."""
+    med = lower_median(ev, "cents", "med_cents")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev_cents"),
+    )
+    return med.join(lower_median(dev, "dev_cents", "mad_cents"), "event_type")
+
+
+# CTE chain through per-event deviations + per-type MAD, shared by the
+# batch flag query and the streaming gate's oracle so both score against
+# the identical statistic.
+_MAD_CTES = """
     WITH ev AS (SELECT event_id, event_type, value,
                        CAST(round(value * 100) AS BIGINT) AS cents
                 FROM events),
@@ -1367,6 +1406,13 @@ MAD_K = 5  # flag |v - median| > MAD_K * MAD
                              AND (n + 1) // 2 <= cum_end
                             THEN dev_cents END) AS mad_cents
             FROM dcum GROUP BY event_type)
+"""
+
+
+@register(
+    "event_anomaly_mad",
+    oracle=_MAD_CTES
+    + f"""
     SELECT d.event_id, d.event_type, d.value, d.dev_cents, m.mad_cents
     FROM dev d JOIN mad m USING (event_type)
     WHERE m.mad_cents > 0 AND d.dev_cents > {MAD_K} * m.mad_cents
@@ -1398,33 +1444,6 @@ def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-
-    def lower_median(rows: DataFrame, val: str, alias: str) -> DataFrame:
-        dist = rows.groupBy("event_type", val).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        w_cum = (
-            Window.partitionBy("event_type")
-            .orderBy(val)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        cum = (
-            dist.withColumn("cum_end", F.sum("cnt").over(w_cum))
-            .withColumn(
-                "n", F.sum("cnt").over(Window.partitionBy("event_type"))
-            )
-        )
-        rank = F.expr("(n + 1) div 2")
-        return cum.groupBy("event_type").agg(
-            F.max(
-                F.when(
-                    (rank > F.col("cum_end") - F.col("cnt"))
-                    & (rank <= F.col("cum_end")),
-                    F.col(val),
-                )
-            ).alias(alias)
-        )
-
     med = lower_median(ev, "cents", "med_cents")
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_id",

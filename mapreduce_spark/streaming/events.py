@@ -545,3 +545,63 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+from mapreduce_spark.operators.analytics import (
+    _MAD_CTES as _SQL_MAD_CTES,
+)
+from mapreduce_spark.operators.analytics import (
+    MAD_K,
+    mad_stats,
+)
+
+
+@register(
+    "stream_anomaly_gate",
+    oracle=_SQL_MAD_CTES
+    + f"""
+    SELECT d.event_id, d.event_type, d.value
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE NOT (m.mad_cents > 0 AND d.dev_cents > {MAD_K} * m.mad_cents)
+    """,
+)
+def stream_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly gate: live events are admitted only if their
+    cent-quantized value sits within MAD_K median-absolute-deviations of
+    their type's median, with BOTH statistics trained on the static
+    history (analytics.lower_median / mad_stats — the identical integer
+    rank rule the batch event_anomaly_mad flags with, so gate-dropped
+    events are exactly the batch flags). The score-against-trained-stats
+    idiom: model fit offline, applied per event at ingest.
+
+    Plan shape: the per-type (median, MAD) table is |types| rows,
+    materialized once before the stream starts and BROADCAST onto every
+    micro-batch via a stream-static join; the gate itself is a stateless
+    per-row integer compare — no state store, no watermark, unbounded
+    throughput."""
+    static = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    stats = mad_stats(static).localCheckpoint(eager=True)
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    gated = (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(
+            ~(
+                (F.col("mad_cents") > 0)
+                & (
+                    F.abs(F.col("cents") - F.col("med_cents"))
+                    > MAD_K * F.col("mad_cents")
+                )
+            )
+        )
+        .select("event_id", "event_type", "value")
+    )
+    return _drain(gated, "stream_anomaly_gate", spark, "append")

@@ -279,3 +279,19 @@ def test_stream_neardup_gate_matches_batch_incremental(spark, sf_dir, qs):
     }
     assert admitted == odd - dup_new
     assert admitted.isdisjoint(dup_new)
+
+
+def test_stream_anomaly_gate_complements_batch_flags(spark, sf_dir, qs):
+    """Admitted events are exactly the corpus minus event_anomaly_mad's
+    flags — the gate and the batch detector share one trained model."""
+    admitted = {
+        r["event_id"] for r in qs["stream_anomaly_gate"](spark, sf_dir).collect()
+    }
+    flagged = {
+        r["event_id"] for r in qs["event_anomaly_mad"](spark, sf_dir).collect()
+    }
+    all_ids = {
+        r["event_id"] for r in load_table(spark, sf_dir, "events").collect()
+    }
+    assert admitted == all_ids - flagged
+    assert admitted.isdisjoint(flagged)
