@@ -1264,3 +1264,109 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_GRAPH_K)
         .select("src", "dst", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011): the vector-compression tier
+# of a production ANN stack (brute -> LSH -> IVF -> PQ).
+PQ_SUBS = 8                    # sub-spaces of EMB_DIM / PQ_SUBS dims each
+PQ_SEED_MOD = IVF_CENT_MOD     # codebook entries: the IVF seed convention
+PQ_SEED_REM = IVF_CENT_REM
+PQ_PACK = 1_000_000            # argmin tie-break packing: d2 * PACK + seed
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               (generate_subscripts(embedding, 1) - 1) // {EMB_DIM // PQ_SUBS}
+                 AS sub_idx,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    seeds AS (SELECT vec_id AS seed_id, sub_idx, pos, xq FROM ex
+              WHERE vec_id % {PQ_SEED_MOD} = {PQ_SEED_REM}),
+    pairs AS (
+        SELECT e.vec_id, e.sub_idx, s.seed_id,
+               CAST(sum((e.xq - s.xq) * (e.xq - s.xq)) AS BIGINT) AS d2
+        FROM ex e JOIN seeds s ON s.sub_idx = e.sub_idx AND s.pos = e.pos
+        GROUP BY e.vec_id, e.sub_idx, s.seed_id),
+    best AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) AS packed
+        FROM pairs GROUP BY vec_id, sub_idx)
+    SELECT vec_id,
+           list(packed % {PQ_PACK} ORDER BY sub_idx) AS pq_code,
+           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
+                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
+    FROM best GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jegou et al. 2011): each vector's
+    {PQ_SUBS} sub-vectors are assigned to their nearest codebook entry
+    (the IVF seed vectors' sub-vectors — the vec_id % {PQ_SEED_MOD} ==
+    {PQ_SEED_REM} convention), yielding a {PQ_SUBS}-id code per vector
+    plus its quantization MSE — the compressed representation a
+    PQ-accelerated ANN index stores instead of raw floats (~32x smaller
+    at one byte per sub-space in production).
+
+    Exactness: components quantize to 1e4 micro-units (exact for
+    float32); sub-space L2^2 distances are pure BIGINT sums; the argmin
+    packs (d2, seed_id) into ONE integer so the min aggregate IS the
+    tie-broken argmin — no float compare anywhere; the reported MSE is
+    one identical double division.
+
+    Scale shape: the codebook is |seeds| x {EMB_DIM} rows, BROADCAST;
+    vectors explode to (vec, sub, pos) once, the distance aggregate and
+    the packed argmin both combine map-side, and codes reassemble with
+    one groupBy per vector — cost is |V| x |seeds| sub-distances, the
+    PQ-training shape (at production scale the codebook is k-means-
+    refined per sub-space, kmeans_refine's machinery)."""
+    sub_dim = EMB_DIM // PQ_SUBS
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos") / sub_dim).cast("int").alias("sub_idx"),
+            "pos",
+            F.floor(F.col("x").cast("double") * 10_000).cast("bigint").alias(
+                "xq"
+            ),
+        )
+    )
+    seeds = ex.filter(F.col("vec_id") % PQ_SEED_MOD == PQ_SEED_REM).select(
+        F.col("vec_id").alias("seed_id"),
+        "sub_idx",
+        "pos",
+        F.col("xq").alias("sq"),
+    )
+    pairs = (
+        ex.join(F.broadcast(seeds), ["sub_idx", "pos"])
+        .groupBy("vec_id", "sub_idx", "seed_id")
+        .agg(
+            F.sum((F.col("xq") - F.col("sq")) * (F.col("xq") - F.col("sq")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    best = pairs.groupBy("vec_id", "sub_idx").agg(
+        F.min(F.col("d2") * PQ_PACK + F.col("seed_id")).alias("packed")
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
+                lambda e: e["packed"] % PQ_PACK,
+            ).alias("pq_code"),
+            F.round(
+                F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
+                / (EMB_DIM * 100_000_000),
+                6,
+            ).alias("quant_mse"),
+        )
+    )

@@ -636,3 +636,48 @@ def test_knn_graph_neighbors_are_bucket_exact(spark, sf_dir, qs):
         ann_sorted = [t[1] for t in sorted(ann[q])][: len(by_src[q])]
         graph_sorted = [r["dst"] for r in sorted(by_src[q], key=lambda r: r["rank"])]
         assert graph_sorted == ann_sorted[: len(graph_sorted)]
+
+
+def test_pq_codes_pick_nearest_seed_subvector(spark, sf_dir, qs):
+    """Every sub-space code is the exact argmin seed per an independent
+    float recompute (quantized to the same 1e4 grid), and seed vectors
+    code to themselves with zero error."""
+    from mapreduce_spark.operators.similarity import (
+        EMB_DIM,
+        PQ_SEED_MOD,
+        PQ_SEED_REM,
+        PQ_SUBS,
+    )
+
+    rows = {r["vec_id"]: r for r in qs["embedding_pq_codes"](spark, sf_dir).collect()}
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert set(rows) == set(emb)
+    sub = EMB_DIM // PQ_SUBS
+    seeds = [vid for vid in emb if vid % PQ_SEED_MOD == PQ_SEED_REM]
+    import math
+
+    def q(x):
+        return math.floor(x * 10_000)
+
+    for vid, r in list(rows.items())[:50]:
+        vq = [q(x) for x in emb[vid]]
+        for s_idx in range(PQ_SUBS):
+            best = min(
+                (
+                    (
+                        sum(
+                            (vq[p] - q(emb[sid][p])) ** 2
+                            for p in range(s_idx * sub, (s_idx + 1) * sub)
+                        ),
+                        sid,
+                    )
+                    for sid in seeds
+                ),
+            )
+            assert r["pq_code"][s_idx] == best[1], (vid, s_idx)
+        if vid % PQ_SEED_MOD == PQ_SEED_REM:
+            assert r["pq_code"] == [vid] * PQ_SUBS
+            assert r["quant_mse"] == 0.0
