@@ -1370,3 +1370,112 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quant_mse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_pq_adc",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id,
+               (generate_subscripts(embedding, 1) - 1) // {EMB_DIM // PQ_SUBS}
+                 AS sub_idx,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    seeds AS (SELECT vec_id AS seed_id, sub_idx, pos, xq FROM ex
+              WHERE vec_id % {PQ_SEED_MOD} = {PQ_SEED_REM}),
+    pairs AS (
+        SELECT e.vec_id, e.sub_idx, s.seed_id,
+               CAST(sum((e.xq - s.xq) * (e.xq - s.xq)) AS BIGINT) AS d2
+        FROM ex e JOIN seeds s ON s.sub_idx = e.sub_idx AND s.pos = e.pos
+        GROUP BY e.vec_id, e.sub_idx, s.seed_id),
+    codes AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) % {PQ_PACK} AS code
+        FROM pairs GROUP BY vec_id, sub_idx),
+    qtab AS (SELECT vec_id AS query_id, sub_idx, seed_id, d2 FROM pairs
+             WHERE vec_id < {N_QUERIES}),
+    adc AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(sum(q.d2) AS BIGINT) AS adc_d2
+        FROM codes c
+        JOIN qtab q ON q.sub_idx = c.sub_idx AND q.seed_id = c.code
+        WHERE c.vec_id <> q.query_id
+        GROUP BY q.query_id, c.vec_id)
+    SELECT query_id, vec_id, adc_d2, rank FROM (
+        SELECT query_id, vec_id, adc_d2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, vec_id) AS BIGINT)
+                 AS rank
+        FROM adc)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (the ADC of Jegou et al. 2011):
+    each query precomputes its exact sub-distance to EVERY codebook
+    entry (a |Q| x {PQ_SUBS} x |seeds| lookup table), then every stored
+    vector is scored by summing the table entries its {PQ_SUBS}-id code
+    selects — the query never touches raw stored vectors, which is the
+    entire point of PQ at scale (the index holds codes, ~32x smaller).
+    Distances are exact micro-unit BIGINTs end-to-end, so ranking is
+    integer-deterministic.
+
+    Plan shape: the lookup table is tiny and BROADCAST; stored codes
+    join it on (sub_idx, code) — a key equi-join, no raw-vector math per
+    candidate — and the per-(query, vec) sum combines map-side; top-k
+    per query is a window over each query's scored list. Cost per query
+    tracks |V| code-lookups, not |V| x {EMB_DIM} float ops."""
+    sub_dim = EMB_DIM // PQ_SUBS
+    ex = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos") / sub_dim).cast("int").alias("sub_idx"),
+            "pos",
+            F.floor(F.col("x").cast("double") * 10_000).cast("bigint").alias(
+                "xq"
+            ),
+        )
+    )
+    seeds = ex.filter(F.col("vec_id") % PQ_SEED_MOD == PQ_SEED_REM).select(
+        F.col("vec_id").alias("seed_id"),
+        "sub_idx",
+        "pos",
+        F.col("xq").alias("sq"),
+    )
+    pairs = (
+        ex.join(F.broadcast(seeds), ["sub_idx", "pos"])
+        .groupBy("vec_id", "sub_idx", "seed_id")
+        .agg(
+            F.sum((F.col("xq") - F.col("sq")) * (F.col("xq") - F.col("sq")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    codes = pairs.groupBy("vec_id", "sub_idx").agg(
+        (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
+            "code"
+        )
+    )
+    qtab = pairs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "sub_idx",
+        F.col("seed_id").alias("code"),
+        "d2",
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["sub_idx", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )

@@ -681,3 +681,49 @@ def test_pq_codes_pick_nearest_seed_subvector(spark, sf_dir, qs):
         if vid % PQ_SEED_MOD == PQ_SEED_REM:
             assert r["pq_code"] == [vid] * PQ_SUBS
             assert r["quant_mse"] == 0.0
+
+
+def test_pq_adc_scores_reconcile_with_codes(spark, sf_dir, qs):
+    """Each ADC score recomputes exactly as the sum of the query's
+    sub-distances to the vector's OWN code entries, and per-query ranks
+    are a dense 1..k ordered by (adc_d2, vec_id)."""
+    from mapreduce_spark.operators.similarity import (
+        EMB_DIM,
+        PQ_SUBS,
+        TOP_K,
+    )
+    import math
+
+    rows = qs["similarity_pq_adc"](spark, sf_dir).collect()
+    assert rows
+    codes = {r["vec_id"]: r["pq_code"] for r in qs["embedding_pq_codes"](spark, sf_dir).collect()}
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    sub = EMB_DIM // PQ_SUBS
+
+    def q(x):
+        return math.floor(x * 10_000)
+
+    def subd2(qid, sid, s_idx):
+        return sum(
+            (q(emb[qid][p]) - q(emb[sid][p])) ** 2
+            for p in range(s_idx * sub, (s_idx + 1) * sub)
+        )
+
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["vec_id"] != r["query_id"]
+        expect = sum(
+            subd2(r["query_id"], codes[r["vec_id"]][s], s)
+            for s in range(PQ_SUBS)
+        )
+        assert r["adc_d2"] == expect
+        by_q.setdefault(r["query_id"], []).append(r)
+    for edges in by_q.values():
+        edges.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in edges] == list(range(1, len(edges) + 1))
+        assert len(edges) <= TOP_K
+        keys = [(r["adc_d2"], r["vec_id"]) for r in edges]
+        assert keys == sorted(keys)
