@@ -1270,8 +1270,12 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product quantization (Jegou et al. 2011): the vector-compression tier
 # of a production ANN stack (brute -> LSH -> IVF -> PQ).
 PQ_SUBS = 8                    # sub-spaces of EMB_DIM / PQ_SUBS dims each
-PQ_SEED_MOD = IVF_CENT_MOD     # codebook entries: the IVF seed convention
-PQ_SEED_REM = IVF_CENT_REM
+# Codebook seeds: every 10th vector (NOT the IVF 1-per-100 convention —
+# a 5-entry-per-sub-space codebook measured recall ~0.05; 1-per-10 gives
+# the 10x denser book that lifts ADC recall into usable territory, and
+# pq_recall_report is the gauge that justifies the density).
+PQ_SEED_MOD = 10
+PQ_SEED_REM = 7
 PQ_PACK = 1_000_000            # argmin tie-break packing: d2 * PACK + seed
 
 
@@ -1373,10 +1377,11 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-@register(
-    "similarity_pq_adc",
-    oracle=f"""
-    WITH ex AS (
+# ONE definition of the PQ code/ADC derivation, shared by the ADC search
+# oracle and pq_recall_report's (the _CLUSTER_CTES discipline: a second
+# copy would silently drift).
+_SQL_PQ_CTES = f"""
+    pq_ex AS (
         SELECT vec_id,
                (generate_subscripts(embedding, 1) - 1) // {EMB_DIM // PQ_SUBS}
                  AS sub_idx,
@@ -1384,26 +1389,33 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
                     AS BIGINT) AS xq
         FROM embeddings),
-    seeds AS (SELECT vec_id AS seed_id, sub_idx, pos, xq FROM ex
-              WHERE vec_id % {PQ_SEED_MOD} = {PQ_SEED_REM}),
-    pairs AS (
+    pq_seeds AS (SELECT vec_id AS seed_id, sub_idx, pos, xq FROM pq_ex
+                 WHERE vec_id % {PQ_SEED_MOD} = {PQ_SEED_REM}),
+    pq_pairs AS (
         SELECT e.vec_id, e.sub_idx, s.seed_id,
                CAST(sum((e.xq - s.xq) * (e.xq - s.xq)) AS BIGINT) AS d2
-        FROM ex e JOIN seeds s ON s.sub_idx = e.sub_idx AND s.pos = e.pos
+        FROM pq_ex e JOIN pq_seeds s
+          ON s.sub_idx = e.sub_idx AND s.pos = e.pos
         GROUP BY e.vec_id, e.sub_idx, s.seed_id),
-    codes AS (
+    pq_codes AS (
         SELECT vec_id, sub_idx,
                min(d2 * {PQ_PACK} + seed_id) % {PQ_PACK} AS code
-        FROM pairs GROUP BY vec_id, sub_idx),
-    qtab AS (SELECT vec_id AS query_id, sub_idx, seed_id, d2 FROM pairs
-             WHERE vec_id < {N_QUERIES}),
+        FROM pq_pairs GROUP BY vec_id, sub_idx),
+    pq_qtab AS (SELECT vec_id AS query_id, sub_idx, seed_id, d2
+                FROM pq_pairs WHERE vec_id < {N_QUERIES}),
     adc AS (
         SELECT q.query_id, c.vec_id,
                CAST(sum(q.d2) AS BIGINT) AS adc_d2
-        FROM codes c
-        JOIN qtab q ON q.sub_idx = c.sub_idx AND q.seed_id = c.code
+        FROM pq_codes c
+        JOIN pq_qtab q ON q.sub_idx = c.sub_idx AND q.seed_id = c.code
         WHERE c.vec_id <> q.query_id
-        GROUP BY q.query_id, c.vec_id)
+        GROUP BY q.query_id, c.vec_id)"""
+
+
+@register(
+    "similarity_pq_adc",
+    oracle=f"""
+    WITH {_SQL_PQ_CTES}
     SELECT query_id, vec_id, adc_d2, rank FROM (
         SELECT query_id, vec_id, adc_d2,
                CAST(row_number() OVER (PARTITION BY query_id
@@ -1478,4 +1490,101 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "pq_recall_report",
+    oracle=f"""
+    WITH {_SQL_PQ_CTES},
+    l2 AS (
+        SELECT q.vec_id AS query_id, v.vec_id,
+               CAST(sum((q.xq - v.xq) * (q.xq - v.xq)) AS BIGINT) AS d2
+        FROM pq_ex q JOIN pq_ex v
+          ON v.sub_idx = q.sub_idx AND v.pos = q.pos
+         AND v.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2),
+    topk_e AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, vec_id) AS rank
+            FROM l2)
+        WHERE rank <= {TOP_K}),
+    topk_p AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, vec_id) AS rank
+            FROM adc)
+        WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('pq', 'topk_p')}
+    """,
+)
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of PQ asymmetric-distance search against the exact
+    L2 baseline — the SAME metric ADC approximates, so the report
+    measures pure quantization loss (a cosine baseline would conflate it
+    with metric mismatch). The number that decides the PQ codebook's
+    density/split before shipping the compressed index
+    (ann_recall_report's sibling for the compression tier; PQ trades
+    exactness for a ~32x smaller index, and THIS is the price tag).
+
+    Plan shape: the exact side is one quantized-component equi-join
+    against the {N_QUERIES}-row broadcast query set with a map-side
+    integer sum; both ranked lists are |Q| x {TOP_K} rows, so the
+    intersection semi-join and rollup are trivia on top of the plans
+    being graded."""
+    sub_dim = EMB_DIM // PQ_SUBS
+    exq = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("x").cast("double") * 10_000).cast("bigint").alias(
+                "xq"
+            ),
+        )
+    )
+    qside = exq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("xq").alias("qq")
+    )
+    l2 = (
+        exq.join(F.broadcast(qside), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum((F.col("qq") - F.col("xq")) * (F.col("qq") - F.col("xq")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        l2.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    adc = similarity_pq_adc(spark, sf_dir).select("query_id", "vec_id")
+    hits = (
+        exact.join(adc, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return base.join(hits, "query_id", "left").select(
+        F.lit("pq").alias("tier"),
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_exact"),
+            6,
+        ).alias("recall"),
     )

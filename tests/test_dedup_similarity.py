@@ -727,3 +727,39 @@ def test_pq_adc_scores_reconcile_with_codes(spark, sf_dir, qs):
         assert len(edges) <= TOP_K
         keys = [(r["adc_d2"], r["vec_id"]) for r in edges]
         assert keys == sorted(keys)
+
+
+def test_pq_recall_report_reconciles_with_adc_and_exact_l2(spark, sf_dir, qs):
+    """recall = |ADC top-k intersect exact-L2 top-k| / k, recomputed
+    independently per query on raw vectors."""
+    import math
+
+    from mapreduce_spark.operators.similarity import N_QUERIES, TOP_K
+
+    report = {r["query_id"]: r for r in qs["pq_recall_report"](spark, sf_dir).collect()}
+    assert set(report) == set(range(N_QUERIES))
+    adc = {}
+    for r in qs["similarity_pq_adc"](spark, sf_dir).collect():
+        adc.setdefault(r["query_id"], set()).add(r["vec_id"])
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def q(x):
+        return math.floor(x * 10_000)
+
+    for qid in range(N_QUERIES):
+        d2s = sorted(
+            (
+                sum((q(a) - q(b)) ** 2 for a, b in zip(emb[qid], vec)),
+                vid,
+            )
+            for vid, vec in emb.items()
+            if vid != qid
+        )
+        exact_topk = {vid for _, vid in d2s[:TOP_K]}
+        r = report[qid]
+        assert r["n_exact"] == TOP_K
+        assert r["n_hits"] == len(exact_topk & adc.get(qid, set()))
+        assert r["recall"] == round(r["n_hits"] / TOP_K, 6)
