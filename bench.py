@@ -54,6 +54,10 @@ HEADLINE = [
     "semdedup_clusters",
     "cms_heavy_hitters",
     "embedding_pca_power",
+    # late round-4: the held-out trigram LM and the full-corpus k-NN
+    # graph build — the two heaviest of the session's new operators
+    "perplexity_trigram_backoff",
+    "knn_graph",
 ]
 
 

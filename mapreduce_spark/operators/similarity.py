@@ -1214,11 +1214,17 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation) consumes.
 
     Scale shape: candidates come ONLY from the (table, bucket) equi-join,
-    so pair volume tracks sum(bucket_size^2) — density-bound, never
-    |V|^2; norms are computed once per side; the per-source top-k is a
-    window over each vector's own candidate list. Vectors whose buckets
-    contain no other member yield no rows (the graph's honest sparsity
-    at the corpus fringe)."""
+    so pair volume is sum(bucket_size^2) over buckets. That is NOT
+    free: with a fixed 2^{LSH_PLANES}-bucket geometry buckets grow with
+    |V| and the pair volume degenerates toward |V|^2/2^{LSH_PLANES} —
+    at production scale LSH_PLANES must rise with log2(|V|) so the
+    EXPECTED bucket size stays constant (e.g. ~20 planes at 1e9
+    vectors), which keeps pair volume ~|V| x bucket_size; the equi-join
+    shape is unchanged by the plane count, and AQE splits residual hot
+    buckets. Norms are computed once per side; the per-source top-k is
+    a window over each vector's own candidate list. Vectors whose
+    buckets contain no other member yield no rows (the graph's honest
+    sparsity at the corpus fringe)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     tables_arr = F.array(
         *[
