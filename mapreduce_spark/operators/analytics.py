@@ -1444,19 +1444,21 @@ def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    med = lower_median(ev, "cents", "med_cents")
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_id",
-        "event_type",
-        "value",
-        F.abs(F.col("cents") - F.col("med_cents")).alias("dev_cents"),
-    )
-    mad = lower_median(dev, "dev_cents", "mad_cents")
+    # ONE model composition (mad_stats), shared verbatim with the
+    # streaming gate — a hand-rebuilt med->dev->mad here could drift
+    # from the gate's model and silently break the complement invariant.
+    stats = mad_stats(ev.select("event_type", "cents"))
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("dev_cents"),
+            "mad_cents",
+        )
         .filter(
             (F.col("mad_cents") > 0)
             & (F.col("dev_cents") > MAD_K * F.col("mad_cents"))
         )
-        .select("event_id", "event_type", "value", "dev_cents", "mad_cents")
     )

@@ -1282,110 +1282,16 @@ PQ_SUBS = 8                    # sub-spaces of EMB_DIM / PQ_SUBS dims each
 # pq_recall_report is the gauge that justifies the density).
 PQ_SEED_MOD = 10
 PQ_SEED_REM = 7
-PQ_PACK = 1_000_000            # argmin tie-break packing: d2 * PACK + seed
+# Argmin tie-break packing: packed = d2 * PQ_PACK + seed_id. Headroom:
+# per-sub d2 <= sub_dim * (2 * max|x| * 1e4)^2 — for |x| <= 3 that is
+# 2.9e10, so d2 * 1e8 <= 2.9e18 < 2^63; seed ids must stay < PQ_PACK
+# (enforced with a per-row raise_error in _pq_pairs — a larger id would
+# silently corrupt BOTH the argmin order and the decoded code).
+PQ_PACK = 100_000_000
 
 
-@register(
-    "embedding_pq_codes",
-    oracle=f"""
-    WITH ex AS (
-        SELECT vec_id,
-               (generate_subscripts(embedding, 1) - 1) // {EMB_DIM // PQ_SUBS}
-                 AS sub_idx,
-               generate_subscripts(embedding, 1) - 1 AS pos,
-               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
-                    AS BIGINT) AS xq
-        FROM embeddings),
-    seeds AS (SELECT vec_id AS seed_id, sub_idx, pos, xq FROM ex
-              WHERE vec_id % {PQ_SEED_MOD} = {PQ_SEED_REM}),
-    pairs AS (
-        SELECT e.vec_id, e.sub_idx, s.seed_id,
-               CAST(sum((e.xq - s.xq) * (e.xq - s.xq)) AS BIGINT) AS d2
-        FROM ex e JOIN seeds s ON s.sub_idx = e.sub_idx AND s.pos = e.pos
-        GROUP BY e.vec_id, e.sub_idx, s.seed_id),
-    best AS (
-        SELECT vec_id, sub_idx,
-               min(d2 * {PQ_PACK} + seed_id) AS packed
-        FROM pairs GROUP BY vec_id, sub_idx)
-    SELECT vec_id,
-           list(packed % {PQ_PACK} ORDER BY sub_idx) AS pq_code,
-           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
-                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
-    FROM best GROUP BY vec_id
-    """,
-)
-def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization codes (Jegou et al. 2011): each vector's
-    {PQ_SUBS} sub-vectors are assigned to their nearest codebook entry
-    (the IVF seed vectors' sub-vectors — the vec_id % {PQ_SEED_MOD} ==
-    {PQ_SEED_REM} convention), yielding a {PQ_SUBS}-id code per vector
-    plus its quantization MSE — the compressed representation a
-    PQ-accelerated ANN index stores instead of raw floats (~32x smaller
-    at one byte per sub-space in production).
-
-    Exactness: components quantize to 1e4 micro-units (exact for
-    float32); sub-space L2^2 distances are pure BIGINT sums; the argmin
-    packs (d2, seed_id) into ONE integer so the min aggregate IS the
-    tie-broken argmin — no float compare anywhere; the reported MSE is
-    one identical double division.
-
-    Scale shape: the codebook is |seeds| x {EMB_DIM} rows, BROADCAST;
-    vectors explode to (vec, sub, pos) once, the distance aggregate and
-    the packed argmin both combine map-side, and codes reassemble with
-    one groupBy per vector — cost is |V| x |seeds| sub-distances, the
-    PQ-training shape (at production scale the codebook is k-means-
-    refined per sub-space, kmeans_refine's machinery)."""
-    sub_dim = EMB_DIM // PQ_SUBS
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-        .select(
-            "vec_id",
-            (F.col("pos") / sub_dim).cast("int").alias("sub_idx"),
-            "pos",
-            F.floor(F.col("x").cast("double") * 10_000).cast("bigint").alias(
-                "xq"
-            ),
-        )
-    )
-    seeds = ex.filter(F.col("vec_id") % PQ_SEED_MOD == PQ_SEED_REM).select(
-        F.col("vec_id").alias("seed_id"),
-        "sub_idx",
-        "pos",
-        F.col("xq").alias("sq"),
-    )
-    pairs = (
-        ex.join(F.broadcast(seeds), ["sub_idx", "pos"])
-        .groupBy("vec_id", "sub_idx", "seed_id")
-        .agg(
-            F.sum((F.col("xq") - F.col("sq")) * (F.col("xq") - F.col("sq")))
-            .cast("bigint")
-            .alias("d2")
-        )
-    )
-    best = pairs.groupBy("vec_id", "sub_idx").agg(
-        F.min(F.col("d2") * PQ_PACK + F.col("seed_id")).alias("packed")
-    )
-    return (
-        best.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
-                lambda e: e["packed"] % PQ_PACK,
-            ).alias("pq_code"),
-            F.round(
-                F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
-                / (EMB_DIM * 100_000_000),
-                6,
-            ).alias("quant_mse"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# ONE definition of the PQ code/ADC derivation, shared by the ADC search
-# oracle and pq_recall_report's (the _CLUSTER_CTES discipline: a second
-# copy would silently drift).
+# ONE definition of the PQ code/ADC derivation, shared by all three PQ
+# oracles (the _CLUSTER_CTES discipline: a second copy would drift).
 _SQL_PQ_CTES = f"""
     pq_ex AS (
         SELECT vec_id,
@@ -1418,6 +1324,112 @@ _SQL_PQ_CTES = f"""
         GROUP BY q.query_id, c.vec_id)"""
 
 
+def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub_idx, pos, xq) — every vector exploded to 1e4
+    micro-unit components. The single Spark-side source every PQ
+    operator builds on (the _SQL_PQ_CTES pq_ex mirror)."""
+    sub_dim = EMB_DIM // PQ_SUBS
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            (F.col("pos") / sub_dim).cast("int").alias("sub_idx"),
+            "pos",
+            F.floor(F.col("x").cast("double") * 10_000).cast("bigint").alias(
+                "xq"
+            ),
+        )
+    )
+
+
+def _pq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub_idx, seed_id, d2): exact sub-space L2^2 of every
+    vector to every codebook entry — shared by codes, ADC, and the
+    recall report so the stored codes and the lookup tables can never
+    desynchronize. Guards the packed-argmin invariant: a seed id >=
+    PQ_PACK would silently corrupt both the argmin order and the
+    decoded code, so it raises instead."""
+    ex = _pq_quantized(spark, sf_dir)
+    seeds = ex.filter(F.col("vec_id") % PQ_SEED_MOD == PQ_SEED_REM).select(
+        F.when(F.col("vec_id") < PQ_PACK, F.col("vec_id"))
+        .otherwise(
+            F.raise_error(
+                f"PQ seed id >= PQ_PACK ({PQ_PACK}): renumber the codebook"
+            )
+        )
+        .alias("seed_id"),
+        "sub_idx",
+        "pos",
+        F.col("xq").alias("sq"),
+    )
+    return (
+        ex.join(F.broadcast(seeds), ["sub_idx", "pos"])
+        .groupBy("vec_id", "sub_idx", "seed_id")
+        .agg(
+            F.sum((F.col("xq") - F.col("sq")) * (F.col("xq") - F.col("sq")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH {_SQL_PQ_CTES},
+    best AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) AS packed
+        FROM pq_pairs GROUP BY vec_id, sub_idx)
+    SELECT vec_id,
+           list(packed % {PQ_PACK} ORDER BY sub_idx) AS pq_code,
+           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
+                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
+    FROM best GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jegou et al. 2011): each vector's
+    {PQ_SUBS} sub-vectors are assigned to their nearest codebook entry
+    (the IVF seed vectors' sub-vectors — the vec_id % {PQ_SEED_MOD} ==
+    {PQ_SEED_REM} convention), yielding a {PQ_SUBS}-id code per vector
+    plus its quantization MSE — the compressed representation a
+    PQ-accelerated ANN index stores instead of raw floats (~32x smaller
+    at one byte per sub-space in production).
+
+    Exactness: components quantize to 1e4 micro-units (exact for
+    float32); sub-space L2^2 distances are pure BIGINT sums; the argmin
+    packs (d2, seed_id) into ONE integer so the min aggregate IS the
+    tie-broken argmin — no float compare anywhere; the reported MSE is
+    one identical double division.
+
+    Scale shape: the codebook is |seeds| x {EMB_DIM} rows, BROADCAST;
+    vectors explode to (vec, sub, pos) once, the distance aggregate and
+    the packed argmin both combine map-side, and codes reassemble with
+    one groupBy per vector — cost is |V| x |seeds| sub-distances, the
+    PQ-training shape (at production scale the codebook is k-means-
+    refined per sub-space, kmeans_refine's machinery)."""
+    best = _pq_pairs(spark, sf_dir).groupBy("vec_id", "sub_idx").agg(
+        F.min(F.col("d2") * PQ_PACK + F.col("seed_id")).alias("packed")
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
+                lambda e: e["packed"] % PQ_PACK,
+            ).alias("pq_code"),
+            F.round(
+                F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
+                / (EMB_DIM * 100_000_000),
+                6,
+            ).alias("quant_mse"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 @register(
     "similarity_pq_adc",
     oracle=f"""
@@ -1446,34 +1458,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate — and the per-(query, vec) sum combines map-side; top-k
     per query is a window over each query's scored list. Cost per query
     tracks |V| code-lookups, not |V| x {EMB_DIM} float ops."""
-    sub_dim = EMB_DIM // PQ_SUBS
-    ex = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-        .select(
-            "vec_id",
-            (F.col("pos") / sub_dim).cast("int").alias("sub_idx"),
-            "pos",
-            F.floor(F.col("x").cast("double") * 10_000).cast("bigint").alias(
-                "xq"
-            ),
-        )
-    )
-    seeds = ex.filter(F.col("vec_id") % PQ_SEED_MOD == PQ_SEED_REM).select(
-        F.col("vec_id").alias("seed_id"),
-        "sub_idx",
-        "pos",
-        F.col("xq").alias("sq"),
-    )
-    pairs = (
-        ex.join(F.broadcast(seeds), ["sub_idx", "pos"])
-        .groupBy("vec_id", "sub_idx", "seed_id")
-        .agg(
-            F.sum((F.col("xq") - F.col("sq")) * (F.col("xq") - F.col("sq")))
-            .cast("bigint")
-            .alias("d2")
-        )
-    )
+    pairs = _pq_pairs(spark, sf_dir)
     codes = pairs.groupBy("vec_id", "sub_idx").agg(
         (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
             "code"
@@ -1545,18 +1530,7 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum; both ranked lists are |Q| x {TOP_K} rows, so the
     intersection semi-join and rollup are trivia on top of the plans
     being graded."""
-    sub_dim = EMB_DIM // PQ_SUBS
-    exq = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
-        .select(
-            "vec_id",
-            "pos",
-            F.floor(F.col("x").cast("double") * 10_000).cast("bigint").alias(
-                "xq"
-            ),
-        )
-    )
+    exq = _pq_quantized(spark, sf_dir).select("vec_id", "pos", "xq")
     qside = exq.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "pos", F.col("xq").alias("qq")
     )

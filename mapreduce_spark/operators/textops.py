@@ -99,6 +99,23 @@ _LANG_CASE_SQL = """
 """
 
 
+def _lang_scored(docs: DataFrame, *keep: str) -> DataFrame:
+    """THE classifier projection — per-language stopword hit counts plus
+    the argmax guess — shared by lang_id and lang_confusion_report so
+    the matrix always grades the classifier it claims to measure.
+    ``keep`` carries extra passthrough columns (e.g. the labeled lang)
+    through the same single-scan projection."""
+    toks = tokens("text")
+    d = docs.select(
+        *keep,
+        _hits(toks, STOPWORDS["en"]).cast("bigint").alias("hits_en"),
+        _hits(toks, STOPWORDS["de"]).cast("bigint").alias("hits_de"),
+        _hits(toks, STOPWORDS["es"]).cast("bigint").alias("hits_es"),
+        _hits(toks, STOPWORDS["fr"]).cast("bigint").alias("hits_fr"),
+    )
+    return d.withColumn("lang_guess", F.expr(_LANG_CASE_SQL))
+
+
 @register(
     "lang_id",
     oracle=f"""
@@ -119,16 +136,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break). The classic fastText/langid trick reduced to its
     SQL-expressible core: score token overlap against per-language
     profiles. Zero shuffles; scoring is a codegen'd array filter."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    d = docs.select(
-        "doc_id",
-        _hits(toks, STOPWORDS["en"]).cast("bigint").alias("hits_en"),
-        _hits(toks, STOPWORDS["de"]).cast("bigint").alias("hits_de"),
-        _hits(toks, STOPWORDS["es"]).cast("bigint").alias("hits_es"),
-        _hits(toks, STOPWORDS["fr"]).cast("bigint").alias("hits_fr"),
-    )
-    return d.withColumn("lang_guess", F.expr(_LANG_CASE_SQL))
+    return _lang_scored(load_table(spark, sf_dir, "documents"), "doc_id")
 
 
 @register(
@@ -155,17 +163,10 @@ def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells ARE the misrouted token mass.
 
     Plan shape: the labeled column rides the SAME projection as the
-    per-row scoring expressions — one documents scan, no join — so the
-    |langs|^2-cell rollup is the only exchange."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    d = docs.select(
-        "lang",
-        _hits(toks, STOPWORDS["en"]).cast("bigint").alias("hits_en"),
-        _hits(toks, STOPWORDS["de"]).cast("bigint").alias("hits_de"),
-        _hits(toks, STOPWORDS["es"]).cast("bigint").alias("hits_es"),
-        _hits(toks, STOPWORDS["fr"]).cast("bigint").alias("hits_fr"),
-    ).withColumn("lang_guess", F.expr(_LANG_CASE_SQL))
+    per-row scoring expressions (_lang_scored, shared with lang_id) —
+    one documents scan, no join — so the |langs|^2-cell rollup is the
+    only exchange."""
+    d = _lang_scored(load_table(spark, sf_dir, "documents"), "lang")
     return (
         d.groupBy("lang", "lang_guess")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -591,11 +591,15 @@ def stream_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
+    # LEFT join: an event_type ABSENT from the training history has no
+    # model to score against and must pass through (the mad_cents = 0
+    # no-model precedent) — an inner join would silently swallow it,
+    # neither admitted nor flagged (r4 review finding).
     gated = (
-        ev.join(F.broadcast(stats), "event_type")
+        ev.join(F.broadcast(stats), "event_type", "left")
         .filter(
             ~(
-                (F.col("mad_cents") > 0)
+                (F.coalesce("mad_cents", F.lit(0)) > 0)
                 & (
                     F.abs(F.col("cents") - F.col("med_cents"))
                     > MAD_K * F.col("mad_cents")

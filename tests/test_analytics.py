@@ -276,8 +276,9 @@ def test_tpch_q1_pricing_invariants(spark):
 def test_event_anomaly_mad_matches_independent_recompute(spark):
     """Flagged events are exactly those beyond MAD_K lower-median MADs,
     per a pure-Python recompute of both medians over quantized cents."""
+    import math
+
     from mapreduce_spark.operators.analytics import MAD_K, event_anomaly_mad
-    from mapreduce_spark.registry import get_queries
 
     rows = event_anomaly_mad(spark, SF).collect()
     ev = load_table(spark, SF, "events").select(
@@ -288,10 +289,16 @@ def test_event_anomaly_mad_matches_independent_recompute(spark):
         xs = sorted(xs)
         return xs[(len(xs) + 1) // 2 - 1]
 
+    def r100(v):
+        # HALF_UP (away from zero), matching Spark F.round — Python's
+        # built-in round() is banker's and diverges on exact half-cents
+        s = 1 if v >= 0 else -1
+        return s * math.floor(abs(v) * 100 + 0.5)
+
     by_type: dict[str, list] = {}
     for r in ev:
         by_type.setdefault(r["event_type"], []).append(
-            (r["event_id"], round(r["value"] * 100))
+            (r["event_id"], r100(r["value"]))
         )
     expect = set()
     for t, pairs in by_type.items():
