@@ -1462,3 +1462,69 @@ def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dev_cents") > MAD_K * F.col("mad_cents"))
         )
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "event_ohlc",
+    oracle="""
+    WITH ev AS (SELECT event_type,
+                       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                       ts, event_id, value
+                FROM events),
+    rn AS (SELECT event_type, window_start, value,
+                  row_number() OVER (PARTITION BY event_type, window_start
+                                     ORDER BY ts, event_id) AS r_open,
+                  row_number() OVER (PARTITION BY event_type, window_start
+                                     ORDER BY ts DESC, event_id DESC) AS r_close
+           FROM ev),
+    oc AS (SELECT event_type, window_start,
+                  max(CASE WHEN r_open = 1 THEN value END) AS open,
+                  max(CASE WHEN r_close = 1 THEN value END) AS close
+           FROM rn GROUP BY 1, 2)
+    SELECT ev.event_type, ev.window_start,
+           oc.open,
+           max(ev.value) AS high,
+           min(ev.value) AS low,
+           oc.close,
+           count(*) AS n_events,
+           CAST(SUM(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM ev JOIN oc USING (event_type, window_start)
+    GROUP BY 1, 2, oc.open, oc.close
+    ORDER BY 1, 2
+    """,
+)
+def event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — open/high/low/close of the
+    value stream plus volume, the canonical time-series downsample
+    (financial candlesticks, metrics rollups).
+
+    Open and close are STRUCT-MIN/MAX aggregates over
+    (ts, event_id, value) — the lexicographic struct compare makes the
+    earliest/latest election a map-side-combining aggregate with a
+    unique total order (event_id breaks ts ties), NOT a per-partition
+    window sort over raw events; high/low/volume ride the same single
+    hash aggregate, so the whole query is one exchange on
+    (type, hour). The oracle independently derives open/close with
+    row_number windows — two formulations, one answer. Values are 2dp
+    fixed-point so min/max/open/close compare exactly; volume is the
+    exact decimal sum."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return (
+        ev.groupBy("event_type", "window_start")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("event_type", "window_start")
+    )

@@ -310,3 +310,31 @@ def test_event_anomaly_mad_matches_independent_recompute(spark):
     assert {r["event_id"] for r in rows} == expect
     for r in rows:
         assert r["dev_cents"] > MAD_K * r["mad_cents"] > 0
+
+
+def test_event_ohlc_bars_match_sorted_recompute(spark):
+    """Every bar's open/close are the first/last event's value under
+    (ts, event_id) order, high/low bound the bar, and volume counts
+    reconcile with the raw events."""
+    from mapreduce_spark.operators.analytics import event_ohlc
+
+    rows = event_ohlc(spark, SF).collect()
+    assert rows
+    ev = load_table(spark, SF, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).collect()
+    bars: dict[tuple, list] = {}
+    for r in ev:
+        key = (r["event_type"], r["ts"].replace(minute=0, second=0, microsecond=0))
+        bars.setdefault(key, []).append((r["ts"], r["event_id"], r["value"]))
+    assert len(rows) == len(bars)
+    for r in rows:
+        members = sorted(bars[(r["event_type"], r["window_start"])])
+        vals = [v for _, _, v in members]
+        assert r["open"] == members[0][2]
+        assert r["close"] == members[-1][2]
+        assert r["high"] == max(vals)
+        assert r["low"] == min(vals)
+        assert r["n_events"] == len(members)
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
