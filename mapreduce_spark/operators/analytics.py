@@ -1465,9 +1465,9 @@ def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-@register(
-    "event_ohlc",
-    oracle="""
+# Shared with stream_ohlc (streaming/events.py): the streaming bars must
+# equal the batch bars, so both oracles are ONE definition.
+OHLC_SQL = """
     WITH ev AS (SELECT event_type,
                        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                        ts, event_id, value
@@ -1492,8 +1492,10 @@ def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ev JOIN oc USING (event_type, window_start)
     GROUP BY 1, 2, oc.open, oc.close
     ORDER BY 1, 2
-    """,
-)
+    """
+
+
+@register("event_ohlc", oracle=OHLC_SQL)
 def event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event type — open/high/low/close of the
     value stream plus volume, the canonical time-series downsample

@@ -609,3 +609,43 @@ def stream_anomaly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value")
     )
     return _drain(gated, "stream_anomaly_gate", spark, "append")
+
+
+# ---------------------------------------------------------------------------
+from mapreduce_spark.operators.analytics import OHLC_SQL as _SQL_OHLC
+
+
+@register("stream_ohlc", oracle=_SQL_OHLC)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars: the event_ohlc aggregate run by the
+    micro-batch engine over tumbling 1-hour event-time windows — the
+    live market-data/metrics rollup. The open/close struct-min/max
+    aggregates merge ASSOCIATIVELY across micro-batches (each batch
+    folds its earliest/latest candidate into the window's state), which
+    is exactly why the struct-aggregate formulation was chosen over a
+    window sort: a sort-based open/close could not maintain incremental
+    state. Complete mode on the drained bounded stream reproduces the
+    batch answer bit-for-bit; watermark bounds state on a live feed."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain(agg, "mem_stream_ohlc", spark, "complete")

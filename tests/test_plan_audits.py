@@ -163,6 +163,7 @@ PLAN_SWEEP_SKIP = {
     "stream_quality_gate", "stream_gopher_gate", "stream_contamination_gate",
     "stream_neardup_gate",  # drains the ingest stream when invoked
     "stream_anomaly_gate",  # drains the event stream when invoked
+    "stream_ohlc",  # drains the event stream when invoked
     "dedup_cluster",  # runs a convergence loop when invoked
     "dedup_cluster_stats",  # rolls up dedup_cluster's converged labels
     "dedup_keep_best",  # runs dedup_cluster's convergence loop when invoked

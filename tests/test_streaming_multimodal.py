@@ -295,3 +295,20 @@ def test_stream_anomaly_gate_complements_batch_flags(spark, sf_dir, qs):
     }
     assert admitted == all_ids - flagged
     assert admitted.isdisjoint(flagged)
+
+
+def test_stream_ohlc_equals_batch_bars(spark, sf_dir, qs):
+    """The micro-batch windowed struct aggregates reproduce the batch
+    bars exactly — the associativity the formulation was chosen for."""
+    batch = {
+        (r["event_type"], r["window_start"]): tuple(r)[2:]
+        for r in qs["event_ohlc"](spark, sf_dir).collect()
+    }
+    stream = {
+        (r["event_type"], r["window_start"]): (
+            r["open"], r["high"], r["low"], r["close"],
+            r["n_events"], r["total_value"],
+        )
+        for r in qs["stream_ohlc"](spark, sf_dir).collect()
+    }
+    assert stream == batch
