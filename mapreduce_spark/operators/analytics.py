@@ -1530,3 +1530,83 @@ def event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_latency_stats",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END) AS fc,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS fp
+        FROM events GROUP BY user_id),
+    lat AS (SELECT (fp - fc) // 1000000 AS lat_s FROM f
+            WHERE fp IS NOT NULL AND fc IS NOT NULL AND fp > fc),
+    dist AS (SELECT lat_s, CAST(count(*) AS BIGINT) AS cnt
+             FROM lat GROUP BY lat_s),
+    cum AS (SELECT lat_s, cnt,
+                   sum(cnt) OVER (ORDER BY lat_s) AS cum_end,
+                   sum(cnt) OVER () AS n
+            FROM dist)
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(CAST(sum(lat_s * cnt) AS BIGINT) AS DOUBLE) / max(n)
+             AS mean_latency_s,
+           CAST(max(CASE WHEN (n + 1) // 2 > cum_end - cnt
+                          AND (n + 1) // 2 <= cum_end
+                         THEN lat_s END) AS BIGINT) AS median_latency_s
+    FROM cum
+    """,
+)
+def funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every converted user (first
+    purchase after first click — funnel_conversion's rule, re-derived
+    independently in the oracle), the click->purchase latency in whole
+    seconds, rolled up to count, exact mean, and exact LOWER median.
+
+    Exactness: latencies are integer seconds (truncating microsecond
+    division, both engines); the mean is one IEEE division of an exact
+    integer sum; the median comes from the (latency, count) DISTRIBUTION
+    via the integer rank rule (the event_anomaly_mad playbook) — never
+    a raw-row sort. One row out; the distribution table is as small as
+    |distinct latencies|."""
+    f = funnel_conversion(spark, sf_dir)
+    lat = (
+        f.filter(F.col("converted"))
+        .select(
+            # ntz -> timestamp cast is instant-preserving (session tz UTC)
+            F.expr(
+                "(unix_micros(CAST(first_purchase AS TIMESTAMP))"
+                " - unix_micros(CAST(first_click AS TIMESTAMP)))"
+                " div 1000000"
+            )
+            .cast("bigint")
+            .alias("lat_s")
+        )
+    )
+    dist = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("lat_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dist.withColumn("cum_end", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy())
+    )
+    rank = F.expr("(n + 1) div 2")
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        (
+            F.sum(F.col("lat_s") * F.col("cnt")).cast("bigint").cast("double")
+            / F.max("n")
+        ).alias("mean_latency_s"),
+        F.max(
+            F.when(
+                (rank > F.col("cum_end") - F.col("cnt"))
+                & (rank <= F.col("cum_end")),
+                F.col("lat_s"),
+            )
+        )
+        .cast("bigint")
+        .alias("median_latency_s"),
+    )

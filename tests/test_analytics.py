@@ -338,3 +338,22 @@ def test_event_ohlc_bars_match_sorted_recompute(spark):
         assert r["n_events"] == len(members)
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
+
+
+def test_funnel_latency_stats_recompute(spark):
+    """n/mean/median reconcile against a pure-Python recompute over
+    funnel_conversion's converted users."""
+    from mapreduce_spark.operators.analytics import (
+        funnel_conversion,
+        funnel_latency_stats,
+    )
+
+    (row,) = funnel_latency_stats(spark, SF).collect()
+    lats = sorted(
+        int((r["first_purchase"] - r["first_click"]).total_seconds())
+        for r in funnel_conversion(spark, SF).collect()
+        if r["converted"]
+    )
+    assert row["n_converted"] == len(lats)
+    assert math.isclose(row["mean_latency_s"], sum(lats) / len(lats), rel_tol=1e-12)
+    assert row["median_latency_s"] == lats[(len(lats) + 1) // 2 - 1]
