@@ -1711,3 +1711,46 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_d") < F.col("rate_micro"))
         .select("doc_id", "dsir_logw", "rate_micro")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+    {_SQL_TOKS_CTE.replace("SELECT doc_id,", "SELECT doc_id, source,")}
+    SELECT source,
+           CAST(length(bin(len(toks))) - 1 AS BIGINT) AS len_bucket,
+           count(*) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+    FROM t WHERE len(toks) > 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per source in power-of-2 buckets
+    (bucket b covers 2^b <= n_tokens < 2^(b+1)) — the histogram every
+    pipeline reads before choosing pack_sequences' token budget and the
+    chunker's window (too-long tails get chunked, too-short heads get
+    packed). The bucket index is length(bin(n)) - 1 = floor(log2 n)
+    computed on INTEGERS via the binary-string length — identical on
+    both engines, with none of float log2's boundary risk at exact
+    powers of two. Zero-shuffle per-row math into a
+    |sources| x |buckets| rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens("text"))
+    return (
+        docs.select(
+            "source",
+            n.alias("n_toks"),
+            (F.length(F.bin(n.cast("bigint"))) - 1).cast("bigint").alias(
+                "len_bucket"
+            ),
+        )
+        .filter(F.col("n_toks") > 0)
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source", "len_bucket")
+    )

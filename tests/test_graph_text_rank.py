@@ -390,3 +390,32 @@ def test_dsir_resample_draws_reconcile_with_weights(spark, sf_dir):
         assert 0 <= r["rate_micro"] <= 1_000_000
     # in-expectation rate: within a loose band of the target on 500 docs
     assert 0.05 < len(picked) / len(weights) < 0.6
+
+
+def test_doc_length_histogram_buckets_partition_by_pow2(spark, sf_dir):
+    """Buckets cover 2^b <= n < 2^(b+1), every tokenized doc lands in
+    exactly one (source, bucket) cell, and token mass reconciles."""
+    from mapreduce_spark.registry import get_queries
+    from mapreduce_spark.sources.tables import load_table
+    from mapreduce_spark.functions.text import tokens
+
+    import pyspark.sql.functions as SF
+
+    rows = get_queries()["doc_length_histogram"](spark, sf_dir).collect()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", SF.size(tokens("text")).alias("n"))
+        .filter(SF.col("n") > 0)
+        .collect()
+    )
+    expect: dict[tuple, list] = {}
+    for r in docs:
+        b = r["n"].bit_length() - 1
+        expect.setdefault((r["source"], b), []).append(r["n"])
+    got = {(r["source"], r["len_bucket"]): r for r in rows}
+    assert set(got) == set(expect)
+    for key, ns in expect.items():
+        assert got[key]["n_docs"] == len(ns)
+        assert got[key]["total_tokens"] == sum(ns)
+        b = key[1]
+        assert all(2**b <= n < 2 ** (b + 1) for n in ns)
