@@ -1610,3 +1610,86 @@ def funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("median_latency_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "activity_gini",
+    oracle="""
+    WITH uc AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+    dist AS (SELECT event_type, n, CAST(count(*) AS BIGINT) AS cnt
+             FROM uc GROUP BY 1, 2),
+    cum AS (SELECT event_type, n, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY n)
+                     AS hi,
+                   sum(cnt) OVER (PARTITION BY event_type) AS u,
+                   sum(n * cnt) OVER (PARTITION BY event_type) AS t
+            FROM dist),
+    s AS (SELECT event_type, u, t,
+                 CAST(sum(CAST(n AS HUGEINT) * (hi + (hi - cnt + 1))
+                          * cnt / 2) AS HUGEINT) AS rank_mass
+          FROM cum GROUP BY 1, 2, 3)
+    SELECT event_type,
+           CAST(u AS BIGINT) AS n_users,
+           CAST(t AS BIGINT) AS n_events,
+           CAST(CAST((CAST(2 AS HUGEINT) * rank_mass * 1000000
+                      - CAST(u + 1 AS HUGEINT) * t * 1000000)
+                     // (CAST(u AS HUGEINT) * t) AS BIGINT) AS DOUBLE)
+             / 1000000 AS gini
+    FROM s ORDER BY event_type
+    """,
+)
+def activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity concentration per event
+    type — the inequality gauge (0 = everyone equally active, -> 1 = one
+    user dominates) that tells an analytics/abuse pipeline whether a
+    traffic class is organic or bot-concentrated.
+
+    Exact and sort-free: G = (2*S - (U+1)*T) / (U*T) with S = sum of
+    rank_i * x_i over users sorted by count — and S is computed from the
+    (count, frequency) DISTRIBUTION, not a per-user sort: a run of cnt
+    users sharing count n occupies the contiguous rank range
+    [hi-cnt+1 .. hi], whose rank sum is (lo+hi)*cnt/2, so one cumulative
+    window over |distinct counts| rows yields S exactly. All arithmetic
+    is integer (DECIMAL(38,0) / HUGEINT for the rank mass, which reaches
+    U^2 * x at scale); the single division is truncating micro-units —
+    bit-identical on both engines. The raw-event shuffle is the per-user
+    count; everything after runs on the compacted distribution."""
+    uc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dist = uc.groupBy("event_type", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = (
+        dist.withColumn("hi", F.sum("cnt").over(w_cum))
+        .withColumn("u", F.sum("cnt").over(w_all))
+        .withColumn("t", F.sum(F.col("n") * F.col("cnt")).over(w_all))
+    )
+    rank_mass = F.sum(
+        (
+            F.col("n").cast("decimal(38,0)")
+            * (F.col("hi") + (F.col("hi") - F.col("cnt") + 1))
+            * F.col("cnt")
+            / 2
+        ).cast("decimal(38,0)")
+    )
+    s = cum.groupBy("event_type", "u", "t").agg(rank_mass.alias("rank_mass"))
+    gini_micro = F.expr(
+        "CAST((CAST(2 AS DECIMAL(38,0)) * rank_mass * 1000000"
+        " - CAST(u + 1 AS DECIMAL(38,0)) * t * 1000000)"
+        " div (CAST(u AS DECIMAL(38,0)) * t) AS BIGINT)"
+    )
+    return s.select(
+        "event_type",
+        F.col("u").cast("bigint").alias("n_users"),
+        F.col("t").cast("bigint").alias("n_events"),
+        (gini_micro.cast("double") / 1_000_000).alias("gini"),
+    ).orderBy("event_type")

@@ -357,3 +357,25 @@ def test_funnel_latency_stats_recompute(spark):
     assert row["n_converted"] == len(lats)
     assert math.isclose(row["mean_latency_s"], sum(lats) / len(lats), rel_tol=1e-12)
     assert row["median_latency_s"] == lats[(len(lats) + 1) // 2 - 1]
+
+
+def test_activity_gini_matches_sorted_recompute(spark):
+    """The distribution-based Gini equals the classic sorted-rank
+    formula computed per type in pure Python (truncating micro-units)."""
+    from mapreduce_spark.operators.analytics import activity_gini
+
+    rows = {r["event_type"]: r for r in activity_gini(spark, SF).collect()}
+    ev = load_table(spark, SF, "events").select("event_type", "user_id").collect()
+    by_type: dict[str, dict] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], {}).setdefault(r["user_id"], 0)
+        by_type[r["event_type"]][r["user_id"]] += 1
+    for t, users in by_type.items():
+        xs = sorted(users.values())
+        u, tot = len(xs), sum(xs)
+        s = sum((i + 1) * x for i, x in enumerate(xs))
+        micro = (2 * s * 1_000_000 - (u + 1) * tot * 1_000_000) // (u * tot)
+        r = rows[t]
+        assert r["n_users"] == u and r["n_events"] == tot
+        assert r["gini"] == micro / 1e6
+        assert 0 <= r["gini"] < 1
