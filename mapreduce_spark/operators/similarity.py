@@ -41,13 +41,43 @@ IVF_CENT_MOD = 100   # centroids: vec_id % IVF_CENT_MOD == IVF_CENT_REM
 IVF_CENT_REM = 7
 IVF_NPROBE = 2
 
+# --- PRODUCTION ANN profile (the dedup SCALED_PERMS/SCALED_BANDS playbook:
+# r3/r4 flagged the constants above as demo geometry — fine for fixtures,
+# wrong shape for 1e9 vectors). The two knobs separate cleanly:
+#
+# * PLANES control COST: expected bucket occupancy is |V| / 2^planes per
+#   table, so planes must track log2(|V| / target_bucket_size) for pair
+#   volume to stay ~|V| * bucket_size instead of degenerating toward
+#   |V|^2 / 2^planes. At the test corpus (|V| ~ 500-2000, target ~2-8
+#   per bucket) that rule gives 8 planes; at 1e9 vectors it gives ~27.
+#   The equi-join plan shape is IDENTICAL at any plane count.
+# * TABLES control RECALL: a true neighbor at angle theta collides in one
+#   table with p = (1 - theta/pi)^planes and is found with
+#   1 - (1 - p)^tables. At 8 planes / 32 tables: cosine 0.80 -> 0.996,
+#   0.75 -> 0.985, 0.70 -> 0.961 — the >= 0.9 contract for the
+#   cosine >= 0.7 neighborhoods real embedding corpora put near-dups in
+#   (random-direction cosines concentrate near 0 at dim 64, so relevant
+#   neighbors sit far above ambient). tests/test_ann_scaled.py asserts
+#   empirical recall >= 0.9 on a planted-neighbor corpus in exactly that
+#   band, and that the demo geometry misses measurably on the same data.
+#
+# The IVF tier scales by a denser coarse quantizer (|V|/25 lists, 4x the
+# demo's) that is TRAINED (one Lloyd iteration from the deterministic
+# seeds — kmeans_refine's machinery) rather than raw seed vectors, probed
+# at nprobe=4; at production |V| the list count grows with the corpus
+# while nprobe stays a small constant multiple of the recall target.
+SCALED_LSH_PLANES = 8
+SCALED_LSH_TABLES = 32
+SCALED_IVF_CENT_MOD = 25
+SCALED_IVF_NPROBE = 4
 
-def _rank_topk(scored: DataFrame) -> DataFrame:
-    """row_number over (cosine desc, vec_id) per query; keep TOP_K."""
+
+def _rank_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """row_number over (cosine desc, vec_id) per query; keep the top k."""
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
 
@@ -132,35 +162,64 @@ def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _bucket_col(table: int) -> Column:
+def _bucket_col(table: int, planes: int = LSH_PLANES) -> Column:
     bits = F.lit(0).cast("bigint")
-    for p in range(LSH_PLANES):
+    for p in range(planes):
         bits = bits + F.when(
             dot_literal(F.col("embedding"), hyperplane(table, p)) >= 0, F.lit(1 << p)
         ).otherwise(F.lit(0))
     return bits
 
 
-def _sql_bucket(table: int) -> str:
+def lsh_buckets(emb: DataFrame, planes: int, tables: int) -> DataFrame:
+    """(vec_id, table_idx, bucket) under an arbitrary (planes, tables)
+    geometry — THE bucket derivation every LSH entry point shares (the
+    dedup _band_key_fn discipline: one rule, so any two same-profile
+    consumers are always key-compatible). One row per vector per table;
+    all plane dot products evaluate in a single projection over the
+    vector, then explode — the embedding is read once."""
+    tables_arr = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table_idx"), _bucket_col(t, planes).alias("bucket")
+            )
+            for t in range(tables)
+        ]
+    )
+    return emb.select("vec_id", F.explode(tables_arr).alias("tb")).select(
+        "vec_id", "tb.table_idx", "tb.bucket"
+    )
+
+
+def _sql_bucket(table: int, planes: int = LSH_PLANES) -> str:
     bits = " + ".join(
         f"(CASE WHEN {sql_dot_literal('embedding', hyperplane(table, p))} >= 0 "
         f"THEN {1 << p} ELSE 0 END)"
-        for p in range(LSH_PLANES)
+        for p in range(planes)
     )
     return f"CAST({bits} AS BIGINT)"
 
 
-_SQL_BUCKETS_CTE = (
-    "bk AS (SELECT vec_id, "
-    + ", ".join(f"{_sql_bucket(t)} AS bucket{t}" for t in range(LSH_TABLES))
-    + " FROM embeddings),\n"
-    + "buckets AS ("
-    + " UNION ALL ".join(
-        f"SELECT vec_id, {t} AS table_idx, bucket{t} AS bucket FROM bk"
-        for t in range(LSH_TABLES)
+def _sql_buckets_cte(
+    planes: int = LSH_PLANES, tables: int = LSH_TABLES, prefix: str = ""
+) -> str:
+    """DuckDB twin of lsh_buckets: CTEs ``{prefix}bk`` + ``{prefix}buckets``
+    for an arbitrary geometry (prefix keeps two geometries in one query
+    from colliding)."""
+    return (
+        f"{prefix}bk AS (SELECT vec_id, "
+        + ", ".join(f"{_sql_bucket(t, planes)} AS bucket{t}" for t in range(tables))
+        + " FROM embeddings),\n"
+        + f"{prefix}buckets AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {t} AS table_idx, bucket{t} AS bucket FROM {prefix}bk"
+            for t in range(tables)
+        )
+        + ")"
     )
-    + ")"
-)
+
+
+_SQL_BUCKETS_CTE = _sql_buckets_cte()
 
 
 @register(
@@ -188,16 +247,23 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the bucket — per-query work tracks bucket occupancy
     (|V| / 2^planes per table), not |V|."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    tables_arr = F.array(
-        *[
-            F.struct(F.lit(t).alias("table_idx"), _bucket_col(t).alias("bucket"))
-            for t in range(LSH_TABLES)
-        ]
-    )
-    buckets = emb.select("vec_id", F.explode(tables_arr).alias("tb")).select(
-        "vec_id", "tb.table_idx", "tb.bucket"
-    )
-    qb = buckets.filter(F.col("vec_id") < N_QUERIES)
+    return ann_lsh_topk(emb, LSH_PLANES, LSH_TABLES)
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    planes: int,
+    tables: int,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Profile-parameterized LSH ANN over a (vec_id, embedding) frame:
+    bucket derivation -> (table, bucket) candidate equi-join -> exact
+    cosine on candidates -> per-query top-k. Identical plan shape at any
+    geometry — the demo and PRODUCTION registrations differ only in the
+    constants they pass (the minhash_lsh_pairs discipline)."""
+    buckets = lsh_buckets(emb, planes, tables)
+    qb = buckets.filter(F.col("vec_id") < n_queries)
     cand = (
         qb.alias("q")
         .join(
@@ -210,7 +276,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     scored = _score_pairs(emb, cand)
-    return _rank_topk(scored)
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -261,6 +327,22 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
     )
+    return ann_ivf_topk(emb, cent, IVF_NPROBE)
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    cent: DataFrame,
+    nprobe: int,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF ANN over a (vec_id, embedding) frame against an ARBITRARY
+    (cid, ce, cn) centroid frame — raw seed vectors (the demo) or trained
+    quantizer output (the production registration) plug into the same
+    plan: broadcast-centroid argmax assignment, nprobe-nearest-list
+    probe, candidate equi-join on cid, exact cosine, per-query top-k."""
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
 
     def nearest(df: DataFrame, id_col: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cent)).select(
@@ -279,11 +361,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assign = nearest(embn, "vec_id", 1)
     probe = nearest(
-        embn.filter(F.col("vec_id") < N_QUERIES).select(
+        embn.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"), "embedding", "nrm"
         ),
         "query_id",
-        IVF_NPROBE,
+        nprobe,
     )
     cand = (
         probe.join(assign, "cid")
@@ -292,7 +374,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     scored = _score_pairs(emb, cand)
-    return _rank_topk(scored)
+    return _rank_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------
@@ -339,8 +421,30 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT-sum (exact, associative), divide once — bit-identical at any
     parallelism on both engines."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c2 = _lloyd_c2(emb, IVF_CENT_MOD, IVF_CENT_REM)
+    return (
+        c2.groupBy("cid")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _lloyd_c2(emb: DataFrame, cent_mod: int, rem: int) -> DataFrame:
+    """(cid, pos, n, c): ONE Lloyd iteration from the vec_id % cent_mod
+    == rem seeds at an arbitrary modulus — assignment by argmax aggregate
+    over broadcast seeds, mean update in exact integer micro-units, each
+    component c the exact ratio s/n/1e6 (one IEEE division chain,
+    bit-identical on both engines). Shared by kmeans_refine (the oracled
+    one-step query) and refined_centroids (the trained-quantizer input
+    to the production IVF registration)."""
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
-    cent = embn.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM).select(
+    cent = embn.filter(F.col("vec_id") % cent_mod == rem).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
@@ -364,18 +468,23 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("x").cast("double") * 1e6).cast("bigint")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
-    c2 = q.select("cid", "pos", "n", (F.col("s") / F.col("n") / 1e6).alias("c"))
-    return (
-        c2.groupBy("cid")
-        .agg(
-            F.max("n").alias("n_members"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("centroid"),
-        )
-        .orderBy("cid")
+    return q.select("cid", "pos", "n", (F.col("s") / F.col("n") / 1e6).alias("c"))
+
+
+def refined_centroids(emb: DataFrame, cent_mod: int, rem: int) -> DataFrame:
+    """(cid, ce, cn): the TRAINED coarse quantizer — one Lloyd iteration
+    from the deterministic seeds, reassembled to per-centroid double
+    arrays with precomputed norms, ready to plug into ann_ivf_topk.
+    Components are exact integer ratios (s/n/1e6), so both engines hold
+    bit-identical centroid doubles and every downstream cosine agrees."""
+    c2 = _lloyd_c2(emb, cent_mod, rem)
+    carr = c2.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("ce")
     )
+    return carr.select("cid", "ce", norm(F.col("ce")).alias("cn"))
 
 
 # ---------------------------------------------------------------------------
@@ -1224,24 +1333,32 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets. Norms are computed once per side; the per-source top-k is
     a window over each vector's own candidate list. Vectors whose
     buckets contain no other member yield no rows (the graph's honest
-    sparsity at the corpus fringe)."""
+    sparsity at the corpus fringe).
+
+    Cosine cost is HALVED by orienting the candidate join src < dst:
+    cosine(a, b) = cosine(b, a), so each unordered pair is scored ONCE
+    and the scored row is mirrored by a zero-cost union before the
+    per-source window (which does need both orientations — a's top-k
+    and b's top-k are different questions). r4's plan scored both
+    orientations, running the 64-dim fold twice per pair on the
+    dominant stage of the heaviest bench query."""
+    return _knn_graph_profile(spark, sf_dir, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+
+
+def _knn_graph_profile(
+    spark: SparkSession, sf_dir: str, planes: int, tables: int, k: int
+) -> DataFrame:
+    """knn_graph under an arbitrary (planes, tables, k) profile — shared
+    by the demo and scaled registrations; one plan, two geometries."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    tables_arr = F.array(
-        *[
-            F.struct(F.lit(t).alias("table_idx"), _bucket_col(t).alias("bucket"))
-            for t in range(LSH_TABLES)
-        ]
-    )
-    buckets = emb.select("vec_id", F.explode(tables_arr).alias("tb")).select(
-        "vec_id", "tb.table_idx", "tb.bucket"
-    )
+    buckets = lsh_buckets(emb, planes, tables)
     cand = (
         buckets.alias("a")
         .join(
             buckets.alias("b"),
             (F.col("a.table_idx") == F.col("b.table_idx"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("b.vec_id") != F.col("a.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
         .distinct()
@@ -1257,17 +1374,22 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("be"),
         F.col("nrm").alias("bn"),
     )
-    scored = cand.join(ea, "src").join(eb, "dst").select(
+    half = cand.join(ea, "src").join(eb, "dst").select(
         "src",
         "dst",
         F.round(
             cosine_n(F.col("ae"), F.col("be"), F.col("an"), F.col("bn")), 6
         ).alias("cosine"),
     )
+    scored = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
+    )
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .filter(F.col("rank") <= k)
         .select("src", "dst", "cosine", "rank")
     )
 
