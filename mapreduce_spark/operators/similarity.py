@@ -1374,6 +1374,15 @@ def _knn_graph_profile(
     """knn_graph under an arbitrary (planes, tables, k) profile — shared
     by the demo and scaled registrations; one plan, two geometries."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn_graph_edges(emb, planes, tables, k)
+
+
+def knn_graph_edges(
+    emb: DataFrame, planes: int, tables: int, k: int
+) -> DataFrame:
+    """The profile-parameterized k-NN-graph builder over any
+    (vec_id, embedding) frame (fixture corpora in tests, the registered
+    table in queries)."""
     buckets = lsh_buckets(emb, planes, tables)
     cand = (
         buckets.alias("a")

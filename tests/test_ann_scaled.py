@@ -1,0 +1,187 @@
+"""Production ANN profile: recall law, not vibes (the test_dedup_scaled
+playbook applied to the vector tiers — VERDICT r4 #1).
+
+The driver testdata's embeddings are near-random (10th-neighbor cosines
+~0.21-0.32), where NO sublinear index can do well — so, exactly like the
+MinHash scaled tests, ground truth is a CONSTRUCTED corpus whose
+neighbor geometry matches what the profile contracts for:
+
+* LSH tier: planted neighbor pairs with cosines swept across 0.70-0.82 —
+  the band where the scaled geometry's collision law
+  1-(1-p^planes)^tables says >= 0.96 while the demo geometry says ~0.83.
+  Assert scaled recall >= 0.9 AND demo recall < 0.9 on the same corpus
+  (if the demo passed too, the fixture wouldn't be exercising geometry).
+* IVF tier: planted clusters; the trained quantizer (one Lloyd step)
+  must recover intra-cluster neighbors at recall >= 0.9, and training
+  must strictly improve the spherical quantization objective over the
+  raw seed vectors (Lloyd's guarantee, checked empirically).
+* knn_graph: on the paired corpus, the scaled graph must contain each
+  planted partner edge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapreduce_spark.operators.similarity import (
+    IVF_CENT_REM,
+    KNN_GRAPH_SCALED_K,
+    LSH_PLANES,
+    LSH_TABLES,
+    SCALED_IVF_CENT_MOD,
+    SCALED_IVF_NPROBE,
+    SCALED_LSH_PLANES,
+    SCALED_LSH_TABLES,
+    TOP_K,
+    ann_ivf_topk,
+    ann_lsh_topk,
+    knn_graph_edges,
+    refined_centroids,
+)
+
+DIM = 64
+N_PAIRS = 150
+PAIR_B_BASE = 1000   # partner ids: 1000 + i
+NOISE_BASE = 2000    # background ids
+N_NOISE = 200
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    return v / np.linalg.norm(v)
+
+
+def _to_df(spark, ids, vecs):
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module", name="paired")
+def paired_fixture(spark):
+    """{N_PAIRS} planted (query, partner) pairs at cosines 0.70..0.82 in
+    a sea of {N_NOISE} random vectors (ambient cosines ~N(0, 1/8), so
+    the partner is always its query's true nearest neighbor)."""
+    rng = np.random.RandomState(7)
+    ids, vecs = [], []
+    truth = {}
+    for i in range(N_PAIRS):
+        c = 0.70 + 0.12 * i / (N_PAIRS - 1)
+        u = _unit(rng.randn(DIM))
+        w = rng.randn(DIM)
+        w = _unit(w - np.dot(w, u) * u)
+        v = c * u + np.sqrt(1 - c * c) * w
+        ids += [i, PAIR_B_BASE + i]
+        vecs += [u, v]
+        truth[i] = PAIR_B_BASE + i
+    for j in range(N_NOISE):
+        ids.append(NOISE_BASE + j)
+        vecs.append(_unit(rng.randn(DIM)))
+    return _to_df(spark, ids, vecs), truth
+
+
+def _lsh_recall(df, truth, planes, tables) -> float:
+    found = ann_lsh_topk(
+        df, planes, tables, k=TOP_K, n_queries=N_PAIRS
+    ).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in found}
+    hits = sum(1 for q, p in truth.items() if (q, p) in got)
+    return hits / len(truth)
+
+
+def test_scaled_lsh_recall_at_least_090(paired):
+    """The production profile's contract: a cosine >= 0.7 neighbor is
+    found with probability >= 0.9 (theory says >= 0.96 on this sweep)."""
+    df, truth = paired
+    recall = _lsh_recall(df, truth, SCALED_LSH_PLANES, SCALED_LSH_TABLES)
+    assert recall >= 0.9, f"scaled LSH recall {recall:.3f} < 0.9"
+
+
+def test_demo_lsh_misses_planted_neighbors(paired):
+    """Why the scaled profile exists: the demo geometry's collision law
+    averages ~0.83 on the same sweep — if it ALSO cleared 0.9 the
+    fixture would not be exercising band geometry at all."""
+    df, truth = paired
+    recall = _lsh_recall(df, truth, LSH_PLANES, LSH_TABLES)
+    assert recall < 0.9, (
+        f"demo LSH recall {recall:.3f} >= 0.9 - fixture isn't in the "
+        "geometry-sensitive band, tighten the cosine sweep"
+    )
+
+
+# --- IVF tier ---------------------------------------------------------------
+N_CLUSTERS = 20
+PER_CLUSTER = 25  # == SCALED_IVF_CENT_MOD, so ids laid out cluster-major
+#                    put exactly one seed (id % 25 == 7) in every cluster
+MEMBER_COS = 0.85  # member-to-center cosine; intra-member ~0.72
+
+
+@pytest.fixture(scope="module", name="clustered")
+def clustered_fixture(spark):
+    rng = np.random.RandomState(11)
+    ids, vecs = [], []
+    for c in range(N_CLUSTERS):
+        center = _unit(rng.randn(DIM))
+        for m in range(PER_CLUSTER):
+            w = rng.randn(DIM)
+            w = _unit(w - np.dot(w, center) * center)
+            v = MEMBER_COS * center + np.sqrt(1 - MEMBER_COS**2) * w
+            ids.append(c * PER_CLUSTER + m)
+            vecs.append(v)
+    return _to_df(spark, ids, vecs), np.array(vecs)
+
+
+def test_scaled_ivf_recall_at_least_090(clustered):
+    """Trained-quantizer IVF must place each vector's top-{TOP_K} inside
+    its own planted cluster (cross-cluster cosines are ambient ~0):
+    every vector queries, so assignment+probe is exercised for ALL
+    cells, not just the ones near low ids."""
+    df, _ = clustered
+    n = N_CLUSTERS * PER_CLUSTER
+    cent = refined_centroids(df, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    found = ann_ivf_topk(
+        df, cent, SCALED_IVF_NPROBE, k=TOP_K, n_queries=n
+    ).collect()
+    ok = total = 0
+    for r in found:
+        total += 1
+        ok += (r["query_id"] // PER_CLUSTER) == (r["vec_id"] // PER_CLUSTER)
+    assert total >= n * TOP_K * 0.9  # every query produced a full-ish list
+    recall = ok / total
+    assert recall >= 0.9, f"scaled IVF same-cluster recall {recall:.3f} < 0.9"
+
+
+def test_lloyd_training_improves_quantizer(clustered):
+    """refined_centroids must beat the raw seed vectors on the spherical
+    k-means objective (mean cosine of each vector to its nearest
+    codebook entry) — the measurable content of 'trained quantizer'.
+    Clusters are planted OFF the seed members' exact directions, so one
+    Lloyd step pulls each centroid from an arbitrary member (~0.72 mean
+    member cosine) toward the cluster mean (~0.85+)."""
+    df, vecs = clustered
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    seeds = vn[[i for i in range(len(vn)) if i % SCALED_IVF_CENT_MOD == IVF_CENT_REM]]
+    obj_raw = (vn @ seeds.T).max(axis=1).mean()
+    rows = refined_centroids(df, SCALED_IVF_CENT_MOD, IVF_CENT_REM).collect()
+    refined = np.array([r["ce"] for r in rows], dtype=np.float64)
+    refined /= np.linalg.norm(refined, axis=1, keepdims=True)
+    obj_ref = (vn @ refined.T).max(axis=1).mean()
+    assert obj_ref > obj_raw, (
+        f"training did not improve the quantizer: {obj_ref:.4f} <= {obj_raw:.4f}"
+    )
+
+
+def test_scaled_knn_graph_contains_planted_edges(paired):
+    """The scaled graph (k={KNN_GRAPH_SCALED_K}) must recover the planted
+    partner edge for >= 90% of pair members — knn_graph's recall bar
+    under the geometry that item's docstring promises."""
+    df, truth = paired
+    edges = knn_graph_edges(
+        df, SCALED_LSH_PLANES, SCALED_LSH_TABLES, KNN_GRAPH_SCALED_K
+    ).collect()
+    got = {(r["src"], r["dst"]) for r in edges}
+    members = [(q, p) for q, p in truth.items()] + [
+        (p, q) for q, p in truth.items()
+    ]
+    hits = sum(1 for s, d in members if (s, d) in got)
+    recall = hits / len(members)
+    assert recall >= 0.9, f"scaled knn_graph planted-edge recall {recall:.3f} < 0.9"

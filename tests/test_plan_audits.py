@@ -135,6 +135,9 @@ CARTESIAN_OK = {
     "knn_label",  # reuses the similarity_topk broadcast-NLJ scoring plan
     "ann_recall_report",  # embeds the similarity_topk broadcast-NLJ baseline
     "kmeans_refine",  # broadcasts the seed-centroid list against vectors
+    "similarity_ann_ivf_scaled",  # broadcast trained-centroid assignment NLJ
+    "ann_recall_report_scaled",  # embeds similarity_topk + centroid NLJs
+    "knn_graph_recall_report",  # exact side broadcasts the sampled query set
     "semdedup_clusters",  # same broadcast-centroid assignment NLJ
     "scalar_subquery",
     "tfidf_top_terms",  # broadcasts the 1-row corpus-size aggregate
