@@ -2069,3 +2069,232 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         gedges = graph.filter(F.col("src") < KNN_RECALL_SRCS)
         out.append(_tier_recall(exact, tier, gedges, id_col="src"))
     return out[0].unionByName(out[1])
+
+
+# ---------------------------------------------------------------------------
+# TRAINED PQ codebook (VERDICT r4 #3): one Lloyd iteration per sub-space
+# on top of the sampled seed codebook — the Jegou et al. recipe (their
+# codebooks are k-means per sub-space; the sampled book is just the init).
+# The refined entry for (sub_idx, code) is the exact integer-quantized
+# mean of the sub-vectors the sampled book assigned to that code; codes,
+# ADC and the recall gauge then re-derive against the refined book.
+
+_SQL_PQT_CTES = (
+    _SQL_PQ_CTES
+    + f""",
+    pqt_book AS (
+        SELECT e.sub_idx, c.code AS seed_id, e.pos,
+               CAST(CASE WHEN sum(e.xq) < 0
+                         THEN -((-sum(e.xq)) // count(*))
+                         ELSE sum(e.xq) // count(*) END AS BIGINT) AS cq
+        FROM pq_ex e JOIN pq_codes c
+          ON c.vec_id = e.vec_id AND c.sub_idx = e.sub_idx
+        GROUP BY e.sub_idx, c.code, e.pos),
+    pqt_pairs AS (
+        SELECT e.vec_id, e.sub_idx, b.seed_id,
+               CAST(sum((e.xq - b.cq) * (e.xq - b.cq)) AS BIGINT) AS d2
+        FROM pq_ex e JOIN pqt_book b ON b.sub_idx = e.sub_idx AND b.pos = e.pos
+        GROUP BY 1, 2, 3),
+    pqt_codes AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) % {PQ_PACK} AS code
+        FROM pqt_pairs GROUP BY vec_id, sub_idx),
+    pqt_qtab AS (SELECT vec_id AS query_id, sub_idx, seed_id, d2
+                 FROM pqt_pairs WHERE vec_id < {N_QUERIES}),
+    adc_t AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(sum(q.d2) AS BIGINT) AS adc_d2
+        FROM pqt_codes c
+        JOIN pqt_qtab q ON q.sub_idx = c.sub_idx AND q.seed_id = c.code
+        WHERE c.vec_id <> q.query_id
+        GROUP BY q.query_id, c.vec_id)"""
+)
+
+
+def _pq_refined_book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sub_idx, seed_id, pos, cq): the trained codebook — per sampled
+    code, the exact integer-micro-unit mean of its assigned sub-vectors
+    (sign-split truncating division, both engines' BIGINT semantics).
+    Every seed assigns at least itself (its own d2 is 0), so no entry
+    goes empty and the book keeps its full width."""
+    ex = _pq_quantized(spark, sf_dir)
+    codes0 = _pq_pairs(spark, sf_dir).groupBy("vec_id", "sub_idx").agg(
+        (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias("code")
+    )
+    agg = (
+        ex.join(codes0, ["vec_id", "sub_idx"])
+        .groupBy("sub_idx", F.col("code").alias("seed_id"), "pos")
+        .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cq = F.when(
+        F.col("s") < 0, -F.expr("(-s) div n")
+    ).otherwise(F.expr("s div n"))
+    return agg.select("sub_idx", "seed_id", "pos", cq.cast("bigint").alias("cq"))
+
+
+def _pq_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub_idx, seed_id, d2) against the TRAINED codebook —
+    the _pq_pairs shape with pqt_book broadcast in place of the raw
+    seed sub-vectors. Same packed-argmin headroom: |cq| <= max|xq|, so
+    per-sub d2 keeps the d2 * PQ_PACK + seed_id bound."""
+    ex = _pq_quantized(spark, sf_dir)
+    book = _pq_refined_book(spark, sf_dir)
+    return (
+        ex.join(F.broadcast(book), ["sub_idx", "pos"])
+        .groupBy("vec_id", "sub_idx", "seed_id")
+        .agg(
+            F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+
+
+@register(
+    "embedding_pq_codes_trained",
+    oracle=f"""
+    WITH {_SQL_PQT_CTES},
+    best_t AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) AS packed
+        FROM pqt_pairs GROUP BY vec_id, sub_idx)
+    SELECT vec_id,
+           list(packed % {PQ_PACK} ORDER BY sub_idx) AS pq_code,
+           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
+                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
+    FROM best_t GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_pq_codes against the TRAINED codebook: one Lloyd
+    iteration per sub-space (assign sub-vectors with the sampled book,
+    replace each entry by its cell's exact integer mean) — the paper's
+    actual codebook recipe, for which the sampled book is only the
+    initialization. Lloyd guarantees the quantization objective is
+    non-increasing; tests/test_pq_trained.py asserts the mean MSE
+    strictly drops and ADC recall strictly rises on the testdata.
+    Same plan shape as the sampled tier: the book is tiny and
+    BROADCAST, distances partial-aggregate map-side, the argmin is the
+    packed-integer min."""
+    best = _pq_pairs_trained(spark, sf_dir).groupBy("vec_id", "sub_idx").agg(
+        F.min(F.col("d2") * PQ_PACK + F.col("seed_id")).alias("packed")
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
+                lambda e: e["packed"] % PQ_PACK,
+            ).alias("pq_code"),
+            F.round(
+                F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
+                / (EMB_DIM * 100_000_000),
+                6,
+            ).alias("quant_mse"),
+        )
+    )
+
+
+@register(
+    "similarity_pq_adc_trained",
+    oracle=f"""
+    WITH {_SQL_PQT_CTES}
+    SELECT query_id, vec_id, adc_d2, rank FROM (
+        SELECT query_id, vec_id, adc_d2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, vec_id) AS BIGINT)
+                 AS rank
+        FROM adc_t)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_pq_adc_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_pq_adc with the TRAINED codebook: queries precompute
+    exact sub-distances to every refined entry, stored vectors are
+    scored through their trained codes — identical lookup-join plan,
+    better codebook. The recall delta over the sampled tier is the
+    measured value of training (pq_recall_report_trained)."""
+    pairs = _pq_pairs_trained(spark, sf_dir)
+    codes = pairs.groupBy("vec_id", "sub_idx").agg(
+        (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
+            "code"
+        )
+    )
+    qtab = pairs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "sub_idx",
+        F.col("seed_id").alias("code"),
+        "d2",
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["sub_idx", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+@register(
+    "pq_recall_report_trained",
+    oracle=f"""
+    WITH {_SQL_PQT_CTES},
+    l2 AS (
+        SELECT q.vec_id AS query_id, v.vec_id,
+               CAST(sum((q.xq - v.xq) * (q.xq - v.xq)) AS BIGINT) AS d2
+        FROM pq_ex q JOIN pq_ex v
+          ON v.sub_idx = q.sub_idx AND v.pos = q.pos
+         AND v.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2),
+    topk_e AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, vec_id) AS rank
+            FROM l2)
+        WHERE rank <= {TOP_K}),
+    topk_t AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, vec_id) AS rank
+            FROM adc_t)
+        WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('pq_trained', 'topk_t')}
+    """,
+)
+def pq_recall_report_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pq_recall_report for the TRAINED codebook — the number that
+    justifies spending the Lloyd pass (tests/test_pq_trained.py asserts
+    it strictly exceeds the sampled book's recall). Same exact-L2
+    baseline, same trivia-sized intersection rollup."""
+    exq = _pq_quantized(spark, sf_dir).select("vec_id", "pos", "xq")
+    qside = exq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("xq").alias("qq")
+    )
+    l2 = (
+        exq.join(F.broadcast(qside), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum((F.col("qq") - F.col("xq")) * (F.col("qq") - F.col("xq")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        l2.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    adc = similarity_pq_adc_trained(spark, sf_dir).select("query_id", "vec_id")
+    return _tier_recall(exact, "pq_trained", adc)
