@@ -1342,16 +1342,25 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact-substring dedup as REMOVAL (Lee et al. 2022): dup_span_stats
 # measures duplicated-span mass; this operator actually excises it.
+#
+# SPAN length is a PROFILE, not a constant (VERDICT r4 #4): the demo
+# registration keeps SPAN_N=5 so the tiny fixtures actually contain
+# duplicated spans, while the scaled registration runs the paper's
+# ~50-token span — at 5 tokens real corpora lose common idioms
+# (over-excision); Lee et al.'s ExactSubstr picks 50 precisely so only
+# memorization-grade duplication is removed.
+SCALED_SPAN_N = 50
 
 
-@register(
-    "dedup_span_remove",
-    oracle=f"""
+def _sql_span_remove(span_n: int) -> str:
+    """DuckDB oracle for exact-substring removal at an arbitrary span
+    length (one builder for both profiles — a second copy would drift)."""
+    return f"""
     WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks
                FROM documents),
     d AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
-    g AS (SELECT doc_id, {sql_shingles('toks', SPAN_N)} AS spans
-          FROM d WHERE len(toks) >= {SPAN_N}),
+    g AS (SELECT doc_id, {sql_shingles('toks', span_n)} AS spans
+          FROM d WHERE len(toks) >= {span_n}),
     sp AS (SELECT doc_id, generate_subscripts(spans, 1) - 1 AS st,
                   {md5_long_sql('unnest(spans)')} AS h,
                   {md5_long2_sql('unnest(spans)')} AS h2
@@ -1366,7 +1375,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered AS (SELECT DISTINCT tok.doc_id, tok.p
                 FROM tok JOIN dupst ds
                   ON tok.doc_id = ds.doc_id
-                 AND tok.p BETWEEN ds.st AND ds.st + {SPAN_N} - 1),
+                 AND tok.p BETWEEN ds.st AND ds.st + {span_n} - 1),
     kept AS (SELECT tok.doc_id, tok.p, tok.tok
              FROM tok LEFT JOIN covered cv
                ON tok.doc_id = cv.doc_id AND tok.p = cv.p
@@ -1379,8 +1388,10 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
                CAST(count(*) AS BIGINT) AS n_kept
         FROM kept GROUP BY doc_id) k USING (doc_id)
-    """,
-)
+    """
+
+
+@register("dedup_span_remove", oracle=_sql_span_remove(SPAN_N))
 def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring deduplication as removal, KEEP-FIRST semantics
     (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -1414,15 +1425,39 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_dup_starts) — the worst case (a fully-duplicated document) is
     O(n^2) in ITS OWN length only, bounded and row-local; AQE deskews
     the hash join if one boilerplate span dominates."""
-    docs = load_table(spark, sf_dir, "documents")
+    return span_remove_frame(load_table(spark, sf_dir, "documents"), SPAN_N)
+
+
+@register("dedup_span_remove_scaled", oracle=_sql_span_remove(SCALED_SPAN_N))
+def dedup_span_remove_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_span_remove at the PRODUCTION span length: {SCALED_SPAN_N}
+    tokens, the ExactSubstr setting of Lee et al. 2022 (their suffix
+    automaton removes duplicated substrings of >= ~50 tokens). The demo
+    profile's 5-token spans are fixture-sized — on a real corpus they
+    excise every common idiom; at 50 only memorization-grade duplication
+    (boilerplate blocks, licence headers, mirrored articles) crosses the
+    threshold, which is the curation behavior the paper measured. Plan
+    identical to the demo registration (span_remove_frame): only the
+    n-gram width changes, and span keys stay one md5 regardless of
+    width. tests/test_exact_rows.py pins keep-first excision rows on a
+    constructed corpus with a shared 60-token block."""
+    return span_remove_frame(
+        load_table(spark, sf_dir, "documents"), SCALED_SPAN_N
+    )
+
+
+def span_remove_frame(docs: DataFrame, span_n: int) -> DataFrame:
+    """Exact-substring keep-first removal over a (doc_id, text) frame at
+    an arbitrary span length — the one implementation both profiles
+    share (docstring of dedup_span_remove describes the plan)."""
     d = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
     sp = (
-        d.filter(F.size("toks") >= SPAN_N)
+        d.filter(F.size("toks") >= span_n)
         .select(
             "doc_id",
-            F.posexplode(shingles(F.col("toks"), SPAN_N)).alias("st", "s"),
+            F.posexplode(shingles(F.col("toks"), span_n)).alias("st", "s"),
         )
         # one md5 per span, both 60-bit halves sliced from the same digest
         # (a projection boundary pins the single evaluation)
@@ -1472,7 +1507,7 @@ def dedup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         lambda t, i: ~F.exists(
             F.col("sts"),
-            lambda st: (st <= i) & (i <= st + F.lit(SPAN_N - 1)),
+            lambda st: (st <= i) & (i <= st + F.lit(span_n - 1)),
         ),
     )
     # projection boundary: the filter/exists scan runs once per row, the

@@ -419,3 +419,44 @@ def test_doc_length_histogram_buckets_partition_by_pow2(spark, sf_dir):
         assert got[key]["total_tokens"] == sum(ns)
         b = key[1]
         assert all(2**b <= n < 2 ** (b + 1) for n in ns)
+
+
+def test_dedup_span_remove_scaled_production_span(spark, tmp_path):
+    """The production profile (SCALED_SPAN_N=50, Lee et al.'s ExactSubstr
+    setting) excises a 60-token block copied between two docs with
+    keep-first semantics, while a 45-token overlap — which the demo
+    5-token profile would shred — passes through untouched: exactly the
+    over-excision the paper's span length exists to prevent."""
+    from mapreduce_spark.registry import get_queries
+
+    block = " ".join(f"b{i}" for i in range(60))
+    shared45 = " ".join(f"s{i}" for i in range(45))
+    rows = [
+        (0, "en", block, "a"),                       # keeper of the block
+        (1, "en", block + " tail1 tail2 tail3", "b"),
+        (2, "en", shared45 + " endx", "c"),
+        (3, "en", shared45 + " endy", "d"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    qs = get_queries()
+    scaled = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in qs["dedup_span_remove_scaled"](spark, str(tmp_path)).collect()
+    }
+    # keep-first: doc 0 holds every duplicated 50-span's canonical
+    # occurrence; doc 1's 11 copies cover tokens 0..59 and are excised
+    assert scaled[0] == (block, 60, 0)
+    assert scaled[1] == ("tail1 tail2 tail3", 3, 60)
+    # 46-token docs cannot carry a 50-span: untouched at the production
+    # length...
+    assert scaled[2] == (shared45 + " endx", 46, 0)
+    assert scaled[3] == (shared45 + " endy", 46, 0)
+    # ...but the demo 5-token profile shreds the same 45-token overlap —
+    # the over-excision Lee et al.'s ~50-token setting avoids
+    demo = {
+        r["doc_id"]: r["n_removed"]
+        for r in qs["dedup_span_remove"](spark, str(tmp_path)).collect()
+    }
+    assert demo[3] == 45 and scaled[3][2] == 0
