@@ -58,6 +58,14 @@ HEADLINE = [
     # graph build — the two heaviest of the session's new operators
     "perplexity_trigram_backoff",
     "knn_graph",
+    # round-5: the production ANN profile (scaled LSH geometry, trained
+    # IVF quantizer, k=10 graph), the trained PQ tier, and the
+    # production-span exact-substring removal
+    "similarity_ann_lsh_scaled",
+    "similarity_ann_ivf_scaled",
+    "knn_graph_scaled",
+    "embedding_pq_codes_trained",
+    "dedup_span_remove_scaled",
 ]
 
 
