@@ -348,18 +348,17 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, cent, IVF_NPROBE)
 
 
-def ann_ivf_topk(
+def ivf_candidates(
     emb: DataFrame,
     cent: DataFrame,
     nprobe: int,
-    k: int = TOP_K,
     n_queries: int = N_QUERIES,
 ) -> DataFrame:
-    """IVF ANN over a (vec_id, embedding) frame against an ARBITRARY
-    (cid, ce, cn) centroid frame — raw seed vectors (the demo) or trained
-    quantizer output (the production registration) plug into the same
-    plan: broadcast-centroid argmax assignment, nprobe-nearest-list
-    probe, candidate equi-join on cid, exact cosine, per-query top-k."""
+    """(query_id, vec_id) candidate pairs from IVF routing: every vector
+    assigned to its nearest (cid, ce, cn) centroid (broadcast argmax),
+    each query probing its nprobe nearest lists, candidates via the cid
+    equi-join — the routing stage shared by the exact-rescoring IVF tier
+    (ann_ivf_topk) and the code-rescoring IVFADC tier (ivfpq_adc_topk)."""
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
 
     def nearest(df: DataFrame, id_col: str, keep: int) -> DataFrame:
@@ -385,12 +384,27 @@ def ann_ivf_topk(
         "query_id",
         nprobe,
     )
-    cand = (
+    return (
         probe.join(assign, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
         .distinct()
     )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    cent: DataFrame,
+    nprobe: int,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVF ANN over a (vec_id, embedding) frame against an ARBITRARY
+    (cid, ce, cn) centroid frame — raw seed vectors (the demo) or trained
+    quantizer output (the production registration) plug into the same
+    plan: broadcast-centroid argmax assignment, nprobe-nearest-list
+    probe, candidate equi-join on cid, exact cosine, per-query top-k."""
+    cand = ivf_candidates(emb, cent, nprobe, n_queries)
     scored = _score_pairs(emb, cand)
     return _rank_topk(scored, k)
 
@@ -1478,14 +1492,13 @@ _SQL_PQ_CTES = f"""
         GROUP BY q.query_id, c.vec_id)"""
 
 
-def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, sub_idx, pos, xq) — every vector exploded to 1e4
-    micro-unit components. The single Spark-side source every PQ
-    operator builds on (the _SQL_PQ_CTES pq_ex mirror)."""
+def _pq_ex_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub_idx, pos, xq) over an ARBITRARY (vec_id, embedding)
+    frame — the frame-level pq_ex builder the planted-corpus tests share
+    with the registered queries."""
     sub_dim = EMB_DIM // PQ_SUBS
     return (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select(
             "vec_id",
             (F.col("pos") / sub_dim).cast("int").alias("sub_idx"),
@@ -1497,14 +1510,17 @@ def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, sub_idx, seed_id, d2): exact sub-space L2^2 of every
-    vector to every codebook entry — shared by codes, ADC, and the
-    recall report so the stored codes and the lookup tables can never
-    desynchronize. Guards the packed-argmin invariant: a seed id >=
-    PQ_PACK would silently corrupt both the argmin order and the
-    decoded code, so it raises instead."""
-    ex = _pq_quantized(spark, sf_dir)
+def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub_idx, pos, xq) — every vector exploded to 1e4
+    micro-unit components. The single Spark-side source every PQ
+    operator builds on (the _SQL_PQ_CTES pq_ex mirror)."""
+    return _pq_ex_frame(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+
+def _pq_pairs_frame(ex: DataFrame) -> DataFrame:
+    """_pq_pairs over a prebuilt (vec_id, sub_idx, pos, xq) frame."""
     seeds = ex.filter(F.col("vec_id") % PQ_SEED_MOD == PQ_SEED_REM).select(
         F.when(F.col("vec_id") < PQ_PACK, F.col("vec_id"))
         .otherwise(
@@ -1526,6 +1542,16 @@ def _pq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("d2")
         )
     )
+
+
+def _pq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub_idx, seed_id, d2): exact sub-space L2^2 of every
+    vector to every codebook entry — shared by codes, ADC, and the
+    recall report so the stored codes and the lookup tables can never
+    desynchronize. Guards the packed-argmin invariant: a seed id >=
+    PQ_PACK would silently corrupt both the argmin order and the
+    decoded code, so it raises instead."""
+    return _pq_pairs_frame(_pq_quantized(spark, sf_dir))
 
 
 @register(
@@ -2111,14 +2137,13 @@ _SQL_PQT_CTES = (
 )
 
 
-def _pq_refined_book(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_refined_book_frame(ex: DataFrame) -> DataFrame:
     """(sub_idx, seed_id, pos, cq): the trained codebook — per sampled
     code, the exact integer-micro-unit mean of its assigned sub-vectors
     (sign-split truncating division, both engines' BIGINT semantics).
     Every seed assigns at least itself (its own d2 is 0), so no entry
     goes empty and the book keeps its full width."""
-    ex = _pq_quantized(spark, sf_dir)
-    codes0 = _pq_pairs(spark, sf_dir).groupBy("vec_id", "sub_idx").agg(
+    codes0 = _pq_pairs_frame(ex).groupBy("vec_id", "sub_idx").agg(
         (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias("code")
     )
     agg = (
@@ -2133,12 +2158,16 @@ def _pq_refined_book(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_pq_pairs_trained_frame over the sf_dir embeddings table."""
+    return _pq_pairs_trained_frame(_pq_quantized(spark, sf_dir))
+
+
+def _pq_pairs_trained_frame(ex: DataFrame) -> DataFrame:
     """(vec_id, sub_idx, seed_id, d2) against the TRAINED codebook —
     the _pq_pairs shape with pqt_book broadcast in place of the raw
     seed sub-vectors. Same packed-argmin headroom: |cq| <= max|xq|, so
     per-sub d2 keeps the d2 * PQ_PACK + seed_id bound."""
-    ex = _pq_quantized(spark, sf_dir)
-    book = _pq_refined_book(spark, sf_dir)
+    book = _pq_refined_book_frame(ex)
     return (
         ex.join(F.broadcast(book), ["sub_idx", "pos"])
         .groupBy("vec_id", "sub_idx", "seed_id")
@@ -2298,3 +2327,175 @@ def pq_recall_report_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = similarity_pq_adc_trained(spark, sf_dir).select("query_id", "vec_id")
     return _tier_recall(exact, "pq_trained", adc)
+
+
+# ===========================================================================
+# IVFADC (Jegou et al. 2011, Sec. V): the COMPOSED production tier — the
+# trained coarse quantizer routes each query to its nprobe nearest
+# inverted lists, and the vectors in those lists are scored through
+# their PQ codes alone (asymmetric distance), never through raw floats.
+# This is the architecture billion-scale ANN systems actually ship
+# (FAISS IndexIVFPQ): routing bounds the candidate set to the probed
+# lists (~nprobe/|lists| of the corpus), PQ bounds per-candidate cost to
+# {PQ_SUBS} table lookups and the index to codes (~32x smaller). We
+# encode raw vectors, not residuals (FAISS's by_residual=False mode):
+# the trained book is fit on raw sub-vectors, so reusing it for
+# residuals would be the wrong geometry — a residual book would need
+# its own Lloyd pass keyed by list, which quadruples the pipeline for
+# the same plan shape.
+
+_SQL_IVFPQ_ADC_CTE = f"""
+    adc_ip AS (
+        SELECT c.query_id, c.vec_id,
+               CAST(sum(q.d2) AS BIGINT) AS adc_d2
+        FROM cand_ip c
+        JOIN pqt_codes pc ON pc.vec_id = c.vec_id
+        JOIN pqt_qtab q ON q.query_id = c.query_id
+                       AND q.sub_idx = pc.sub_idx AND q.seed_id = pc.code
+        GROUP BY c.query_id, c.vec_id)"""
+
+
+def ivfpq_adc_topk(
+    emb: DataFrame,
+    cent: DataFrame,
+    nprobe: int,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """IVFADC over a (vec_id, embedding) frame and a (cid, ce) centroid
+    frame: IVF routing supplies the (query_id, vec_id) candidate pairs,
+    the TRAINED PQ book supplies codes + per-query lookup tables, and
+    the score is the exact-integer ADC sum over the candidate's codes —
+    the only per-candidate work is {PQ_SUBS} lookup-join rows."""
+    cand = ivf_candidates(emb, cent, nprobe, n_queries)
+    pairs = _pq_pairs_trained_frame(_pq_ex_frame(emb))
+    codes = pairs.groupBy("vec_id", "sub_idx").agg(
+        (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
+            "code"
+        )
+    )
+    qtab = pairs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        "sub_idx",
+        F.col("seed_id").alias("code"),
+        "d2",
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qtab), ["query_id", "sub_idx", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+@register(
+    "similarity_ivfpq_adc",
+    oracle=f"""
+    WITH {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
+    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
+    {_SQL_PQT_CTES},
+    {_SQL_IVFPQ_ADC_CTE}
+    SELECT query_id, vec_id, adc_d2, rank FROM (
+        SELECT query_id, vec_id, adc_d2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, vec_id) AS BIGINT)
+                 AS rank
+        FROM adc_ip)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVFADC search under the production profile: the
+    Lloyd-trained |V|/{SCALED_IVF_CENT_MOD}-list coarse quantizer routes
+    each query to nprobe={SCALED_IVF_NPROBE} lists
+    (similarity_ann_ivf_scaled's routing), and list members are scored
+    by trained-PQ asymmetric distance (similarity_pq_adc_trained's
+    scoring) — raw stored vectors are touched by NEITHER stage, which
+    is what lets a 1e9-vector index live in memory: the serving state
+    is (cid, {PQ_SUBS}-byte code) per vector plus two tiny codebooks.
+
+    Plan shape: routing is the broadcast-centroid argmax + cid
+    equi-join; scoring joins candidates to codes on vec_id and to the
+    BROADCAST per-query lookup table on (query_id, sub_idx, code), and
+    the ADC sum partial-aggregates map-side. Per-query cost tracks
+    |probed lists| x {PQ_SUBS} lookups — independent of |V| once list
+    sizes are balanced (the trained quantizer's job; AQE deskews any
+    residual imbalance). Distances are exact micro-unit BIGINTs, so
+    ranking is integer-deterministic across engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = refined_centroids(emb, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    return ivfpq_adc_topk(emb, cent, SCALED_IVF_NPROBE)
+
+
+@register(
+    "ivfpq_recall_report",
+    oracle=f"""
+    WITH {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
+    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
+    {_SQL_PQT_CTES},
+    {_SQL_IVFPQ_ADC_CTE},
+    l2 AS (
+        SELECT q.vec_id AS query_id, v.vec_id,
+               CAST(sum((q.xq - v.xq) * (q.xq - v.xq)) AS BIGINT) AS d2
+        FROM pq_ex q JOIN pq_ex v
+          ON v.sub_idx = q.sub_idx AND v.pos = q.pos
+         AND v.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2),
+    topk_e AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, vec_id) AS rank
+            FROM l2)
+        WHERE rank <= {TOP_K}),
+    topk_ip2 AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, vec_id) AS rank
+            FROM adc_ip)
+        WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('ivfpq', 'topk_ip2')}
+    """,
+)
+def ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the composed IVFADC tier against the exact-L2
+    baseline — the one number that prices the WHOLE production stack
+    (routing loss from probing {SCALED_IVF_NPROBE} lists x quantization
+    loss from {PQ_SUBS}-byte codes) rather than each stage alone, which
+    is what an operator actually ships with. pq_recall_report_trained
+    isolates the quantization share; the gap between the two reports is
+    the routing share. tests/test_ivfpq.py asserts the composed tier's
+    recall bar on a planted clustered corpus where neighbor geometry
+    matches a real embedding corpus."""
+    exq = _pq_quantized(spark, sf_dir).select("vec_id", "pos", "xq")
+    qside = exq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("xq").alias("qq")
+    )
+    l2 = (
+        exq.join(F.broadcast(qside), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum((F.col("qq") - F.col("xq")) * (F.col("qq") - F.col("xq")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        l2.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    adc = similarity_ivfpq_adc(spark, sf_dir).select("query_id", "vec_id")
+    return _tier_recall(exact, "ivfpq", adc)
