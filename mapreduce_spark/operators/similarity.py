@@ -2499,3 +2499,247 @@ def ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = similarity_ivfpq_adc(spark, sf_dir).select("query_id", "vec_id")
     return _tier_recall(exact, "ivfpq", adc)
+
+
+# ===========================================================================
+# Binary sign quantization + Hamming search: the 1-bit compression tier
+# (256x: 64 float32 dims -> one 8-byte word). sign(x_i) IS axis-aligned
+# hyperplane LSH, so Hamming distance / 64 estimates angle / pi
+# (Charikar 2002, the same SimHash law dedup_simhash rides) — good
+# enough to shortlist, not to rank, which is why the production pattern
+# is two-stage: a popcount scan shortlists RERANK_FACTOR x k candidates,
+# exact cosine re-ranks the shortlist (binary quantization as shipped by
+# vector stores). dim 64 packs into bits 0..31 / 32..63 of TWO words so
+# no sum ever reaches the BIGINT sign bit.
+HAMMING_RERANK_FACTOR = 4
+
+
+def _sign_word(lo: int) -> Column:
+    """Bits lo..lo+31 of the sign code as a BIGINT: bit i set iff
+    embedding[lo + i] >= 0 (exact on float32 in both engines)."""
+    return F.expr(
+        "aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> acc + "
+        f"IF(element_at(embedding, i + {lo} + 1) >= 0, "
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+
+
+_SQL_SIGN_CTES = """
+    sgn_ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CASE WHEN CAST(unnest(embedding) AS DOUBLE) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM embeddings),
+    sgn AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN pos < 32
+                             THEN b * (CAST(1 AS BIGINT) << pos)
+                             ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN pos >= 32
+                             THEN b * (CAST(1 AS BIGINT) << (pos - 32))
+                             ELSE 0 END) AS BIGINT) AS w1,
+               CAST(sum(b) AS BIGINT) AS n_pos
+        FROM sgn_ex GROUP BY vec_id)"""
+
+
+def sign_codes_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, w0, w1, n_pos) — the packed 64-bit sign code over an
+    arbitrary (vec_id, embedding) frame. Zero-shuffle: one fold per
+    word per row."""
+    return emb.select(
+        "vec_id",
+        _sign_word(0).alias("w0"),
+        _sign_word(32).alias("w1"),
+        (F.bit_count(_sign_word(0)) + F.bit_count(_sign_word(32)))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+
+
+@register(
+    "embedding_sign_codes",
+    oracle=f"""
+    WITH {_SQL_SIGN_CTES}
+    SELECT vec_id, w0, w1, n_pos FROM sgn
+    """,
+)
+def embedding_sign_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign quantization (binary embeddings): each vector's 64
+    coordinate signs packed into two BIGINT words (bits 0..31 / 32..63 —
+    splitting keeps every partial sum off the 64-bit sign bit) plus the
+    popcount — the 256x-compressed representation the Hamming tier scans
+    and a persistable data product (8 bytes + id per vector, so 1e9
+    vectors fit in ~16 GB of executor memory where the float index needs
+    256 GB). Zero shuffle: two per-row integer folds; both engines pack
+    from the same float32 >= 0 predicate, so the words are bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return sign_codes_frame(emb)
+
+
+def hamming_topk(
+    emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Per-query Hamming top-k over the packed sign codes: the
+    xor+popcount scan (2 BIGINT ops per candidate word) with the tiny
+    query code set broadcast; ties break on vec_id so ranking is
+    integer-deterministic (Hamming takes only 65 values, so ties are
+    the norm, not the edge case)."""
+    sgn = sign_codes_frame(emb).select("vec_id", "w0", "w1")
+    q = sgn.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = sgn.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+            + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "hamming", "rank")
+    )
+
+
+def _sql_hamming_scored() -> str:
+    return f"""
+    hq AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM sgn
+           WHERE vec_id < {N_QUERIES}),
+    hscored AS (
+        SELECT hq.query_id, s.vec_id,
+               CAST(bit_count(xor(s.w0, hq.q0))
+                    + bit_count(xor(s.w1, hq.q1)) AS BIGINT) AS hamming
+        FROM hq JOIN sgn s ON s.vec_id <> hq.query_id)"""
+
+
+@register(
+    "similarity_hamming_topk",
+    oracle=f"""
+    WITH {_SQL_SIGN_CTES},
+    {_sql_hamming_scored()}
+    SELECT query_id, vec_id, hamming, rank FROM (
+        SELECT query_id, vec_id, hamming,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, vec_id) AS BIGINT)
+                 AS rank
+        FROM hscored)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance top-{TOP_K} over the 1-bit sign codes: candidate
+    cost is two xor+popcount BIGINT ops (SIMD-friendly JVM intrinsics —
+    the cheapest scan any tier here can run), the index is the 256x-
+    compressed sign table, and hamming/64 estimates angle/pi by the
+    SimHash law. The shortlisting stage of binary-quantized retrieval;
+    similarity_hamming_rerank adds the exact second stage."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return hamming_topk(emb)
+
+
+def hamming_rerank_topk(
+    emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Two-stage search: Hamming shortlist of HAMMING_RERANK_FACTOR x k,
+    exact cosine re-rank of the shortlist only."""
+    short = hamming_topk(emb, k * HAMMING_RERANK_FACTOR, n_queries).select(
+        "query_id", "vec_id"
+    )
+    return _rank_topk(_score_pairs(emb, short), k)
+
+
+@register(
+    "similarity_hamming_rerank",
+    oracle=f"""
+    WITH {_SQL_SIGN_CTES},
+    {_sql_hamming_scored()},
+    hshort AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, vec_id) AS rank
+            FROM hscored)
+        WHERE rank <= {TOP_K * HAMMING_RERANK_FACTOR}),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6) AS cosine
+        FROM hshort c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id)
+    {_SQL_RANK}
+    """,
+)
+def similarity_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval as production ships it: the popcount
+    scan shortlists {HAMMING_RERANK_FACTOR}x{TOP_K} candidates per query
+    from the 256x-compressed sign index, then ONLY the shortlist pays
+    exact float cosine — per-query float work drops from |V| x {EMB_DIM}
+    ops to {HAMMING_RERANK_FACTOR * TOP_K} x {EMB_DIM} while the scan
+    stage stays two BIGINT ops per candidate. hamming_recall_report
+    prices both stages against the exact baseline (the rerank tier
+    recovers most of what raw Hamming ranking loses)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return hamming_rerank_topk(emb)
+
+
+@register(
+    "hamming_recall_report",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_hamming_scored()},
+    topk_h AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, vec_id) AS rank
+            FROM hscored)
+        WHERE rank <= {TOP_K}),
+    hshort AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, vec_id) AS rank
+            FROM hscored)
+        WHERE rank <= {TOP_K * HAMMING_RERANK_FACTOR}),
+    rr_scored AS (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6) AS cosine
+        FROM hshort c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id),
+    topk_rr AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM rr_scored)
+        WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('hamming', 'topk_h')}
+    UNION ALL
+    {_sql_tier_recall('hamming_rerank', 'topk_rr')}
+    """,
+)
+def hamming_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of BOTH binary-quantization stages against the
+    exact cosine baseline: 'hamming' prices ranking by the 1-bit code
+    alone, 'hamming_rerank' prices the two-stage pipeline — the delta is
+    what {HAMMING_RERANK_FACTOR}x-shortlist + exact re-rank buys back,
+    and the gauge that sets the shortlist factor before shipping
+    (ann_recall_report's sibling for the compression-first stack)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
+    return _tier_recall(exact, "hamming", hamming_topk(emb)).unionByName(
+        _tier_recall(exact, "hamming_rerank", hamming_rerank_topk(emb))
+    )
