@@ -1789,3 +1789,222 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "len_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# Model-based quality filtering (the GPT-3 / CCNet pattern, Brown et al.
+# 2020 appendix A): train a cheap linear classifier to separate "good"
+# from "bad" documents, then score everything with it. Here the teacher
+# label is the Gopher rule gate (gopher_frame's keep flag) and the
+# student is add-one-smoothed multinomial Naive Bayes over tokens —
+# distilling the multi-signal heuristic gate into a single token-evidence
+# scorer, trained on the EVEN doc_id half and evaluated on the held-out
+# ODD half (the perplexity_trigram_backoff split discipline, so the
+# accuracy number is genuinely out-of-sample).
+
+_SQL_NB_CTES = f"""
+    lbl AS (SELECT doc_id, keep FROM ({GOPHER_SQL})),
+    nbt AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    nbdtc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM nbt)
+              GROUP BY doc_id, tok),
+    nbtr AS (SELECT nbdtc.doc_id, nbdtc.tok, nbdtc.n, lbl.keep
+             FROM nbdtc JOIN lbl USING (doc_id) WHERE doc_id % 2 = 0),
+    nbcls AS (SELECT tok,
+                     CAST(sum(CASE WHEN keep THEN n ELSE 0 END) AS BIGINT) AS nk,
+                     CAST(sum(CASE WHEN keep THEN 0 ELSE n END) AS BIGINT) AS nd
+              FROM nbtr GROUP BY tok),
+    nbtot AS (SELECT CAST(sum(CASE WHEN keep THEN n ELSE 0 END) AS BIGINT) AS big_nk,
+                     CAST(sum(CASE WHEN keep THEN 0 ELSE n END) AS BIGINT) AS big_nd,
+                     CAST(count(DISTINCT tok) AS BIGINT) AS v
+              FROM nbtr),
+    nbpri AS (SELECT CAST(round(1000000 * round(ln(
+                         (sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END) + 1.0)
+                       / (sum(CASE WHEN keep THEN 0.0 ELSE 1.0 END) + 1.0)), 6))
+                     AS BIGINT) AS prior_micro
+              FROM lbl WHERE doc_id % 2 = 0),
+    nbho AS (SELECT doc_id, tok, n FROM nbdtc WHERE doc_id % 2 = 1),
+    nbsc AS (SELECT nbho.doc_id, nbho.n,
+                    CAST(round(1000000 * (
+                        round(ln((coalesce(nbcls.nk, 0) + 1.0)
+                                 / (nbtot.big_nk + nbtot.v)), 6)
+                      - round(ln((coalesce(nbcls.nd, 0) + 1.0)
+                                 / (nbtot.big_nd + nbtot.v)), 6)))
+                    AS BIGINT) AS wt
+             FROM nbho LEFT JOIN nbcls USING (tok) CROSS JOIN nbtot),
+    nbagg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                     CAST(sum(n * wt) AS BIGINT) AS tok_llr
+              FROM nbsc GROUP BY doc_id),
+    nbres AS (
+        SELECT nbagg.doc_id, nbagg.n_tokens,
+               CAST(nbagg.tok_llr + nbpri.prior_micro AS BIGINT) AS llr_micro,
+               (nbagg.tok_llr + nbpri.prior_micro > 0) AS pred_keep,
+               lbl.keep AS actual_keep
+        FROM nbagg CROSS JOIN nbpri JOIN lbl ON lbl.doc_id = nbagg.doc_id)"""
+
+
+def nb_scored_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, llr_micro, pred_keep, actual_keep) for every
+    held-out (odd doc_id) document of an arbitrary (doc_id, text) frame
+    — the shared frame behind the classifier query, the confusion
+    report, and the planted-corpus learning test (the nbres CTE
+    mirror)."""
+    lbl = gopher_frame(docs).select("doc_id", "keep")
+    dtc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    train = dtc.join(lbl, "doc_id").filter(F.col("doc_id") % 2 == 0)
+    cls = train.groupBy("tok").agg(
+        F.sum(F.when(F.col("keep"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("nk"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(F.col("n")))
+        .cast("bigint")
+        .alias("nd"),
+    )
+    tot = train.agg(
+        F.sum(F.when(F.col("keep"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("big_nk"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(F.col("n")))
+        .cast("bigint")
+        .alias("big_nd"),
+        F.countDistinct("tok").alias("v"),
+    )
+    pri = (
+        lbl.filter(F.col("doc_id") % 2 == 0)
+        .agg(
+            F.round(
+                1_000_000
+                * F.round(
+                    F.log(
+                        (
+                            F.sum(F.when(F.col("keep"), 1.0).otherwise(0.0))
+                            + 1.0
+                        )
+                        / (
+                            F.sum(F.when(F.col("keep"), 0.0).otherwise(1.0))
+                            + 1.0
+                        )
+                    ),
+                    6,
+                )
+            )
+            .cast("bigint")
+            .alias("prior_micro")
+        )
+    )
+    ho = dtc.filter(F.col("doc_id") % 2 == 1)
+    wt = (
+        F.round(
+            1_000_000
+            * (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("nk"), F.lit(0)) + 1.0)
+                        / (F.col("big_nk") + F.col("v"))
+                    ),
+                    6,
+                )
+                - F.round(
+                    F.log(
+                        (F.coalesce(F.col("nd"), F.lit(0)) + 1.0)
+                        / (F.col("big_nd") + F.col("v"))
+                    ),
+                    6,
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("wt")
+    )
+    sc = ho.join(cls, "tok", "left").crossJoin(F.broadcast(tot)).select(
+        "doc_id", "n", wt
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("wt")).cast("bigint").alias("tok_llr"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(pri))
+        .join(lbl, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("tok_llr") + F.col("prior_micro"))
+            .cast("bigint")
+            .alias("llr_micro"),
+            (F.col("tok_llr") + F.col("prior_micro") > 0).alias("pred_keep"),
+            F.col("keep").alias("actual_keep"),
+        )
+    )
+
+
+@register(
+    "quality_nb_classifier",
+    oracle=f"""
+    WITH {_SQL_NB_CTES}
+    SELECT doc_id, n_tokens, llr_micro, pred_keep, actual_keep FROM nbres
+    """,
+)
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: add-one-smoothed multinomial Naive
+    Bayes over tokens, trained on the even-doc_id half with the Gopher
+    rule gate as teacher label, scoring every held-out odd-doc_id
+    document with its keep/drop log-likelihood ratio (exact micro-unit
+    integer: per-token class log-probs rounded to 6 dp then summed as
+    BIGINT weighted by count — the perplexity_bigram accumulation
+    discipline, so the decision boundary cannot flip on float order).
+
+    This is the GPT-3/CCNet quality-classifier workflow with the
+    curated-reference label replaced by the in-repo heuristic gate: the
+    learned scorer generalizes the gate's decision to token evidence
+    (tests/test_quality_nb.py pins held-out accuracy above both class
+    priors), and at 100 TB it is the CHEAP path — scoring touches each
+    (doc, token) pair once against a broadcast weight table, where the
+    rule gate recomputes five signals per document.
+
+    Plan shape: one (doc_id, tok) count shuffle shared by train and
+    score; the class-conditional table aggregates FROM it (map-side
+    combined) and joins back on the token key; totals and prior are
+    1-row broadcasts. Nothing driver-side."""
+    return nb_scored_frame(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_nb_report",
+    oracle=f"""
+    WITH {_SQL_NB_CTES},
+    nbtot2 AS (SELECT CAST(count(*) AS BIGINT) AS total FROM nbres)
+    SELECT pred_keep, actual_keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(count(*) AS DOUBLE) / nbtot2.total, 6) AS share
+    FROM nbres CROSS JOIN nbtot2
+    GROUP BY pred_keep, actual_keep, nbtot2.total
+    """,
+)
+def quality_nb_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix of the learned quality classifier vs
+    its Gopher teacher: (pred_keep, actual_keep) cell counts + shares.
+    The off-diagonal cells are the documents where token evidence and
+    the heuristic gate disagree — exactly the data to inspect before
+    trusting either filter (filter_agreement_report's sibling for the
+    learned-vs-rule pair). Trivia-sized rollup on top of the classifier
+    plan."""
+    res = nb_scored_frame(load_table(spark, sf_dir, "documents"))
+    tot = res.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        res.crossJoin(F.broadcast(tot))
+        .groupBy("pred_keep", "actual_keep", "total")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "pred_keep",
+            "actual_keep",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+    )
