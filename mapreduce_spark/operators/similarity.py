@@ -2743,3 +2743,89 @@ def hamming_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tier_recall(exact, "hamming", hamming_topk(emb)).unionByName(
         _tier_recall(exact, "hamming_rerank", hamming_rerank_topk(emb))
     )
+
+
+# ===========================================================================
+# LSH bucket-occupancy gauge: the SKEW diagnostic every bucket-join tier
+# rides on. Candidate-pair volume is Σ_buckets c·(c-1)/2 per table, so a
+# single hot bucket dominates cost (and wall-clock, since that bucket is
+# one join partition until AQE splits it). This is the number that sets
+# PLANES at a new corpus size — the knn_graph/ann_lsh docstrings state
+# the rule (planes ~ log2(|V|/target_bucket)); this gauge MEASURES the
+# outcome per table for both geometry profiles in one report.
+
+
+def lsh_bucket_stats_frame(
+    emb: DataFrame, planes: int, tables: int, profile: str
+) -> DataFrame:
+    """Per-table occupancy rollup of one geometry: bucket count, max
+    occupancy, Σc² and candidate-pair volume Σ c·(c-1)/2 (exact BIGINTs;
+    c·(c-1) is even so the halving division is lossless)."""
+    per = (
+        lsh_buckets(emb, planes, tables)
+        .groupBy("table_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.groupBy("table_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("c").cast("bigint").alias("max_bucket"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("cand_pairs"),
+        F.sum("c").cast("bigint").alias("n_vectors"),
+    ).select(
+        F.lit(profile).alias("profile"),
+        "table_idx",
+        "n_buckets",
+        "max_bucket",
+        "sum_sq",
+        "cand_pairs",
+        "n_vectors",
+    )
+
+
+def _sql_bucket_stats(src: str, profile: str) -> str:
+    return f"""
+    SELECT '{profile}' AS profile, table_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c * c) AS BIGINT) AS sum_sq,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+           CAST(sum(c) AS BIGINT) AS n_vectors
+    FROM (SELECT table_idx, bucket, CAST(count(*) AS BIGINT) AS c
+          FROM {src} GROUP BY table_idx, bucket)
+    GROUP BY table_idx"""
+
+
+@register(
+    "lsh_bucket_stats",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    {_SQL_SCALED_BUCKETS_CTE}
+    {_sql_bucket_stats('buckets', 'demo')}
+    UNION ALL
+    {_sql_bucket_stats('sbuckets', 'scaled')}
+    """,
+)
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy report for BOTH LSH geometry profiles, per table:
+    bucket count, max occupancy, Σc², and the candidate-pair volume
+    Σ c·(c-1)/2 that IS the cost of every bucket-join consumer
+    (similarity_ann_lsh, knn_graph, dedup_embedding). The production
+    tuning loop reads this before touching PLANES: if max_bucket rides
+    far above |V|/2^planes, the corpus has a dense direction and needs
+    more planes (or salting) — key_skew_report's sibling for the vector
+    tiers, and the gauge that catches degeneration toward all-pairs
+    BEFORE a 100 TB knn_graph run is launched, not after.
+
+    Plan shape: one bucket derivation per profile (the embedding read
+    once per profile, planes evaluated in a single projection), a
+    (table, bucket) partial-agg shuffle, then a |tables|-row rollup —
+    strictly cheaper than any consumer it prices."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return lsh_bucket_stats_frame(
+        emb, LSH_PLANES, LSH_TABLES, "demo"
+    ).unionByName(
+        lsh_bucket_stats_frame(
+            emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, "scaled"
+        )
+    )

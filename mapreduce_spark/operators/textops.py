@@ -2008,3 +2008,83 @@ def quality_nb_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "domain_mix_report",
+    oracle=f"""
+    WITH t AS (SELECT source, lang,
+                      CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT)
+                        AS n_toks
+               FROM documents),
+    g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens
+          FROM t GROUP BY source, lang),
+    w AS (SELECT g.*, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                      AS BIGINT) AS tw
+          FROM g),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_tot,
+                   CAST(sum(tw) AS BIGINT) AS tw_tot
+            FROM w)
+    SELECT source, lang, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / tot.tok_tot, 6) AS token_share,
+           round(CAST(tw AS DOUBLE) / tot.tw_tot, 6) AS target_share,
+           round(round(CAST(tw AS DOUBLE) / tot.tw_tot, 6)
+                 / round(CAST(n_tokens AS DOUBLE) / tot.tok_tot, 6), 6)
+             AS boost
+    FROM w CROSS JOIN tot
+    """,
+)
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture card (the table every pretraining recipe is built
+    from — The Pile / Gopher style): per (source, lang) cell, document
+    and token counts, the cell's raw token share, its temperature-
+    alpha=0.5 target share (sqrt-of-tokens weighting, mix_weighted_
+    sample's rule lifted from per-source doc counts to per-cell token
+    mass), and the resulting up/down-weighting boost factor — the
+    numbers a mixing stage consumes and a recipe review reads.
+
+    Exactness: token counts are exact BIGINTs; sqrt weights quantize to
+    integer micro-units and sum as BIGINT (the mix_weighted_sample
+    discipline); each share is one double division of exact integers
+    rounded to 6 dp, and the boost divides the two ALREADY-ROUNDED
+    shares so both engines divide identical doubles.
+
+    Plan shape: one map-side-combined rollup to |sources| x |langs|
+    rows, a 1-row total broadcast back onto it — nothing else. At
+    100 TB the corpus is read once, and only cell aggregates move."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "source", "lang", F.size(tokens("text")).cast("bigint").alias("n_toks")
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w = g.withColumn(
+        "tw",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000.0).cast(
+            "bigint"
+        ),
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("bigint").alias("tok_tot"),
+        F.sum("tw").cast("bigint").alias("tw_tot"),
+    )
+    token_share = F.round(
+        F.col("n_tokens").cast("double") / F.col("tok_tot"), 6
+    )
+    target_share = F.round(F.col("tw").cast("double") / F.col("tw_tot"), 6)
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        token_share.alias("token_share"),
+        target_share.alias("target_share"),
+        F.round(target_share / token_share, 6).alias("boost"),
+    )
