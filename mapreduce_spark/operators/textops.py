@@ -2088,3 +2088,152 @@ def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_share.alias("target_share"),
         F.round(target_share / token_share, 6).alias("boost"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-iteration BPE training (Sennrich et al. 2016, algorithm 1): the
+# loop bpe_pair_merge is one step of — count pairs, take the argmax as a
+# merge rule, REWRITE every word's symbol sequence, repeat. The rewrite
+# is the part that makes it training: later merges see earlier ones
+# ("t h e" -> "th e" -> "the"), which a single pair count never does.
+#
+# Words are carried as pipe-delimited symbol strings ("|h|e|l|l|o|");
+# the merge applies literal replace of "|a|b|" -> "|ab|" TWICE, which is
+# exactly greedy left-to-right non-overlapping BPE: a first-pass miss
+# can only happen where a preceding match consumed the shared delimiter,
+# and after pass one every remaining occurrence is isolated by a merged
+# symbol, so pass two catches them all (both engines' replace() is
+# literal, global, left-to-right — identical semantics).
+BPE_TRAIN_ITERS = 3
+
+
+def _sql_bpe_iter(i: int) -> str:
+    """CTEs pc{i} (pair counts), b{i} (argmax merge rule), w{i+1} (the
+    rewritten corpus) on top of w{i}."""
+    return f"""
+    pc{i} AS (
+        SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+            SELECT unnest(CASE WHEN len(syms) >= 2 THEN list_transform(
+                       range(1, len(syms)), j -> syms[j] || ' ' || syms[j + 1])
+                   ELSE [] END) AS pair, f
+            FROM (SELECT list_filter(string_split(w, '|'), s -> s <> '') AS syms, f
+                  FROM w{i}))
+        GROUP BY pair),
+    b{i} AS (
+        SELECT pair, cnt, split_part(pair, ' ', 1) AS a,
+               split_part(pair, ' ', 2) AS b
+        FROM pc{i} ORDER BY cnt DESC, pair LIMIT 1),
+    w{i + 1} AS (
+        SELECT replace(replace(w{i}.w,
+                   '|' || b{i}.a || '|' || b{i}.b || '|',
+                   '|' || b{i}.a || b{i}.b || '|'),
+                   '|' || b{i}.a || '|' || b{i}.b || '|',
+                   '|' || b{i}.a || b{i}.b || '|') AS w, f
+        FROM w{i} CROSS JOIN b{i})"""
+
+
+def _bpe_pairs_frame(wf: DataFrame) -> DataFrame:
+    """Pair counts over a (w, f) delimited-symbol frame."""
+    syms = "filter(split(w, '\\\\|'), s -> s <> '')"
+    prs = (
+        f"CASE WHEN size({syms}) >= 2 THEN "
+        f"transform(sequence(1, size({syms}) - 1), "
+        f"j -> concat(element_at({syms}, j), ' ', element_at({syms}, j + 1))) "
+        "ELSE array() END"
+    )
+    return (
+        wf.select(F.explode(F.expr(prs)).alias("pair"), "f")
+        .groupBy("pair")
+        .agg(F.sum("f").cast("bigint").alias("cnt"))
+    )
+
+
+def _bpe_merge_frame(wf: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply the broadcast 1-row merge rule to every word (two literal
+    replace passes — see the module comment for why two is exact)."""
+    pat = F.concat(F.lit("|"), F.col("a"), F.lit("|"), F.col("b"), F.lit("|"))
+    rep = F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|"))
+    merged = wf.crossJoin(F.broadcast(best)).withColumn("_pat", pat).withColumn(
+        "_rep", rep
+    )
+    return merged.select(
+        F.expr("replace(replace(w, _pat, _rep), _pat, _rep)").alias("w"), "f"
+    )
+
+
+@register(
+    "bpe_train_iters",
+    oracle=f"""
+    WITH t AS (SELECT {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+    w0 AS (SELECT '|' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              j -> substr(word, j, 1)), '|') || '|' AS w, f
+           FROM wc),
+    {','.join(_sql_bpe_iter(i) for i in range(BPE_TRAIN_ITERS))}
+    {' UNION ALL '.join(
+        f"SELECT CAST({i} AS BIGINT) AS iter, pair, replace(pair, ' ', '') "
+        f"AS merged, cnt FROM b{i}" for i in range(BPE_TRAIN_ITERS))}
+    """,
+)
+def bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BPE_TRAIN_ITERS} unrolled BPE-training iterations: each round
+    counts corpus-frequency-weighted adjacent symbol pairs over the
+    CURRENT symbol sequences, elects the (cnt DESC, pair ASC) argmax as
+    that round's merge rule, and rewrites every distinct word before the
+    next round — returning the ordered merge-rule table (iter, pair,
+    merged, cnt), i.e. the artifact a BPE tokenizer IS.
+
+    Plan shape: the corpus collapses to (distinct word, freq) once — the
+    wordcount shuffle — and every subsequent round works on that |vocab|-
+    sized frame: pair counts partial-aggregate map-side, the argmax is a
+    TakeOrdered over |pairs| rows, and the rewrite is a broadcast 1-row
+    join + two per-row literal replaces. At 100 TB, rounds cost
+    O(|vocab|) each after the single corpus read (the reason real BPE
+    trainers also train on the word-frequency table). Symbol identity is
+    by string, the reference BPE implementation's own convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    wf = wc.select(
+        F.concat(
+            F.lit("|"),
+            F.expr(
+                "array_join(transform(sequence(1, length(word)), "
+                "j -> substring(word, j, 1)), '|')"
+            ),
+            F.lit("|"),
+        ).alias("w"),
+        "f",
+    )
+    rules = []
+    for i in range(BPE_TRAIN_ITERS):
+        pc = _bpe_pairs_frame(wf)
+        best = (
+            pc.orderBy(F.col("cnt").desc(), "pair")
+            .limit(1)
+            .select(
+                "pair",
+                "cnt",
+                F.split(F.col("pair"), " ").getItem(0).alias("a"),
+                F.split(F.col("pair"), " ").getItem(1).alias("b"),
+            )
+        )
+        rules.append(
+            best.select(
+                F.lit(i).cast("bigint").alias("iter"),
+                "pair",
+                F.concat(F.col("a"), F.col("b")).alias("merged"),
+                "cnt",
+            )
+        )
+        if i < BPE_TRAIN_ITERS - 1:
+            wf = _bpe_merge_frame(wf, best)
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
