@@ -279,18 +279,32 @@ def ann_lsh_topk(
     bucket derivation -> (table, bucket) candidate equi-join -> exact
     cosine on candidates -> per-query top-k. Identical plan shape at any
     geometry — the demo and PRODUCTION registrations differ only in the
-    constants they pass (the minhash_lsh_pairs discipline)."""
+    constants they pass (the minhash_lsh_pairs discipline).
+
+    Candidates enumerate INSIDE each (table, bucket) group (one
+    groupBy-collect exchange, per-group list expansion) instead of a
+    bucket self-join: the join form embedded the interpreted
+    {tables} x {planes}-plane projection in BOTH join inputs and
+    re-derived it (measured 2-4x slower at the production geometry) —
+    group enumeration derives buckets exactly once, and its one
+    exchange is the co-partitioned shape a 1e9-vector bucket table
+    needs anyway. Same candidate SET as the self-join by construction."""
     buckets = lsh_buckets(emb, planes, tables)
-    qb = buckets.filter(F.col("vec_id") < n_queries)
+    g = buckets.groupBy("table_idx", "bucket").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("vs")
+    )
     cand = (
-        qb.alias("q")
-        .join(
-            buckets.alias("v"),
-            (F.col("q.table_idx") == F.col("v.table_idx"))
-            & (F.col("q.bucket") == F.col("v.bucket"))
-            & (F.col("v.vec_id") != F.col("q.vec_id")),
+        g.filter(F.expr(f"exists(vs, q -> q < {n_queries})"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(filter(vs, q -> q < {n_queries}), "
+                    "q -> transform(filter(vs, v -> v != q), "
+                    "v -> named_struct('query_id', q, 'vec_id', v))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("q.vec_id").alias("query_id"), F.col("v.vec_id").alias("vec_id"))
+        .select("p.query_id", "p.vec_id")
         .distinct()
     )
     scored = _score_pairs(emb, cand)
@@ -1396,17 +1410,30 @@ def knn_graph_edges(
 ) -> DataFrame:
     """The profile-parameterized k-NN-graph builder over any
     (vec_id, embedding) frame (fixture corpora in tests, the registered
-    table in queries)."""
-    buckets = lsh_buckets(emb, planes, tables)
+    table in queries). src < dst pairs enumerate INSIDE each
+    (table, bucket) group from one groupBy-collect exchange — the
+    ann_lsh_topk note: a bucket self-join re-derived the interpreted
+    plane projection on both inputs (measured 2-4x slower at the scaled
+    geometry); group enumeration derives buckets once, and per-group
+    expansion is in-memory trivia at the target occupancy (~8 ->
+    28 pairs)."""
+    g = (
+        lsh_buckets(emb, planes, tables)
+        .groupBy("table_idx", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("vs"))
+    )
     cand = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.table_idx") == F.col("b.table_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        g.filter(F.size("vs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(vs) - 1), "
+                    "i -> transform(slice(vs, i + 1, size(vs) - i), "
+                    "v -> named_struct('src', element_at(vs, i), 'dst', v))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .select("p.src", "p.dst")
         .distinct()
     )
     embn = emb.withColumn("nrm", norm(F.col("embedding")))

@@ -156,6 +156,15 @@ CARTESIAN_OK = {
     "dedup_recall_report",  # crossJoin of the two 1-row count aggregates
     "dedup_recall_report_scaled",  # same 1-row crossJoin, scaled profile
     "contamination_gate_bloom",  # broadcasts the 1-row 64 KiB bloom array
+    "similarity_hamming_topk",  # broadcasts the 5-row query sign codes (!=)
+    "similarity_hamming_rerank",  # same 5-row code broadcast, then equi-joins
+    "hamming_recall_report",  # embeds similarity_topk + the hamming NLJs
+    "similarity_ivfpq_adc",  # broadcast trained-centroid assignment NLJ
+    "ivfpq_recall_report",  # embeds the centroid NLJ + exact-L2 baseline
+    "quality_nb_classifier",  # broadcasts the 1-row totals/prior aggregates
+    "quality_nb_report",  # same 1-row broadcasts + the 1-row grand total
+    "domain_mix_report",  # broadcasts the 1-row token/weight totals
+    "bpe_train_iters",  # broadcasts each round's 1-row merge rule
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
