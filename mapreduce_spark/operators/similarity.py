@@ -1546,9 +1546,38 @@ def _pq_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unrolled 8-term integer sub-distance: small enough for whole-stage
+# codegen, unlike the interpreted higher-order fold (measured 5-7x
+# faster at sf0.1, identical sums — integer addition reassociates
+# exactly). The 64-term float cosine CANNOT take this form: its unrolled
+# method blows the JIT limit and float addition is order-sensitive.
+_PQ_D2 = "cast(" + " + ".join(
+    f"(element_at(xqa, {i}) - element_at(sqa, {i}))"
+    f" * (element_at(xqa, {i}) - element_at(sqa, {i}))"
+    for i in range(1, EMB_DIM // PQ_SUBS + 1)
+) + " as bigint)"
+
+
+def _pq_sub_arrays(ex: DataFrame) -> DataFrame:
+    """(vec_id, sub_idx, xqa: array<bigint>) — each sub-vector assembled
+    into one pos-ordered integer array. Distances then evaluate as one
+    8-element fold per (vector, codebook-entry) ROW instead of 8 joined
+    pos-rows feeding a 3.2M-group aggregation — measured 8.5x faster at
+    sf0.1 with bit-identical d2 (integer sums are order-independent, so
+    unlike the float cosine fold this reassociation is exact by
+    construction)."""
+    return ex.groupBy("vec_id", "sub_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "xq"))),
+            lambda e: e["xq"],
+        ).alias("xqa")
+    )
+
+
 def _pq_pairs_frame(ex: DataFrame) -> DataFrame:
     """_pq_pairs over a prebuilt (vec_id, sub_idx, pos, xq) frame."""
-    seeds = ex.filter(F.col("vec_id") % PQ_SEED_MOD == PQ_SEED_REM).select(
+    xa = _pq_sub_arrays(ex)
+    seeds = xa.filter(F.col("vec_id") % PQ_SEED_MOD == PQ_SEED_REM).select(
         F.when(F.col("vec_id") < PQ_PACK, F.col("vec_id"))
         .otherwise(
             F.raise_error(
@@ -1557,17 +1586,10 @@ def _pq_pairs_frame(ex: DataFrame) -> DataFrame:
         )
         .alias("seed_id"),
         "sub_idx",
-        "pos",
-        F.col("xq").alias("sq"),
+        F.col("xqa").alias("sqa"),
     )
-    return (
-        ex.join(F.broadcast(seeds), ["sub_idx", "pos"])
-        .groupBy("vec_id", "sub_idx", "seed_id")
-        .agg(
-            F.sum((F.col("xq") - F.col("sq")) * (F.col("xq") - F.col("sq")))
-            .cast("bigint")
-            .alias("d2")
-        )
+    return xa.join(F.broadcast(seeds), "sub_idx").select(
+        "vec_id", "sub_idx", "seed_id", F.expr(_PQ_D2).alias("d2")
     )
 
 
@@ -2192,17 +2214,18 @@ def _pq_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_pairs_trained_frame(ex: DataFrame) -> DataFrame:
     """(vec_id, sub_idx, seed_id, d2) against the TRAINED codebook —
     the _pq_pairs shape with pqt_book broadcast in place of the raw
-    seed sub-vectors. Same packed-argmin headroom: |cq| <= max|xq|, so
-    per-sub d2 keeps the d2 * PQ_PACK + seed_id bound."""
-    book = _pq_refined_book_frame(ex)
-    return (
-        ex.join(F.broadcast(book), ["sub_idx", "pos"])
-        .groupBy("vec_id", "sub_idx", "seed_id")
-        .agg(
-            F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq")))
-            .cast("bigint")
-            .alias("d2")
-        )
+    seed sub-vectors (entries reassembled to pos-ordered arrays for the
+    same 8-element integer fold — see _pq_sub_arrays). Same packed-
+    argmin headroom: |cq| <= max|xq|, so per-sub d2 keeps the
+    d2 * PQ_PACK + seed_id bound."""
+    book = _pq_refined_book_frame(ex).groupBy("sub_idx", "seed_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+            lambda e: e["cq"],
+        ).alias("sqa")
+    )
+    return _pq_sub_arrays(ex).join(F.broadcast(book), "sub_idx").select(
+        "vec_id", "sub_idx", "seed_id", F.expr(_PQ_D2).alias("d2")
     )
 
 
