@@ -66,6 +66,13 @@ HEADLINE = [
     "knn_graph_scaled",
     "embedding_pq_codes_trained",
     "dedup_span_remove_scaled",
+    # round-5 late additions: the composed IVFADC tier (the billion-scale
+    # serving architecture), the two-stage binary-quantization retrieval,
+    # the learned quality filter, and the chained BPE trainer
+    "similarity_ivfpq_adc",
+    "similarity_hamming_rerank",
+    "quality_nb_classifier",
+    "bpe_train_iters",
 ]
 
 
