@@ -217,12 +217,20 @@ def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself is filtered in place with zero shuffle — at 100 TB the
     only exchange is |sources| rows."""
     docs = load_table(spark, sf_dir, "documents")
+    return mix_gate(docs, mix_rates(docs))
+
+
+def mix_rates(docs: DataFrame) -> DataFrame:
+    """(source, rate_micro) — the temperature-alpha=0.5 acceptance rates
+    derived from a (doc_id, source) history frame; shared by the batch
+    sampler and the streaming admission gate so both draw at identical
+    integer rates."""
     n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w = n.withColumn(
         "sw", F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0).cast("bigint")
     )
     tot = w.agg(F.sum("sw").alias("s"), F.sum("n_docs").alias("total"))
-    r = w.crossJoin(F.broadcast(tot)).select(
+    return w.crossJoin(F.broadcast(tot)).select(
         "source",
         F.least(
             F.lit(1000000.0),
@@ -238,8 +246,14 @@ def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rate_micro"),
     )
+
+
+def mix_gate(docs: DataFrame, rates: DataFrame) -> DataFrame:
+    """Admit (doc_id, source) rows by the deterministic md5 draw against
+    broadcast per-source rates — the per-row fragment both the batch
+    sampler and stream_domain_mix_gate apply."""
     return (
-        docs.join(F.broadcast(r), "source")
+        docs.join(F.broadcast(rates), "source")
         .filter(
             F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(MIX_HASH_MOD))
             < F.col("rate_micro")

@@ -649,3 +649,63 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "mem_stream_ohlc", spark, "complete")
+
+
+# ---------------------------------------------------------------------------
+from mapreduce_spark.operators.curation import (
+    MIX_HASH_MOD as _MIX_HASH_MOD,
+    MIX_TARGET_FRACTION as _MIX_TARGET_FRACTION,
+    mix_gate as _mix_gate,
+    mix_rates as _mix_rates,
+)
+from mapreduce_spark.functions.hashing import md5_long_sql as _md5_long_sql
+
+
+@register(
+    "stream_domain_mix_gate",
+    oracle=f"""
+    WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS sw
+          FROM n),
+    tot AS (SELECT SUM(sw) AS s, SUM(n_docs) AS total FROM w),
+    r AS (SELECT w.source,
+                 CAST(least(1000000.0,
+                      floor(CAST(tot.total AS DOUBLE) * {{mix_frac}}
+                            * w.sw / tot.s / w.n_docs * 1000000.0)) AS BIGINT)
+                 AS rate_micro
+          FROM w, tot)
+    SELECT d.doc_id, d.source, r.rate_micro
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE {{draw}} % {{hash_mod}} < r.rate_micro
+    """.format(
+        mix_frac=_MIX_TARGET_FRACTION,
+        hash_mod=_MIX_HASH_MOD,
+        draw=_md5_long_sql("CAST(d.doc_id AS VARCHAR)"),
+    ),
+)
+def stream_domain_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming domain-mixing admission: each incoming document is kept
+    by the SAME deterministic md5 draw against the SAME per-source
+    temperature-alpha=0.5 rates as the batch mix_weighted_sample — rates
+    fit ONCE on the static history corpus (curation.mix_rates) and
+    broadcast onto every micro-batch (curation.mix_gate, the identical
+    per-row fragment), so the admitted stream provably equals the batch
+    sample (pinned by test). This is the ingest-side form of the data
+    recipe: rate-limit over-represented domains AT the firehose instead
+    of storing everything and down-sampling later.
+
+    Plan shape: ZERO streaming state — no watermark, no state store; the
+    rates are a |sources|-row broadcast refreshed per trigger from the
+    static side, and the draw is one row-local hash compare. At 100 TB/
+    day the only non-row-local work is the tiny static rollup."""
+    docs_static = load_table(spark, sf_dir, "documents")
+    rates = _mix_rates(docs_static)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+    )
+    out = _mix_gate(stream, rates)
+    return _drain(out, "mem_stream_domain_mix_gate", spark, "append")

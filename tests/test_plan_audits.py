@@ -176,6 +176,7 @@ PLAN_SWEEP_SKIP = {
     "stream_neardup_gate",  # drains the ingest stream when invoked
     "stream_anomaly_gate",  # drains the event stream when invoked
     "stream_ohlc",  # drains the event stream when invoked
+    "stream_domain_mix_gate",  # drains the document stream when invoked
     "dedup_cluster",  # runs a convergence loop when invoked
     "dedup_cluster_stats",  # rolls up dedup_cluster's converged labels
     "dedup_keep_best",  # runs dedup_cluster's convergence loop when invoked

@@ -312,3 +312,17 @@ def test_stream_ohlc_equals_batch_bars(spark, sf_dir, qs):
         for r in qs["stream_ohlc"](spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stream_domain_mix_gate_equals_batch_sample(spark, sf_dir, qs):
+    """The streaming admission gate must admit EXACTLY the batch
+    mix_weighted_sample set (same rates, same deterministic draw), and
+    the admitted stream must be a strict non-empty subset of the
+    corpus (the target fraction is 0.5)."""
+    streamed = qs["stream_domain_mix_gate"](spark, sf_dir)
+    batch = qs["mix_weighted_sample"](spark, sf_dir)
+    a = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b and len(a) > 0
+    n_all = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(a) < n_all
