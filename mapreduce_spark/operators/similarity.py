@@ -2879,3 +2879,95 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, "scaled"
         )
     )
+
+
+# ===========================================================================
+# Semantic clusters over the k-NN graph: the graph-based-curation consumer
+# the knn_graph docstring promises (near-dup cluster discovery / diversity
+# bucketing). Min-label propagation, KNN_CLUSTER_ITERS synchronous rounds
+# unrolled into ONE Catalyst plan (the pagerank_transitions discipline —
+# no driver loop, no collect): after L rounds every node holds the min
+# vec_id within graph distance L, so tight semantic clusters (diameter
+# <= L) collapse to one id. dedup_cluster is the CONVERGED component
+# answer for near-dup pairs; this is the fixed-depth, fixed-cost variant
+# an iteration-bounded production pass ships (cost = L x |edges| shuffle).
+KNN_CLUSTER_ITERS = 3
+
+
+def knn_cluster_labels(emb: DataFrame, edges: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id) after {KNN_CLUSTER_ITERS} min-label rounds
+    over the symmetrized edge set; isolated vectors keep their own id."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = emb.select("vec_id", F.col("vec_id").alias("cluster_id"))
+    for _ in range(KNN_CLUSTER_ITERS):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("vec_id").alias("dst"), F.col("cluster_id").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        labels = (
+            labels.join(nbr, labels.vec_id == nbr.src, "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+    return labels
+
+
+def _sql_knn_clusters() -> str:
+    ctes = [
+        """
+    kc_sym AS (
+        SELECT src, dst FROM graph_g
+        UNION SELECT dst AS src, src AS dst FROM graph_g),
+    kc_l0 AS (SELECT vec_id, vec_id AS cluster_id FROM embeddings)"""
+    ]
+    for i in range(1, KNN_CLUSTER_ITERS + 1):
+        ctes.append(f"""
+    kc_n{i} AS (
+        SELECT s.src, min(l.cluster_id) AS nmin
+        FROM kc_sym s JOIN kc_l{i - 1} l ON l.vec_id = s.dst
+        GROUP BY s.src),
+    kc_l{i} AS (
+        SELECT l.vec_id,
+               least(l.cluster_id, coalesce(n.nmin, l.cluster_id)) AS cluster_id
+        FROM kc_l{i - 1} l LEFT JOIN kc_n{i} n ON n.src = l.vec_id)""")
+    return ",".join(ctes)
+
+
+@register(
+    "knn_graph_clusters",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    {_sql_knn_graph('', KNN_GRAPH_K)},
+    {_sql_knn_clusters()}
+    SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM kc_l{KNN_CLUSTER_ITERS}
+    """,
+)
+def knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster labels from the k-NN graph: {KNN_CLUSTER_ITERS}
+    unrolled min-label rounds over the symmetrized knn_graph edge set —
+    every vector ends holding the minimum vec_id within graph distance
+    {KNN_CLUSTER_ITERS}, so tight semantic neighborhoods (the clusters
+    graph-based curation samples across) share one label while isolated
+    vectors keep their own. Fixed depth = fixed cost: each round is one
+    |edges|-row join + a dst-keyed partial-agg min and one label join —
+    the iteration-bounded production shape (dedup_cluster's driver loop
+    is the run-to-convergence complement; at 100 TB you budget rounds,
+    not fixpoints). All-integer labels — bit-identical across engines.
+    tests/test_knn_clusters.py pins planted-pair co-labeling and the
+    distance-{KNN_CLUSTER_ITERS} reach law on a constructed chain."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    return knn_cluster_labels(emb, edges)

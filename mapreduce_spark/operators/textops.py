@@ -2124,7 +2124,8 @@ def _sql_bpe_iter(i: int) -> str:
                split_part(pair, ' ', 2) AS b
         FROM pc{i} ORDER BY cnt DESC, pair LIMIT 1),
     w{i + 1} AS (
-        SELECT replace(replace(w{i}.w,
+        SELECT w{i}.word,
+               replace(replace(w{i}.w,
                    '|' || b{i}.a || '|' || b{i}.b || '|',
                    '|' || b{i}.a || b{i}.b || '|'),
                    '|' || b{i}.a || '|' || b{i}.b || '|',
@@ -2156,8 +2157,9 @@ def _bpe_merge_frame(wf: DataFrame, best: DataFrame) -> DataFrame:
     merged = wf.crossJoin(F.broadcast(best)).withColumn("_pat", pat).withColumn(
         "_rep", rep
     )
+    keep = [c for c in wf.columns if c != "w"]
     return merged.select(
-        F.expr("replace(replace(w, _pat, _rep), _pat, _rep)").alias("w"), "f"
+        F.expr("replace(replace(w, _pat, _rep), _pat, _rep)").alias("w"), *keep
     )
 
 
@@ -2167,7 +2169,7 @@ def _bpe_merge_frame(wf: DataFrame, best: DataFrame) -> DataFrame:
     WITH t AS (SELECT {SQL_TOKENS.format(col='text')} AS toks FROM documents),
     wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS f
            FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
-    w0 AS (SELECT '|' || array_to_string(
+    w0 AS (SELECT word, '|' || array_to_string(
                list_transform(range(1, length(word) + 1),
                               j -> substr(word, j, 1)), '|') || '|' AS w, f
            FROM wc),
@@ -2193,6 +2195,19 @@ def bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|vocab|) each after the single corpus read (the reason real BPE
     trainers also train on the word-frequency table). Symbol identity is
     by string, the reference BPE implementation's own convention."""
+    rules, _ = _bpe_run(spark, sf_dir)
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_run(spark: SparkSession, sf_dir: str):
+    """Run the {BPE_TRAIN_ITERS}-round training loop once: returns the
+    per-round rule frames (iter, pair, merged, cnt) AND the fully-merged
+    (word, w, f) vocabulary — the shared engine behind bpe_train_iters
+    (which reads the rules) and bpe_apply (which reads the rewritten
+    symbol sequences)."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(tokens("text")).alias("word"))
@@ -2200,6 +2215,7 @@ def bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("f"))
     )
     wf = wc.select(
+        "word",
         F.concat(
             F.lit("|"),
             F.expr(
@@ -2231,9 +2247,49 @@ def bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cnt",
             )
         )
-        if i < BPE_TRAIN_ITERS - 1:
-            wf = _bpe_merge_frame(wf, best)
-    out = rules[0]
-    for r in rules[1:]:
-        out = out.unionByName(r)
-    return out
+        wf = _bpe_merge_frame(wf, best)
+    return rules, wf
+
+
+@register(
+    "bpe_apply",
+    oracle=f"""
+    WITH t AS (SELECT {{SQL_TOKENS_TEXT}} AS toks FROM documents),
+    wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+    w0 AS (SELECT word, '|' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              j -> substr(word, j, 1)), '|') || '|' AS w, f
+           FROM wc),
+    {{ITER_CTES}}
+    SELECT word, f,
+           list_filter(string_split(w, '|'), s -> s <> '') AS symbols,
+           CAST(len(list_filter(string_split(w, '|'), s -> s <> ''))
+                AS BIGINT) AS n_symbols
+    FROM w{BPE_TRAIN_ITERS}
+    """.format(
+        SQL_TOKENS_TEXT=SQL_TOKENS.format(col="text"),
+        ITER_CTES=",".join(_sql_bpe_iter(i) for i in range(BPE_TRAIN_ITERS)),
+    ),
+)
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the vocabulary with the learned merges: every distinct
+    word's symbol sequence after ALL {BPE_TRAIN_ITERS} trained merge
+    rules apply in training order — the other half of the tokenizer
+    contract (bpe_train_iters learns the rules; this is the segmentation
+    a corpus tokenized under those rules would use, per distinct word
+    with its corpus frequency, so Σ f·n_symbols is the corpus token
+    count under the learned vocab).
+
+    Same scale shape as training: everything past the wordcount shuffle
+    runs on the |vocab|-sized frame; each merge is a broadcast 1-row
+    join + two literal replaces (the greedy-equivalence law pinned in
+    tests/test_bpe_train.py)."""
+    _, wf = _bpe_run(spark, sf_dir)
+    syms = "filter(split(w, '\\\\|'), s -> s <> '')"
+    return wf.select(
+        "word",
+        "f",
+        F.expr(syms).alias("symbols"),
+        F.expr(f"size({syms})").cast("bigint").alias("n_symbols"),
+    )

@@ -72,3 +72,21 @@ def test_rewrite_catches_first_pass_misses(spark):
     )
     out = _bpe_merge_frame(wf, best).collect()
     assert out[0]["w"] == "|ab|ab|ab|ab|"
+
+
+def test_apply_segments_with_learned_rules(spark, tmp_path):
+    """After the three learned merges (h e -> he, t he -> the, a a -> aa)
+    the vocabulary must segment as: the -> [the], then -> [the, n],
+    aaaa -> [aa, aa] (the greedy non-overlap on the last rule)."""
+    from mapreduce_spark.operators.textops import bpe_apply
+
+    sf_dir = _write_docs(spark, tmp_path, ["the the then", "the aaaa"])
+    got = {
+        r["word"]: (list(r["symbols"]), r["n_symbols"], r["f"])
+        for r in bpe_apply(spark, sf_dir).collect()
+    }
+    assert got == {
+        "the": (["the"], 1, 3),
+        "then": (["the", "n"], 2, 1),
+        "aaaa": (["aa", "aa"], 2, 1),
+    }

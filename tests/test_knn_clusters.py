@@ -1,0 +1,88 @@
+"""Min-label clustering over the k-NN graph: the reach law + planted
+co-labeling.
+
+* Reach law, exactly: on a hand-built chain graph 0-1-2-...-6, after
+  L = KNN_CLUSTER_ITERS synchronous min-label rounds every node holds
+  the minimum id within graph distance L — node v ends at max(0, v - L).
+  An off-by-one in the unrolling (or accidental asynchronous
+  propagation, which would collapse the whole chain to 0) fails this.
+* Planted pairs: under the scaled LSH geometry the graph contains the
+  planted partner edges (test_ann_scaled's law), so >= 90% of planted
+  cosine-0.7+ pairs must end co-labeled.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mapreduce_spark.operators.similarity import (
+    KNN_CLUSTER_ITERS,
+    KNN_GRAPH_SCALED_K,
+    SCALED_LSH_PLANES,
+    SCALED_LSH_TABLES,
+    knn_cluster_labels,
+    knn_graph_edges,
+)
+
+DIM = 64
+N_PAIRS = 80
+PAIR_B_BASE = 1000
+NOISE_BASE = 2000
+N_NOISE = 150
+
+
+def test_chain_reach_law(spark):
+    n = 7
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in knn_cluster_labels(emb, edges).collect()
+    }
+    assert got == {v: max(0, v - KNN_CLUSTER_ITERS) for v in range(n)}
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    return v / np.linalg.norm(v)
+
+
+@pytest.fixture(scope="module", name="paired")
+def paired_fixture(spark):
+    rng = np.random.RandomState(7)
+    ids, vecs, truth = [], [], {}
+    for i in range(N_PAIRS):
+        c = 0.72 + 0.10 * i / (N_PAIRS - 1)
+        u = _unit(rng.randn(DIM))
+        w = rng.randn(DIM)
+        w = _unit(w - np.dot(w, u) * u)
+        v = c * u + np.sqrt(1 - c * c) * w
+        ids += [i, PAIR_B_BASE + i]
+        vecs += [u, v]
+        truth[i] = PAIR_B_BASE + i
+    for j in range(N_NOISE):
+        ids.append(NOISE_BASE + j)
+        vecs.append(_unit(rng.randn(DIM)))
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ), truth
+
+
+def test_planted_pairs_co_labeled(paired):
+    df, truth = paired
+    edges = knn_graph_edges(
+        df, SCALED_LSH_PLANES, SCALED_LSH_TABLES, KNN_GRAPH_SCALED_K
+    )
+    labels = {
+        r["vec_id"]: r["cluster_id"]
+        for r in knn_cluster_labels(df, edges).collect()
+    }
+    hits = sum(1 for q, p in truth.items() if labels[q] == labels[p])
+    recall = hits / len(truth)
+    assert recall >= 0.9, f"co-label recall {recall:.3f} < 0.9"
