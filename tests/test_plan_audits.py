@@ -165,6 +165,7 @@ CARTESIAN_OK = {
     "quality_nb_report",  # same 1-row broadcasts + the 1-row grand total
     "domain_mix_report",  # broadcasts the 1-row token/weight totals
     "bpe_train_iters",  # broadcasts each round's 1-row merge rule
+    "bpe_apply",  # same three 1-row merge-rule broadcasts, applied
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
