@@ -85,6 +85,16 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Wide-expression plans (144-perm signatures, 256-plane buckets)
+        # generate a LOT of bytecode; the JVM default 240 MiB code cache
+        # fills after a few dozen distinct plans in one process, the JIT
+        # stops compiling, and later queries run interpreted (measured:
+        # the same query 2.3 s isolated vs 5.4 s late in a 40-query
+        # bench run). A 1 GiB cache keeps long sessions JIT-compiled.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
         .config("spark.executorEnv.PYTHONPATH", py_path)
