@@ -2036,7 +2036,7 @@ def _sql_knn_graph(bprefix: str, k: int, src_cap: str = "") -> str:
         FROM cand_{bprefix}g c
         JOIN embeddings ea ON ea.vec_id = c.src
         JOIN embeddings eb ON eb.vec_id = c.dst),
-    graph_{bprefix}g AS (
+    graph_{bprefix}g AS MATERIALIZED (
         SELECT src, dst, cosine, rank FROM (
             SELECT src, dst, cosine,
                    CAST(row_number() OVER (PARTITION BY src
@@ -2924,12 +2924,12 @@ def knn_cluster_labels(emb: DataFrame, edges: DataFrame) -> DataFrame:
     return labels
 
 
-def _sql_knn_clusters() -> str:
+def _sql_knn_clusters(graph: str = "graph_g") -> str:
     ctes = [
-        """
-    kc_sym AS (
-        SELECT src, dst FROM graph_g
-        UNION SELECT dst AS src, src AS dst FROM graph_g),
+        f"""
+    kc_sym AS MATERIALIZED (
+        SELECT src, dst FROM {graph}
+        UNION SELECT dst AS src, src AS dst FROM {graph}),
     kc_l0 AS (SELECT vec_id, vec_id AS cluster_id FROM embeddings)"""
     ]
     for i in range(1, KNN_CLUSTER_ITERS + 1):
@@ -2970,4 +2970,30 @@ def knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance-{KNN_CLUSTER_ITERS} reach law on a constructed chain."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     edges = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    return knn_cluster_labels(emb, edges)
+
+
+@register(
+    "knn_graph_clusters_scaled",
+    oracle=f"""
+    WITH {_SQL_SCALED_BUCKETS_CTE},
+    {_sql_knn_graph('s', KNN_GRAPH_SCALED_K)},
+    {_sql_knn_clusters('graph_sg')}
+    SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM kc_l{KNN_CLUSTER_ITERS}
+    """,
+)
+def knn_graph_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_graph_clusters under the PRODUCTION graph: the scaled LSH
+    geometry ({SCALED_LSH_PLANES} planes x {SCALED_LSH_TABLES} tables)
+    at curation-grade k={KNN_GRAPH_SCALED_K} — the registration the
+    planted co-label test (tests/test_knn_clusters.py) already exercises
+    frame-level, so the demo and production profiles both carry oracle
+    rows (the dedup_minhash_lsh / _scaled pairing applied to the graph
+    consumer). Same fixed-depth min-label plan; only the edge profile
+    differs."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = knn_graph_edges(
+        emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, KNN_GRAPH_SCALED_K
+    )
     return knn_cluster_labels(emb, edges)
