@@ -63,3 +63,16 @@ def test_mix_report_shares_normalize_and_flatten(spark):
             assert r["boost"] < 1.05, f"large cell up-weighted: {r}"
     smallest = min(rows, key=lambda r: r["token_share"])
     assert smallest["boost"] > 1.0, f"smallest cell not up-weighted: {smallest}"
+
+
+def test_minhash_band_stats_conserve_docs(spark):
+    """Every band must account for every (nonempty) doc exactly once,
+    with 36 bands present and occupancy arithmetic self-consistent."""
+    rows = get_queries()["minhash_band_stats"](spark, SF_DIR).collect()
+    assert len(rows) == 36
+    n_docs = {r["n_docs"] for r in rows}
+    assert len(n_docs) == 1, f"doc mass differs across bands: {n_docs}"
+    for r in rows:
+        assert r["max_bucket"] <= r["n_docs"]
+        assert r["sum_sq"] >= r["n_docs"]
+        assert 0 <= r["cand_pairs"] <= r["sum_sq"] // 2
