@@ -2098,12 +2098,20 @@ def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ("t h e" -> "th e" -> "the"), which a single pair count never does.
 #
 # Words are carried as pipe-delimited symbol strings ("|h|e|l|l|o|");
-# the merge applies literal replace of "|a|b|" -> "|ab|" TWICE, which is
-# exactly greedy left-to-right non-overlapping BPE: a first-pass miss
-# can only happen where a preceding match consumed the shared delimiter,
-# and after pass one every remaining occurrence is isolated by a merged
-# symbol, so pass two catches them all (both engines' replace() is
-# literal, global, left-to-right — identical semantics).
+# the merge is a TRUE greedy left-to-right fold over the symbol array:
+# walk the symbols, and whenever the last emitted symbol is `a` and the
+# incoming one is `b`, replace the last with `ab` (consuming both),
+# else append. This is exactly Sennrich's non-overlapping scan — a
+# merge can never chain leftward because the merged symbol `ab` is
+# strictly longer than `a` (b is non-empty), so it can't equal `a` and
+# re-match. The r5 two-pass literal replace of '|a|b|'->'|ab|' was NOT
+# equivalent on self-merge runs: '|a|a|a|a|a|' under rule (a,a) gave
+# [aa,a,aa] where greedy BPE gives [aa,aa,a], and 6 a's gave 4 symbols
+# vs greedy's 3 — diverging token counts and every later round's pair
+# statistics (r5 ADVICE, high). The run cases are pinned in
+# tests/test_bpe_train.py. Both engines fold with identical semantics
+# (Spark `aggregate`, DuckDB `list_reduce`), accumulator = the
+# delimited string itself so the fold is engine-portable.
 BPE_TRAIN_ITERS = 3
 
 
@@ -2125,11 +2133,16 @@ def _sql_bpe_iter(i: int) -> str:
         FROM pc{i} ORDER BY cnt DESC, pair LIMIT 1),
     w{i + 1} AS (
         SELECT w{i}.word,
-               replace(replace(w{i}.w,
-                   '|' || b{i}.a || '|' || b{i}.b || '|',
-                   '|' || b{i}.a || b{i}.b || '|'),
-                   '|' || b{i}.a || '|' || b{i}.b || '|',
-                   '|' || b{i}.a || b{i}.b || '|') AS w, f
+               list_reduce(
+                   list_prepend('|', list_filter(string_split(w{i}.w, '|'),
+                                                 s -> s <> '')),
+                   (acc, s) -> CASE
+                       WHEN s = b{i}.b
+                            AND ends_with(acc, '|' || b{i}.a || '|')
+                       THEN substr(acc, 1,
+                                   length(acc) - length(b{i}.a) - 1)
+                            || b{i}.a || b{i}.b || '|'
+                       ELSE acc || s || '|' END) AS w, f
         FROM w{i} CROSS JOIN b{i})"""
 
 
@@ -2150,17 +2163,27 @@ def _bpe_pairs_frame(wf: DataFrame) -> DataFrame:
 
 
 def _bpe_merge_frame(wf: DataFrame, best: DataFrame) -> DataFrame:
-    """Apply the broadcast 1-row merge rule to every word (two literal
-    replace passes — see the module comment for why two is exact)."""
-    pat = F.concat(F.lit("|"), F.col("a"), F.lit("|"), F.col("b"), F.lit("|"))
-    rep = F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|"))
-    merged = wf.crossJoin(F.broadcast(best)).withColumn("_pat", pat).withColumn(
-        "_rep", rep
+    """Apply the broadcast 1-row merge rule to every word as a true
+    greedy left-to-right fold over the symbol array (module comment):
+    whenever the last emitted symbol is `a` and the incoming one is `b`,
+    the last is replaced by `ab`; else the symbol is appended. The
+    accumulator is the delimited string itself, so the fold is one
+    codegen'd expression with no intermediate arrays."""
+    merged = wf.crossJoin(
+        F.broadcast(
+            best.select(F.col("a").alias("_ma"), F.col("b").alias("_mb"))
+        )
+    )
+    fold = (
+        "aggregate(filter(split(w, '\\\\|'), s -> s <> ''), '|', "
+        "(acc, s) -> CASE WHEN s = _mb "
+        "AND endswith(acc, concat('|', _ma, '|')) "
+        "THEN concat(substring(acc, 1, length(acc) - length(_ma) - 1), "
+        "_ma, _mb, '|') "
+        "ELSE concat(acc, s, '|') END)"
     )
     keep = [c for c in wf.columns if c != "w"]
-    return merged.select(
-        F.expr("replace(replace(w, _pat, _rep), _pat, _rep)").alias("w"), *keep
-    )
+    return merged.select(F.expr(fold).alias("w"), *keep)
 
 
 @register(
@@ -2191,7 +2214,7 @@ def bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     wordcount shuffle — and every subsequent round works on that |vocab|-
     sized frame: pair counts partial-aggregate map-side, the argmax is a
     TakeOrdered over |pairs| rows, and the rewrite is a broadcast 1-row
-    join + two per-row literal replaces. At 100 TB, rounds cost
+    join + one per-row greedy fold. At 100 TB, rounds cost
     O(|vocab|) each after the single corpus read (the reason real BPE
     trainers also train on the word-frequency table). Symbol identity is
     by string, the reference BPE implementation's own convention."""
@@ -2283,8 +2306,8 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same scale shape as training: everything past the wordcount shuffle
     runs on the |vocab|-sized frame; each merge is a broadcast 1-row
-    join + two literal replaces (the greedy-equivalence law pinned in
-    tests/test_bpe_train.py)."""
+    join + one greedy left-to-right fold (the run cases that break a
+    naive replace are pinned in tests/test_bpe_train.py)."""
     _, wf = _bpe_run(spark, sf_dir)
     syms = "filter(split(w, '\\\\|'), s -> s <> '')"
     return wf.select(

@@ -63,15 +63,75 @@ def test_rewrite_is_greedy_nonoverlapping(spark):
 
 
 def test_rewrite_catches_first_pass_misses(spark):
-    """Alternating occurrences: one literal pass merges occurrences 1 and
-    3 only (the shared delimiter of 2 and 4 is consumed); the second
-    pass must finish the job — |ab|ab|ab|ab|."""
+    """Alternating occurrences: a single literal replace pass merges
+    occurrences 1 and 3 only (the shared delimiter of 2 and 4 is
+    consumed); the greedy fold must merge all four — |ab|ab|ab|ab|."""
     wf = spark.createDataFrame([("|a|b|a|b|a|b|a|b|", 1)], "w string, f long")
     best = spark.createDataFrame(
         [("a b", 4, "a", "b")], "pair string, cnt long, a string, b string"
     )
     out = _bpe_merge_frame(wf, best).collect()
     assert out[0]["w"] == "|ab|ab|ab|ab|"
+
+
+def test_rewrite_odd_self_merge_runs(spark):
+    """The case that broke the r5 two-pass replace (ADVICE r5, high):
+    greedy left-to-right on a 5-run of a self-merging symbol yields
+    [aa, aa, a] — the two-pass replace produced [aa, a, aa], and on a
+    6-run 4 symbols where greedy gives 3. Both runs pinned here, plus a
+    tail that must not merge leftward through the merged symbol."""
+    wf = spark.createDataFrame(
+        [
+            ("|a|a|a|a|a|", 1),      # 5-run
+            ("|a|a|a|a|a|a|", 2),    # 6-run
+            ("|x|a|a|a|y|", 3),      # interior 3-run
+        ],
+        "w string, f long",
+    )
+    best = spark.createDataFrame(
+        [("a a", 9, "a", "a")], "pair string, cnt long, a string, b string"
+    )
+    got = {r["f"]: r["w"] for r in _bpe_merge_frame(wf, best).collect()}
+    assert got == {
+        1: "|aa|aa|a|",
+        2: "|aa|aa|aa|",
+        3: "|x|aa|a|y|",
+    }
+
+
+def test_train_oracle_parity_on_self_merge_runs(spark, tmp_path):
+    """End-to-end Spark-vs-DuckDB parity on a corpus whose argmax rule
+    self-merges over >= 5-length runs — exactly where the r5 two-pass
+    replace and any non-greedy oracle would diverge. Both the learned
+    rule chain and the final segmentation must agree engine-for-engine."""
+    import duckdb
+
+    from mapreduce_spark.operators.textops import bpe_apply
+    from mapreduce_spark.registry import REGISTRY
+
+    sf_dir = _write_docs(spark, tmp_path, ["zzzzz zzzzzz zz", "zzzzz q"])
+    spark_rows = sorted(
+        (r["word"], tuple(r["symbols"]), r["n_symbols"], r["f"])
+        for r in bpe_apply(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    oracle_rows = sorted(
+        (w, tuple(s), n, f)
+        for w, f, s, n in con.execute(REGISTRY["bpe_apply"].oracle).fetchall()
+    )
+    assert spark_rows == oracle_rows
+    # greedy chain: iter0 (z,z) makes zzzzz -> [zz,zz,z] (NOT the
+    # two-pass [zz,z,zz]); iter1 then elects (zz,zz) on cnt 4 — under
+    # the old rewrite that count was 2 and a tie broke differently —
+    # and iter2 (zzzz,z) folds zzzzz to a single symbol.
+    seg = {w: list(s) for w, s, _, _ in spark_rows}
+    assert seg["zzzzz"] == ["zzzzz"]
+    assert seg["zzzzzz"] == ["zzzz", "zz"]
+    assert seg["zz"] == ["zz"]
 
 
 def test_apply_segments_with_learned_rules(spark, tmp_path):
