@@ -39,11 +39,19 @@ _SQL_MEDIA_CTE = """
                CASE WHEN doc_id % 3 = 0 THEN 'image'
                     WHEN doc_id % 3 = 1 THEN 'audio'
                     ELSE 'video' END AS media_type,
-               CAST(text AS BLOB) AS payload,
+               encode(text) AS payload,
+               hex(encode(text)) AS _hex,
                text AS _text,
-               octet_length(CAST(text AS BLOB)) AS n_bytes
+               octet_length(encode(text)) AS n_bytes
         FROM documents)
 """
+# Oracle byte discipline (r5 ADVICE): payload is the UTF-8 encoding of
+# text (encode(), NOT CAST-to-BLOB, which DuckDB rejects on non-ASCII),
+# and every windowed digest below hashes the UPPERCASE-HEX encoding of
+# the byte window — DuckDB's md5() only takes VARCHAR, and a raw byte
+# window can split a multi-byte character into invalid UTF-8. Both
+# engines hash identical hex strings (Spark hex() and DuckDB hex() are
+# both uppercase), so window identity is byte identity, exactly.
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,7 +163,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     SELECT m.doc_id,
            CAST(i AS BIGINT) AS frame_idx,
-           md5(substring(_text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+           md5(substring(_hex, i * {FRAME_BYTES * 2} + 1, {FRAME_BYTES * 2}))
+             AS frame_md5
     FROM media m, UNNEST(range(0, n_bytes // {FRAME_BYTES})) AS u(i)
     WHERE m.media_type = 'video' AND i % {FRAME_STRIDE} = 0
     """,
@@ -177,9 +186,12 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(0, n_frames, FRAME_STRIDE):
                     ids.append(doc_id)
                     idxs.append(i)
+                    # digest basis = uppercase hex of the byte window
+                    # (module comment under _SQL_MEDIA_CTE)
                     hashes.append(
                         hashlib.md5(
                             payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                            .hex().upper().encode()
                         ).hexdigest()
                     )
             yield pd.DataFrame(
@@ -304,10 +316,12 @@ RESIZE_TARGET_BYTES = 64  # fake "resolution": center-crop to this many bytes
     SELECT doc_id,
            CAST(n_bytes AS BIGINT) AS orig_bytes,
            CAST(least(n_bytes, {RESIZE_TARGET_BYTES}) AS BIGINT) AS new_bytes,
-           md5(CASE WHEN n_bytes <= {RESIZE_TARGET_BYTES} THEN _text
-                    ELSE substring(_text,
-                                   (n_bytes - {RESIZE_TARGET_BYTES}) // 2 + 1,
-                                   {RESIZE_TARGET_BYTES}) END) AS resized_md5
+           md5(CASE WHEN n_bytes <= {RESIZE_TARGET_BYTES} THEN _hex
+                    ELSE substring(_hex,
+                                   ((n_bytes - {RESIZE_TARGET_BYTES}) // 2) * 2
+                                     + 1,
+                                   {RESIZE_TARGET_BYTES * 2}) END)
+             AS resized_md5
     FROM media WHERE media_type = 'image'
     """,
 )
@@ -334,7 +348,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     cropped = payload[start : start + RESIZE_TARGET_BYTES]
                 orig.append(n)
                 new.append(len(cropped))
-                digests.append(hashlib.md5(cropped).hexdigest())
+                # digest basis = uppercase hex of the byte window
+                digests.append(
+                    hashlib.md5(cropped.hex().upper().encode()).hexdigest()
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"],
                  "orig_bytes": pd.Series(orig, dtype="int64"),
@@ -377,7 +394,9 @@ def _mm_vote_sql(b: int) -> str:
 def _mm_sql_simhash() -> str:
     from mapreduce_spark.functions.hashing import md5_long_sql
 
-    gram = md5_long_sql("substring(_text, i, 4)")
+    # byte 4-gram = 8 hex chars of the UTF-8 payload (byte-exact for
+    # non-ASCII text — the r5 oracle sliced _text by CHARACTER here)
+    gram = md5_long_sql("substring(_hex, (i - 1) * 2 + 1, 8)")
     bits = " + ".join(_mm_vote_sql(b) for b in range(MM_SIMHASH_BITS))
     return f""",
     gh AS (SELECT doc_id,
@@ -432,9 +451,11 @@ def payload_simhash_pairs(media: DataFrame) -> DataFrame:
     m = media.select(
         "doc_id", "payload", F.octet_length("payload").alias("n_bytes")
     ).filter(F.col("n_bytes") >= 4)
+    # gram hash basis = uppercase hex of the 4-byte window (the oracle
+    # slices the same hex string; Spark hex(binary) is uppercase too)
     ghs = F.transform(
         F.sequence(F.lit(1), F.col("n_bytes") - 3),
-        lambda i: md5_long(F.col("payload").substr(i, F.lit(4))),
+        lambda i: md5_long(F.hex(F.col("payload").substr(i, F.lit(4)))),
     )
     d = m.select("doc_id", ghs.alias("ghs"))
 

@@ -21,9 +21,11 @@ from mapreduce_spark.operators.multimodal import (
 
 @pytest.fixture(scope="module", name="pairs")
 def pairs_fixture(spark):
-    base = ("the quick brown fox jumps over the lazy dog " * 8).encode()
+    # varied (non-repetitive) base: each gram votes once, so a 3-byte
+    # edit moves ~7 of ~750 gram votes — well inside Hamming 3 margin
+    base = (" ".join(f"token{i} alpha beta" for i in range(40))).encode()
     edited = bytearray(base)
-    edited[10:13] = b"XYZ"  # 3-byte edit: ~7 of ~350 grams change
+    edited[10:13] = b"XYZ"  # 3-byte edit
     truncated = base[:-20]  # short tail drop
     unrelated1 = ("completely different payload content entirely " * 8).encode()
     unrelated2 = bytes(range(32, 127)) * 4
@@ -55,3 +57,61 @@ def test_unrelated_payloads_not_paired(pairs):
     16-bit demo width."""
     flat = {d for e in pairs for d in e}
     assert 10 not in flat and 11 not in flat, f"false pairs: {pairs}"
+
+
+# ---------------------------------------------------------------------------
+# Non-ASCII byte discipline: every windowed multimodal oracle must slice
+# PAYLOAD BYTES, not characters (r5 ADVICE: the simhash oracle used
+# character-based substring(_text, i, 4) indexed by the BYTE count —
+# parity held only because the testdata was pure ASCII). This corpus
+# mixes 2-, 3- and 4-byte UTF-8 characters across all three media types.
+def test_windowed_oracles_byte_exact_on_non_ascii(spark, tmp_path):
+    import duckdb
+
+    from mapreduce_spark.registry import REGISTRY
+
+    texts = [
+        "café naïve résumé €100 " * 8,   # 2/3-byte
+        "日本語のテキスト " * 10,  # CJK
+        "emoji \U0001f600\U0001f680 mixed ascii tail " * 6,        # 4-byte
+        "plain ascii control row " * 8,
+        "ümläuts ßharp and møre " * 9,
+        "中文 latin mix éèê " * 10,
+    ]
+    rows = [(i, t, "xx", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+
+    def canon(v):
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
+        return str(v)
+
+    for name in [
+        "multimodal_ingest",
+        "multimodal_features",
+        "multimodal_frames",
+        "multimodal_resize",
+        "multimodal_simhash",
+    ]:
+        spec = REGISTRY[name]
+        sdf = spec.fn(spark, str(tmp_path))
+        cols = sorted(sdf.columns)
+        got = sorted(
+            tuple(canon(r[c]) for c in cols) for r in sdf.collect()
+        )
+        ora = con.execute(spec.oracle).fetch_df()
+        want = sorted(
+            tuple(canon(v) for v in row)
+            for row in ora[cols].itertuples(index=False, name=None)
+        )
+        assert got == want, f"{name}: byte/char divergence on non-ASCII"
