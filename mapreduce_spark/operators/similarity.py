@@ -2157,14 +2157,21 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PQT_CTES = (
     _SQL_PQ_CTES
     + f""",
-    pqt_book AS (
+    pqt_members AS (
         SELECT e.sub_idx, c.code AS seed_id, e.pos,
                CAST(CASE WHEN sum(e.xq) < 0
                          THEN -((-sum(e.xq)) // count(*))
-                         ELSE sum(e.xq) // count(*) END AS BIGINT) AS cq
+                         ELSE sum(e.xq) // count(*) END AS BIGINT) AS mq
         FROM pq_ex e JOIN pq_codes c
           ON c.vec_id = e.vec_id AND c.sub_idx = e.sub_idx
         GROUP BY e.sub_idx, c.code, e.pos),
+    pqt_book AS (
+        -- memberless entries keep their seed sub-vector (duplicate-seed
+        -- tie-breaks must not shrink the book's width)
+        SELECT s.sub_idx, s.seed_id, s.pos, COALESCE(m.mq, s.xq) AS cq
+        FROM pq_seeds s LEFT JOIN pqt_members m
+          ON m.sub_idx = s.sub_idx AND m.seed_id = s.seed_id
+         AND m.pos = s.pos),
     pqt_pairs AS (
         SELECT e.vec_id, e.sub_idx, b.seed_id,
                CAST(sum((e.xq - b.cq) * (e.xq - b.cq)) AS BIGINT) AS d2
@@ -2190,8 +2197,15 @@ def _pq_refined_book_frame(ex: DataFrame) -> DataFrame:
     """(sub_idx, seed_id, pos, cq): the trained codebook — per sampled
     code, the exact integer-micro-unit mean of its assigned sub-vectors
     (sign-split truncating division, both engines' BIGINT semantics).
-    Every seed assigns at least itself (its own d2 is 0), so no entry
-    goes empty and the book keeps its full width."""
+
+    Entries with NO assigned members carry their seed sub-vector through
+    unchanged (a left join from the seed book, coalescing to the seed's
+    own xq). A seed does NOT always assign at least itself: when two
+    seeds share an identical sub-vector the packed argmin tie-breaks to
+    the lower seed_id, and without the coalesce the higher seed's entry
+    silently vanished, shrinking the trained book's width below the
+    sampled book's (r5 ADVICE). Width parity is asserted in
+    tests/test_pq_trained.py on a planted duplicate-seed corpus."""
     codes0 = _pq_pairs_frame(ex).groupBy("vec_id", "sub_idx").agg(
         (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias("code")
     )
@@ -2203,7 +2217,19 @@ def _pq_refined_book_frame(ex: DataFrame) -> DataFrame:
     cq = F.when(
         F.col("s") < 0, -F.expr("(-s) div n")
     ).otherwise(F.expr("s div n"))
-    return agg.select("sub_idx", "seed_id", "pos", cq.cast("bigint").alias("cq"))
+    seeds = ex.filter(
+        (F.col("vec_id") % PQ_SEED_MOD) == PQ_SEED_REM
+    ).select(
+        "sub_idx", F.col("vec_id").alias("seed_id"), "pos",
+        F.col("xq").alias("sx"),
+    )
+    members = agg.select(
+        "sub_idx", "seed_id", "pos", cq.cast("bigint").alias("mq")
+    )
+    return seeds.join(members, ["sub_idx", "seed_id", "pos"], "left").select(
+        "sub_idx", "seed_id", "pos",
+        F.coalesce(F.col("mq"), F.col("sx")).alias("cq"),
+    )
 
 
 def _pq_pairs_trained(spark: SparkSession, sf_dir: str) -> DataFrame:

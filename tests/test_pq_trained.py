@@ -11,6 +11,7 @@ mean recall 0.26 -> 0.32, mean MSE 0.0080 -> 0.0064.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from mapreduce_spark.operators.similarity import PQ_SUBS
@@ -52,3 +53,51 @@ def test_trained_codes_are_well_formed(spark, sf_dir, qs):
         assert len(r["pq_code"]) == PQ_SUBS
         assert all(c >= 0 for c in r["pq_code"])
         assert r["quant_mse"] >= 0
+
+
+def test_duplicate_seeds_keep_full_book_width(spark):
+    """Two seeds with IDENTICAL embeddings (vec 7 and 17): the packed
+    argmin tie-breaks every assignment to the lower seed_id, so seed
+    17's entries get no members — the r5 book silently dropped them,
+    shrinking the trained book below the sampled one. The refined book
+    must keep every (sub_idx, seed_id) cell, memberless cells carrying
+    the seed sub-vector through unchanged."""
+    from mapreduce_spark.operators.similarity import (
+        EMB_DIM,
+        PQ_SEED_MOD,
+        PQ_SEED_REM,
+        _pq_ex_frame,
+        _pq_refined_book_frame,
+    )
+
+    n = 30
+    rows = []
+    for v in range(n):
+        # vec 17 duplicates vec 7 exactly; everything else is distinct
+        src = 7 if v == 17 else v
+        rows.append((v, [((src * 31 + j) % 17) / 10.0 for j in range(EMB_DIM)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ex = _pq_ex_frame(emb)
+    book = _pq_refined_book_frame(ex)
+    seeds = [v for v in range(n) if v % PQ_SEED_MOD == PQ_SEED_REM]
+    cells = {
+        (r["sub_idx"], r["seed_id"])
+        for r in book.select("sub_idx", "seed_id").distinct().collect()
+    }
+    from mapreduce_spark.operators.similarity import PQ_SUBS
+
+    assert len(cells) == len(seeds) * PQ_SUBS, (
+        f"book lost width: {len(cells)} cells, "
+        f"expected {len(seeds) * PQ_SUBS} (seeds={seeds})"
+    )
+    # the memberless duplicate seed's entries equal its raw sub-vector
+    sub_dim = EMB_DIM // PQ_SUBS
+    dup = {
+        (r["sub_idx"], r["pos"]): r["cq"]
+        for r in book.filter(F.col("seed_id") == 17).collect()
+    }
+    raw = {
+        (j // sub_dim, j): int(((7 * 31 + j) % 17) / 10.0 * 10_000)
+        for j in range(EMB_DIM)
+    }
+    assert dup == raw
