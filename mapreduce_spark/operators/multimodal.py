@@ -434,10 +434,10 @@ def multimodal_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: signatures are one per-row pass over the payload (the
     bytes never shuffle — only (doc_id, 64-bit signature) leaves the
-    scan); band candidates enumerate inside each (band, key) group from
-    one groupBy-collect exchange (the knn_graph_edges discipline — no
-    self-join re-deriving signatures); the verify filter is two integer
-    ops per candidate."""
+    scan); band candidates come from the capped in-group enumeration
+    (pairing.bucketed_pairs — no self-join re-deriving signatures, and
+    a salted-join fallback above BUCKET_CAP occupancy); the verify
+    filter is two integer ops per candidate."""
     m = media_table(spark, sf_dir).select("doc_id", "payload")
     return payload_simhash_pairs(m)
 
@@ -488,24 +488,21 @@ def payload_simhash_pairs(media: DataFrame) -> DataFrame:
     bb = sig.select("doc_id", "simhash", F.explode(bands).alias("t")).select(
         "doc_id", "simhash", "t.b", "t.bkey"
     )
-    g = bb.groupBy("b", "bkey").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("vs")
-    )
+    # capped in-group candidates (pairing.bucketed_pairs): the struct
+    # value carries the signature along, and struct ordering is by
+    # leading doc_id, so pa < pb iff src < dst
+    from mapreduce_spark.operators.pairing import bucketed_pairs
+
     cand = (
-        g.filter(F.size("vs") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(vs) - 1), "
-                    "i -> transform(slice(vs, i + 1, size(vs) - i), "
-                    "v -> named_struct("
-                    "'src', element_at(vs, i).doc_id, "
-                    "'sa', element_at(vs, i).simhash, "
-                    "'dst', v.doc_id, 'sb', v.simhash))))"
-                )
-            ).alias("p")
+        bucketed_pairs(
+            bb, ["b", "bkey"], F.struct("doc_id", "simhash"), "pa", "pb"
         )
-        .select("p.src", "p.sa", "p.dst", "p.sb")
+        .select(
+            F.col("pa.doc_id").alias("src"),
+            F.col("pa.simhash").alias("sa"),
+            F.col("pb.doc_id").alias("dst"),
+            F.col("pb.simhash").alias("sb"),
+        )
         .distinct()
     )
     ham = (

@@ -30,6 +30,10 @@ from mapreduce_spark.functions.vectors import (
     spark_dot_literal_sql,
     sql_cosine_pair,
 )
+from mapreduce_spark.operators.pairing import (
+    bucketed_pairs,
+    bucketed_query_pairs,
+)
 from mapreduce_spark.operators.textops import BM25_SQL, BM25_TOP_K
 from mapreduce_spark.registry import register
 from mapreduce_spark.sources.tables import load_table
@@ -281,32 +285,23 @@ def ann_lsh_topk(
     geometry — the demo and PRODUCTION registrations differ only in the
     constants they pass (the minhash_lsh_pairs discipline).
 
-    Candidates enumerate INSIDE each (table, bucket) group (one
-    groupBy-collect exchange, per-group list expansion) instead of a
-    bucket self-join: the join form embedded the interpreted
-    {tables} x {planes}-plane projection in BOTH join inputs and
-    re-derived it (measured 2-4x slower at the production geometry) —
-    group enumeration derives buckets exactly once, and its one
-    exchange is the co-partitioned shape a 1e9-vector bucket table
-    needs anyway. Same candidate SET as the self-join by construction."""
+    Candidates come from the CAPPED in-group enumeration
+    (pairing.bucketed_query_pairs): healthy buckets expand their
+    (query, candidate) pairs inside the (table, bucket) group off one
+    groupBy-collect exchange — buckets derived exactly once, the r5 win
+    over the self-join that re-derived the {tables} x {planes}-plane
+    projection on both inputs (measured 2-4x slower) — while buckets
+    above BUCKET_CAP fall back to a salted join so no single
+    aggregation group ever materializes O(c^2) pairs (AQE splits
+    partitions, not groups). Same candidate SET either way by
+    construction; lsh_bucket_stats is the gauge that prices the cap."""
     buckets = lsh_buckets(emb, planes, tables)
-    g = buckets.groupBy("table_idx", "bucket").agg(
-        F.array_sort(F.collect_list("vec_id")).alias("vs")
-    )
-    cand = (
-        g.filter(F.expr(f"exists(vs, q -> q < {n_queries})"))
-        .select(
-            F.explode(
-                F.expr(
-                    f"flatten(transform(filter(vs, q -> q < {n_queries}), "
-                    "q -> transform(filter(vs, v -> v != q), "
-                    "v -> named_struct('query_id', q, 'vec_id', v))))"
-                )
-            ).alias("p")
-        )
-        .select("p.query_id", "p.vec_id")
-        .distinct()
-    )
+    cand = bucketed_query_pairs(
+        buckets,
+        ["table_idx", "bucket"],
+        "vec_id",
+        lambda c: c < F.lit(n_queries),
+    ).distinct()
     scored = _score_pairs(emb, cand)
     return _rank_topk(scored, k)
 
@@ -1410,32 +1405,21 @@ def knn_graph_edges(
 ) -> DataFrame:
     """The profile-parameterized k-NN-graph builder over any
     (vec_id, embedding) frame (fixture corpora in tests, the registered
-    table in queries). src < dst pairs enumerate INSIDE each
-    (table, bucket) group from one groupBy-collect exchange — the
-    ann_lsh_topk note: a bucket self-join re-derived the interpreted
-    plane projection on both inputs (measured 2-4x slower at the scaled
-    geometry); group enumeration derives buckets once, and per-group
-    expansion is in-memory trivia at the target occupancy (~8 ->
-    28 pairs)."""
-    g = (
-        lsh_buckets(emb, planes, tables)
-        .groupBy("table_idx", "bucket")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("vs"))
-    )
-    cand = (
-        g.filter(F.size("vs") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(1, size(vs) - 1), "
-                    "i -> transform(slice(vs, i + 1, size(vs) - i), "
-                    "v -> named_struct('src', element_at(vs, i), 'dst', v))))"
-                )
-            ).alias("p")
-        )
-        .select("p.src", "p.dst")
-        .distinct()
-    )
+    table in queries). src < dst pairs come from the CAPPED in-group
+    enumeration (pairing.bucketed_pairs): healthy (table, bucket)
+    groups expand in-group off one groupBy-collect exchange — buckets
+    derived once, per-group expansion in-memory trivia at the target
+    occupancy (~8 -> 28 pairs) — and buckets above BUCKET_CAP fall back
+    to a salted self-join so one boilerplate-hot bucket can never
+    materialize O(c^2) pairs inside a single aggregation group (AQE
+    splits partitions, not groups — VERDICT r5 #1)."""
+    cand = bucketed_pairs(
+        lsh_buckets(emb, planes, tables),
+        ["table_idx", "bucket"],
+        "vec_id",
+        "src",
+        "dst",
+    ).distinct()
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
     ea = embn.select(
         F.col("vec_id").alias("src"),
