@@ -21,13 +21,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.window import Window
 
+from mapreduce_spark.functions.hashing import md5_long_sql
 from mapreduce_spark.functions.vectors import (
     cosine_n,
-    duck_dot_col_sql,
-    duck_plane_literal,
     hyperplane,
     norm,
-    spark_dot_literal_sql,
     sql_cosine_pair,
 )
 from mapreduce_spark.operators.pairing import (
@@ -39,6 +37,7 @@ from mapreduce_spark.registry import register
 from mapreduce_spark.sources.tables import load_table
 
 N_QUERIES = 5        # query set: vec_id < N_QUERIES
+EMB_DIM = 64         # embeddings.embedding width (TESTDATA.md contract)
 TOP_K = 10
 LSH_TABLES = 4
 LSH_PLANES = 4
@@ -167,78 +166,109 @@ def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _bucket_col(table: int, planes: int = LSH_PLANES) -> Column:
-    """Bucket id for one table: sign bits of ``planes`` hyperplane dot
-    products, packed little-endian. Built as ONE SQL expression string
-    (spark_dot_literal_sql) so plan construction is a single parse — the
-    Column-API form made 64 Py4J literal calls per plane, ~17 s of plan
-    building at the production geometry's 256 planes."""
-    bits = " + ".join(
-        f"(CASE WHEN ({spark_dot_literal_sql('embedding', hyperplane(table, p))})"
-        f" >= 0.0D THEN {1 << p}L ELSE 0L END)"
+# Hyperplane-LSH bucket derivation. The bucket bit for (table, plane) is
+# the SIGN of an exact integer dot product: quantized embedding
+# xq = floor(x * 10000) (the PQ convention — engine-consistent on
+# float32) against integer plane weights wq = md5("t_p_d") % 2001 - 1000
+# (exactly hyperplane() x 1000). Integer sums are order-independent, so
+# both engines agree bit-for-bit with NO float-fold-order engineering,
+# and Spark evaluates the whole projection in whole-stage codegen: the
+# former per-plane aggregate(zip_with(...)) literal folds were
+# higher-order functions Spark always interprets — measured 4.5 s of a
+# 5.7 s knn_graph_scaled run at sf0.1 just deriving buckets — while the
+# fully-unrolled literal-sum form OOMed Catalyst at the 256-plane
+# geometry. Weights ride a broadcast 16k-row table (the codebook
+# pattern), so at 1e9 vectors the derivation is one map-side
+# broadcast-join + partial agg, no shuffle beyond |V| x tables rows.
+_XQ_SCALE = 10_000
+
+
+def _wq_table(spark: SparkSession, planes: int, tables: int) -> DataFrame:
+    """Broadcastable integer plane-weight table (pos, table_idx, plane,
+    wq), built driver-side from the same md5 stream as hyperplane()."""
+    rows = [
+        (d, t, p, int(round(w * 1000)))
+        for t in range(tables)
         for p in range(planes)
+        for d, w in enumerate(hyperplane(t, p))
+    ]
+    return spark.createDataFrame(
+        rows, "pos int, table_idx int, plane int, wq long"
     )
-    return F.expr(f"CAST({bits} AS BIGINT)")
 
 
 def lsh_buckets(emb: DataFrame, planes: int, tables: int) -> DataFrame:
     """(vec_id, table_idx, bucket) under an arbitrary (planes, tables)
     geometry — THE bucket derivation every LSH entry point shares (the
     dedup _band_key_fn discipline: one rule, so any two same-profile
-    consumers are always key-compatible). One row per vector per table;
-    all plane dot products evaluate in a single projection over the
-    vector, then explode — the embedding is read once."""
-    tables_arr = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table_idx"), _bucket_col(t, planes).alias("bucket")
+    consumers are always key-compatible). One pass: posexplode the
+    quantized vector, broadcast-join the weight table, and ONE
+    (vec_id, table_idx)-keyed hash agg computes all plane dots as
+    per-plane conditional sums and packs the sign bits — every operator
+    codegen-friendly, every sum exact integer."""
+    spark = emb.sparkSession
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * _XQ_SCALE).cast("bigint").alias("xq"),
+    )
+    joined = ex.join(F.broadcast(_wq_table(spark, planes, tables)), "pos")
+    dots = [
+        F.sum(
+            F.when(F.col("plane") == p, F.col("xq") * F.col("wq")).otherwise(
+                F.lit(0).cast("bigint")
             )
-            for t in range(tables)
-        ]
-    )
-    return emb.select("vec_id", F.explode(tables_arr).alias("tb")).select(
-        "vec_id", "tb.table_idx", "tb.bucket"
-    )
-
-
-def _sql_bucket(table: int, planes: int = LSH_PLANES, wprefix: str = "") -> str:
-    """Bucket expression reading hoisted plane columns ``{wprefix}w_t_p``
-    (see _sql_buckets_cte — literal-in-lambda planes are ~100x slower)."""
-    bits = " + ".join(
-        f"(CASE WHEN ({duck_dot_col_sql('embedding', f'{wprefix}w_{table}_{p}')}) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
+        ).alias(f"_d{p}")
         for p in range(planes)
+    ]
+    g = joined.groupBy("vec_id", "table_idx").agg(*dots)
+    bucket = F.lit(0).cast("bigint")
+    for p in range(planes):
+        bucket = bucket + F.when(
+            F.col(f"_d{p}") >= 0, F.lit(1 << p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return g.select(
+        "vec_id", F.col("table_idx").cast("int").alias("table_idx"),
+        bucket.alias("bucket")
     )
-    return f"CAST({bits} AS BIGINT)"
 
 
 def _sql_buckets_cte(
     planes: int = LSH_PLANES, tables: int = LSH_TABLES, prefix: str = ""
 ) -> str:
-    """DuckDB twin of lsh_buckets: CTEs ``{prefix}wv`` (one row holding
-    every plane as a DOUBLE[] column — hoisted so the lambda dot reads a
-    column instead of re-materializing a list literal per element) +
-    ``{prefix}bk`` + ``{prefix}buckets``, for an arbitrary geometry
-    (prefix keeps two geometries in one query from colliding)."""
-    wcols = ", ".join(
-        f"{duck_plane_literal(hyperplane(t, p))} AS {prefix}w_{t}_{p}"
-        for t in range(tables)
-        for p in range(planes)
+    """DuckDB twin of lsh_buckets: weights regenerated in-engine from the
+    same md5 stream, quantized embedding unnested, integer dots grouped,
+    sign bits packed. Ends in ``{prefix}buckets(vec_id, table_idx,
+    bucket)`` — the only CTE consumers reference (prefix keeps two
+    geometries in one query from colliding)."""
+    wq_expr = md5_long_sql(
+        "CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' "
+        "|| CAST(d AS VARCHAR)"
     )
-    return (
-        f"{prefix}wv AS (SELECT {wcols}),\n"
-        f"{prefix}bk AS (SELECT vec_id, "
-        + ", ".join(
-            f"{_sql_bucket(t, planes, prefix)} AS bucket{t}" for t in range(tables)
-        )
-        + f" FROM embeddings CROSS JOIN {prefix}wv),\n"
-        + f"{prefix}buckets AS ("
-        + " UNION ALL ".join(
-            f"SELECT vec_id, {t} AS table_idx, bucket{t} AS bucket FROM {prefix}bk"
-            for t in range(tables)
-        )
-        + ")"
-    )
+    return f"""
+    {prefix}wq AS (
+        SELECT t AS table_idx, p AS plane, d AS pos,
+               {wq_expr} % 2001 - 1000 AS wq
+        FROM range({tables}) _t(t), range({planes}) _p(p),
+             range({EMB_DIM}) _d(d)),
+    {prefix}xq_b AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_XQ_SCALE})
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    {prefix}dots AS (
+        SELECT x.vec_id, w.table_idx, w.plane,
+               CAST(sum(x.xq * w.wq) AS BIGINT) AS dq
+        FROM {prefix}xq_b x JOIN {prefix}wq w ON w.pos = x.pos
+        GROUP BY x.vec_id, w.table_idx, w.plane),
+    {prefix}buckets AS (
+        SELECT vec_id, CAST(table_idx AS INTEGER) AS table_idx,
+               CAST(sum(CASE WHEN dq >= 0
+                             THEN CAST(1 AS BIGINT) << plane
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM {prefix}dots GROUP BY vec_id, table_idx)"""
 
 
 _SQL_BUCKETS_CTE = _sql_buckets_cte()
@@ -803,7 +833,6 @@ def _tier_recall(
 # ---------------------------------------------------------------------------
 # Top principal direction by power iteration over the Gram matrix, exact
 # integer arithmetic.
-EMB_DIM = 64  # embeddings.embedding width (TESTDATA.md contract)
 PCA_ITERS = 2
 PCA_XQ_SCALE = 10_000   # float*1e4 is exact in double (24+14 mantissa bits)
 PCA_V_SCALE = 1_000     # direction vector renormalized to +-1000 units
@@ -1328,35 +1357,126 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 1-bit sign codes (Charikar 2002: sign(x_i) is axis-aligned hyperplane
+# LSH, so Hamming/64 estimates angle/pi — good enough to SHORTLIST, not
+# to rank). Defined here, ahead of the k-NN graph that uses them as its
+# shortlist metric; the Hamming retrieval tier below registers them as a
+# standalone data product. dim 64 packs into bits 0..31 / 32..63 of TWO
+# BIGINT words so no partial sum ever reaches the 64-bit sign bit.
+HAMMING_RERANK_FACTOR = 4
+# Shortlist width floor for the k-NN graph build: 64-bit Hamming is a
+# COARSE rank (65 distinct values, ties rampant), so a 4xk shortlist at
+# small k (the demo graph's k=3 -> 12) throws away true neighbors the
+# tie-broken popcount order can't distinguish — measured graph recall
+# 0.46 -> 0.30 at sf0.01. A floor of 48 keeps the shortlist wide enough
+# to cover Hamming's rank noise while still pruning the coarse-bucket
+# candidate fan (hundreds per source at the demo geometry).
+KNN_SHORTLIST_FLOOR = 48
+
+
+def _knn_shortlist(k: int) -> int:
+    return max(k * HAMMING_RERANK_FACTOR, KNN_SHORTLIST_FLOOR)
+
+
+def _sign_word(lo: int) -> Column:
+    """Bits lo..lo+31 of the sign code as a BIGINT: bit i set iff
+    embedding[lo + i] >= 0 (exact on float32 in both engines)."""
+    return F.expr(
+        "aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> acc + "
+        f"IF(element_at(embedding, i + {lo} + 1) >= 0, "
+        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+
+
+_SQL_SIGN_CTES = """
+    sgn_ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CASE WHEN CAST(unnest(embedding) AS DOUBLE) >= 0
+                    THEN 1 ELSE 0 END AS b
+        FROM embeddings),
+    sgn AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN pos < 32
+                             THEN b * (CAST(1 AS BIGINT) << pos)
+                             ELSE 0 END) AS BIGINT) AS w0,
+               CAST(sum(CASE WHEN pos >= 32
+                             THEN b * (CAST(1 AS BIGINT) << (pos - 32))
+                             ELSE 0 END) AS BIGINT) AS w1,
+               CAST(sum(b) AS BIGINT) AS n_pos
+        FROM sgn_ex GROUP BY vec_id)"""
+
+
+def sign_codes_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, w0, w1, n_pos) — the packed 64-bit sign code over an
+    arbitrary (vec_id, embedding) frame. Zero-shuffle: one fold per
+    word per row."""
+    return emb.select(
+        "vec_id",
+        _sign_word(0).alias("w0"),
+        _sign_word(32).alias("w1"),
+        (F.bit_count(_sign_word(0)) + F.bit_count(_sign_word(32)))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Full-corpus k-NN graph over the LSH buckets: every vector's top-k
 # bucket-mate neighbors — the input artifact for graph-based curation
 # (near-dup clustering, diversity sampling, label propagation).
 KNN_GRAPH_K = 3
 
 
+def _sql_knn_graph(bprefix: str, k: int, src_cap: str = "") -> str:
+    """Full knn-graph SELECT over a {bprefix}buckets CTE (optionally
+    restricted to src < src_cap for the recall gauges). Requires
+    _SQL_SIGN_CTES in the same WITH: bucket candidates are shortlisted
+    to HAMMING_RERANK_FACTOR x k per source by popcount Hamming over
+    the sign codes before any float cosine is paid (VERDICT r5 #5 —
+    the hamming_rerank_topk two-stage discipline applied to the graph
+    build)."""
+    where = f"WHERE a.vec_id < {src_cap}" if src_cap else ""
+    return f"""
+    cand_{bprefix}g AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM {bprefix}buckets a JOIN {bprefix}buckets b
+          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+         AND b.vec_id <> a.vec_id
+        {where}),
+    hshort_{bprefix}g AS (
+        SELECT src, dst FROM (
+            SELECT c.src, c.dst,
+                   row_number() OVER (PARTITION BY c.src ORDER BY
+                       bit_count(xor(sa.w0, sb.w0))
+                       + bit_count(xor(sa.w1, sb.w1)), c.dst) AS hrank
+            FROM cand_{bprefix}g c
+            JOIN sgn sa ON sa.vec_id = c.src
+            JOIN sgn sb ON sb.vec_id = c.dst)
+        WHERE hrank <= {_knn_shortlist(k)}),
+    scored_{bprefix}g AS (
+        SELECT c.src, c.dst,
+               round({sql_cosine_pair('ea.embedding', 'eb.embedding')}, 6)
+                 AS cosine
+        FROM hshort_{bprefix}g c
+        JOIN embeddings ea ON ea.vec_id = c.src
+        JOIN embeddings eb ON eb.vec_id = c.dst),
+    graph_{bprefix}g AS MATERIALIZED (
+        SELECT src, dst, cosine, rank FROM (
+            SELECT src, dst, cosine,
+                   CAST(row_number() OVER (PARTITION BY src
+                                           ORDER BY cosine DESC, dst) AS BIGINT)
+                     AS rank
+            FROM scored_{bprefix}g)
+        WHERE rank <= {k})"""
+
+
 @register(
     "knn_graph",
     oracle=f"""
     WITH {_SQL_BUCKETS_CTE},
-    cand AS (
-        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        FROM buckets a JOIN buckets b
-          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
-         AND b.vec_id <> a.vec_id),
-    scored AS (
-        SELECT c.src, c.dst,
-               round({sql_cosine_pair('ea.embedding', 'eb.embedding')}, 6)
-                 AS cosine
-        FROM cand c
-        JOIN embeddings ea ON ea.vec_id = c.src
-        JOIN embeddings eb ON eb.vec_id = c.dst)
-    SELECT src, dst, cosine, rank FROM (
-        SELECT src, dst, cosine,
-               CAST(row_number() OVER (PARTITION BY src
-                                       ORDER BY cosine DESC, dst) AS BIGINT)
-                 AS rank
-        FROM scored)
-    WHERE rank <= {KNN_GRAPH_K}
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('', KNN_GRAPH_K)}
+    SELECT src, dst, cosine, rank FROM graph_g
     """,
 )
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,7 +1532,18 @@ def knn_graph_edges(
     occupancy (~8 -> 28 pairs) — and buckets above BUCKET_CAP fall back
     to a salted self-join so one boilerplate-hot bucket can never
     materialize O(c^2) pairs inside a single aggregation group (AQE
-    splits partitions, not groups — VERDICT r5 #1)."""
+    splits partitions, not groups — VERDICT r5 #1).
+
+    Two-stage scoring (VERDICT r5 #5 — hamming_rerank_topk's discipline
+    applied to the graph build): the candidate pairs are first ranked
+    per source by popcount Hamming over the packed 64-bit sign codes —
+    two BIGINT xor+popcounts per pair, computed ONCE per unordered pair
+    and mirrored free since Hamming is symmetric — and only the
+    _knn_shortlist(k)-wide shortlist pays the {EMB_DIM}-term float
+    cosine fold. At production bucket occupancy the shortlist cuts the
+    dominant stage's float work by the candidate-to-shortlist ratio;
+    sources with fewer candidates than the shortlist width are passed
+    through unchanged (shortlist is a no-op there)."""
     cand = bucketed_pairs(
         lsh_buckets(emb, planes, tables),
         ["table_idx", "bucket"],
@@ -1420,6 +1551,38 @@ def knn_graph_edges(
         "src",
         "dst",
     ).distinct()
+    sgn = sign_codes_frame(emb).select("vec_id", "w0", "w1")
+    sa = sgn.select(
+        F.col("vec_id").alias("src"),
+        F.col("w0").alias("a0"),
+        F.col("w1").alias("a1"),
+    )
+    sb = sgn.select(
+        F.col("vec_id").alias("dst"),
+        F.col("w0").alias("b0"),
+        F.col("w1").alias("b1"),
+    )
+    hhalf = cand.join(sa, "src").join(sb, "dst").select(
+        "src",
+        "dst",
+        (
+            F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+            + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    hboth = hhalf.unionByName(
+        hhalf.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "hamming"
+        )
+    )
+    wh = Window.partitionBy("src").orderBy("hamming", "dst")
+    short = (
+        hboth.withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= _knn_shortlist(k))
+        .select("src", "dst")
+    )
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
     ea = embn.select(
         F.col("vec_id").alias("src"),
@@ -1431,17 +1594,12 @@ def knn_graph_edges(
         F.col("embedding").alias("be"),
         F.col("nrm").alias("bn"),
     )
-    half = cand.join(ea, "src").join(eb, "dst").select(
+    scored = short.join(ea, "src").join(eb, "dst").select(
         "src",
         "dst",
         F.round(
             cosine_n(F.col("ae"), F.col("be"), F.col("an"), F.col("bn")), 6
         ).alias("cosine"),
-    )
-    scored = half.unionByName(
-        half.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
-        )
     )
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
@@ -2002,38 +2160,11 @@ KNN_GRAPH_SCALED_K = 10
 KNN_RECALL_SRCS = 50  # recall gauges sample this many source vectors
 
 
-def _sql_knn_graph(bprefix: str, k: int, src_cap: str = "") -> str:
-    """Full knn-graph SELECT over a {bprefix}buckets CTE (optionally
-    restricted to src < src_cap for the recall gauges)."""
-    where = f"WHERE a.vec_id < {src_cap}" if src_cap else ""
-    return f"""
-    cand_{bprefix}g AS (
-        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-        FROM {bprefix}buckets a JOIN {bprefix}buckets b
-          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
-         AND b.vec_id <> a.vec_id
-        {where}),
-    scored_{bprefix}g AS (
-        SELECT c.src, c.dst,
-               round({sql_cosine_pair('ea.embedding', 'eb.embedding')}, 6)
-                 AS cosine
-        FROM cand_{bprefix}g c
-        JOIN embeddings ea ON ea.vec_id = c.src
-        JOIN embeddings eb ON eb.vec_id = c.dst),
-    graph_{bprefix}g AS MATERIALIZED (
-        SELECT src, dst, cosine, rank FROM (
-            SELECT src, dst, cosine,
-                   CAST(row_number() OVER (PARTITION BY src
-                                           ORDER BY cosine DESC, dst) AS BIGINT)
-                     AS rank
-            FROM scored_{bprefix}g)
-        WHERE rank <= {k})"""
-
-
 @register(
     "knn_graph_scaled",
     oracle=f"""
     WITH {_SQL_SCALED_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
     {_sql_knn_graph('s', KNN_GRAPH_SCALED_K)}
     SELECT src, dst, cosine, rank FROM graph_sg
     """,
@@ -2056,6 +2187,7 @@ def knn_graph_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_BUCKETS_CTE},
     {_SQL_SCALED_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
     {_sql_knn_graph('', KNN_GRAPH_K, str(KNN_RECALL_SRCS))},
     {_sql_knn_graph('s', KNN_GRAPH_SCALED_K, str(KNN_RECALL_SRCS))},
     sg AS (
@@ -2563,57 +2695,10 @@ def ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # Binary sign quantization + Hamming search: the 1-bit compression tier
-# (256x: 64 float32 dims -> one 8-byte word). sign(x_i) IS axis-aligned
-# hyperplane LSH, so Hamming distance / 64 estimates angle / pi
-# (Charikar 2002, the same SimHash law dedup_simhash rides) — good
-# enough to shortlist, not to rank, which is why the production pattern
-# is two-stage: a popcount scan shortlists RERANK_FACTOR x k candidates,
-# exact cosine re-ranks the shortlist (binary quantization as shipped by
-# vector stores). dim 64 packs into bits 0..31 / 32..63 of TWO words so
-# no sum ever reaches the BIGINT sign bit.
-HAMMING_RERANK_FACTOR = 4
-
-
-def _sign_word(lo: int) -> Column:
-    """Bits lo..lo+31 of the sign code as a BIGINT: bit i set iff
-    embedding[lo + i] >= 0 (exact on float32 in both engines)."""
-    return F.expr(
-        "aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> acc + "
-        f"IF(element_at(embedding, i + {lo} + 1) >= 0, "
-        "shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
-    )
-
-
-_SQL_SIGN_CTES = """
-    sgn_ex AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
-               CASE WHEN CAST(unnest(embedding) AS DOUBLE) >= 0
-                    THEN 1 ELSE 0 END AS b
-        FROM embeddings),
-    sgn AS (
-        SELECT vec_id,
-               CAST(sum(CASE WHEN pos < 32
-                             THEN b * (CAST(1 AS BIGINT) << pos)
-                             ELSE 0 END) AS BIGINT) AS w0,
-               CAST(sum(CASE WHEN pos >= 32
-                             THEN b * (CAST(1 AS BIGINT) << (pos - 32))
-                             ELSE 0 END) AS BIGINT) AS w1,
-               CAST(sum(b) AS BIGINT) AS n_pos
-        FROM sgn_ex GROUP BY vec_id)"""
-
-
-def sign_codes_frame(emb: DataFrame) -> DataFrame:
-    """(vec_id, w0, w1, n_pos) — the packed 64-bit sign code over an
-    arbitrary (vec_id, embedding) frame. Zero-shuffle: one fold per
-    word per row."""
-    return emb.select(
-        "vec_id",
-        _sign_word(0).alias("w0"),
-        _sign_word(32).alias("w1"),
-        (F.bit_count(_sign_word(0)) + F.bit_count(_sign_word(32)))
-        .cast("bigint")
-        .alias("n_pos"),
-    )
+# (256x: 64 float32 dims -> one 8-byte word). The sign-code primitives
+# themselves (HAMMING_RERANK_FACTOR, sign_codes_frame, _SQL_SIGN_CTES)
+# live above the k-NN-graph section, which shares them as its shortlist
+# metric.
 
 
 @register(
@@ -2959,6 +3044,7 @@ def _sql_knn_clusters(graph: str = "graph_g") -> str:
     "knn_graph_clusters",
     oracle=f"""
     WITH {_SQL_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
     {_sql_knn_graph('', KNN_GRAPH_K)},
     {_sql_knn_clusters()}
     SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
@@ -2987,6 +3073,7 @@ def knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_graph_clusters_scaled",
     oracle=f"""
     WITH {_SQL_SCALED_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
     {_sql_knn_graph('s', KNN_GRAPH_SCALED_K)},
     {_sql_knn_clusters('graph_sg')}
     SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
