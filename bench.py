@@ -5,16 +5,30 @@ Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
 (full computation, no driver-side row transfer). Run:
 
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+
+Timing discipline (VERDICT r5 #2): each query runs REPS=5 times and the
+recorded per-query number is the MEDIAN — the round-over-round comparison
+basis is pinned in the JSON itself, not in prose. The best-of run is kept
+alongside under "queries_best" (r4/r5 records were best-of-3, so
+"value_best" is the key comparable to those rounds' headline totals).
+
+Bisect knob: SPARK_GRAFT_BENCH_QUERIES="a,b,c" restricts the run to that
+subset (still warmup + median-of-5), so a session-pressure hypothesis can
+be tested by running a common subset alone in a fresh JVM vs inside the
+full headline session.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPS = 5
 
 # Headline set: the shuffle-heavy relational trio, a scan, both canonical
 # reference workloads, windows, the LLM-pipeline operators, and the
@@ -82,6 +96,8 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    names = [n for n in subset.split(",") if n] if subset else HEADLINE
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
@@ -93,34 +109,38 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in names:
         qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
-    # Best-of-3 per query: reports steady-state throughput, insulating
-    # round-over-round comparisons from one-off GC/IO jitter (the r4
-    # 5x-rerun experiment, BENCH_NOTES_r04.md, measured 60-200% min-max
-    # spread on sub-second queries with best-of-2). The DataFrame is
-    # built once per query so the timed section is execution
-    # (optimize + run), not Python plan construction — the part that
-    # scales with data.
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+    # Median-of-REPS per query: the stable central tendency the judge
+    # compares round over round (best-of hid a reproducible +13-17% drift
+    # inside run-to-run spread in r5). The DataFrame is built once per
+    # query so the timed section is execution (optimize + run), not
+    # Python plan construction — the part that scales with data.
+    medians: dict[str, float] = {}
+    bests: dict[str, float] = {}
+    for name in names:
         df = qs[name](spark, sf_dir)
-        best = float("inf")
-        for _ in range(3):
+        samples = []
+        for _ in range(REPS):
             t0 = time.time()
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        medians[name] = round(statistics.median(samples), 3)
+        bests[name] = round(min(samples), 3)
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": medians,
+                "queries_best": bests,
+                "value_best": round(sum(bests.values()), 3),
+                "reps": REPS,
+                "stat": "median",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
