@@ -493,28 +493,30 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     live counterpart of the batch dedup_incremental query: same index,
     same probe join, same exact verification over stored shingle hashes.
 
-    Plan shape (the 100 TB ingest one): the index is built ONCE and
-    reused across micro-batches (localCheckpoint here; bucketed parquet
-    in production, making the probe shuffle-free on the corpus side);
-    each batch is scored via ``foreachBatch`` as a self-contained batch
-    plan — candidates from a (band_idx, band_hash) equi-join, exact
+    Plan shape (the 100 TB ingest one): the index is written ONCE as the
+    bucketed ON-DISK parquet index (dedup.minhash_index_write — the same
+    artifact dedup_index_persisted grades) and every micro-batch probes
+    it shuffle-free on the corpus side; each batch is scored via
+    ``foreachBatch`` as a self-contained batch plan — candidates from a
+    (band_idx, band_hash) equi-join against the bucketed scan, exact
     Jaccard only on collisions, then a left-anti join keeps clean docs.
     ZERO streaming state: admission depends only on (doc, static index),
     so batch boundaries cannot change the answer. In-stream (odd-odd)
-    near-dups are deliberately NOT removed here — that is the ingest
-    gate's contract; intra-batch dedup runs in the batch pipeline."""
+    near-dups are deliberately NOT removed here — that is THIS gate's
+    static-index contract; the self-accumulating variant
+    (stream_neardup_gate_accum) folds admitted docs back in."""
     import tempfile
 
     from mapreduce_spark.operators.dedup import (
         dedup_against_index,
-        minhash_index,
+        minhash_index_read,
+        minhash_index_write,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
-    index_bands, index_hashes = minhash_index(corpus)
-    index_bands = index_bands.localCheckpoint(eager=True)
-    index_hashes = index_hashes.localCheckpoint(eager=True)
+    minhash_index_write(corpus, "neardup_gate_idx")
+    index_bands, index_hashes = minhash_index_read(spark, "neardup_gate_idx")
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -540,6 +542,123 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = (
         stream.writeStream.foreachBatch(_admit_batch)
         .queryName("stream_neardup_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+from mapreduce_spark.operators.dedup import _ACCUM_SQL as _SQL_ACCUM_GATE
+
+
+@register("stream_neardup_gate_accum", oracle=_SQL_ACCUM_GATE)
+def stream_neardup_gate_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-ACCUMULATING streaming near-dup gate (VERDICT r5 #4): after
+    each micro-batch, the admitted documents' bands and shingle-hash sets
+    fold back into the on-disk index (a bucketed APPEND —
+    dedup.minhash_index_write mode='append'), so a near-dup pair split
+    across ingest batches admits exactly ONE member: the second arrival
+    collides with the first's just-appended bands. The static-index
+    variant (stream_neardup_gate) documents this case as out-of-contract;
+    this gate IS the production ingest contract.
+
+    Deterministic replay: the incoming half (odd doc_ids) is spooled as
+    two mtime-ordered files — batch 1 = doc_id%4==1, batch 2 =
+    doc_id%4==3 — and streamed with maxFilesPerTrigger=1, so batch
+    boundaries (and therefore the oracle, which replays the same
+    two-batch protocol in SQL) are pinned. Per-batch cost is
+    |batch| + true collisions + one bucketed append of the admits;
+    the corpus-side probe never shuffles and the index is never
+    rewritten — the only shapes that survive daily ingests into a
+    100 TB corpus."""
+    import os
+    import tempfile
+    import time
+
+    from mapreduce_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_read,
+        minhash_index_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    minhash_index_write(corpus, "neardup_accum_idx")
+
+    spool = tempfile.mkdtemp(prefix="stream_neardup_accum_")
+    in_dir = os.path.join(spool, "incoming")
+    os.makedirs(in_dir)
+    for i, pred in enumerate([1, 3]):
+        part = os.path.join(spool, f"b{i}")
+        docs.filter(F.col("doc_id") % 4 == pred).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        src = next(
+            os.path.join(part, f)
+            for f in os.listdir(part)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"batch{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (time.time() - 600 + 300 * i,) * 2)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(spool, "admitted")
+
+    def _admit_and_fold(batch_df: DataFrame, _batch_id: int) -> None:
+        # foreachBatch runs under a CLONED session: the fold-append below
+        # refreshes the clone's relation cache, not the outer session's —
+        # read the index through the batch's own session and refresh, so
+        # batch N+1 sees every file batch N appended.
+        session = batch_df.sparkSession
+        session.catalog.refreshTable("neardup_accum_idx_bands")
+        session.catalog.refreshTable("neardup_accum_idx_hashes")
+        index_bands, index_hashes = minhash_index_read(
+            session, "neardup_accum_idx"
+        )
+        batch = batch_df.select("doc_id", "text", "source").localCheckpoint(
+            eager=True
+        )
+        dups = dedup_against_index(
+            batch.select("doc_id", "text"), index_bands, index_hashes
+        ).select(F.col("new_doc").alias("doc_id"))
+        admitted = batch.join(dups, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        admitted.select(
+            "doc_id",
+            "source",
+            (F.col("doc_id") % 4 == 1)
+            .cast("int")
+            .cast("bigint")
+            .alias("is_b1"),
+        ).select(
+            "doc_id",
+            "source",
+            F.when(F.col("is_b1") == 1, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("bigint")
+            .alias("batch_idx"),
+        ).write.mode("append").parquet(out_dir)
+        minhash_index_write(
+            admitted.select("doc_id", "text"),
+            "neardup_accum_idx",
+            mode="append",
+        )
+
+    for q in spark.streams.active:
+        if q.name == "stream_neardup_gate_accum":
+            q.stop()
+    query = (
+        stream.writeStream.foreachBatch(_admit_and_fold)
+        .queryName("stream_neardup_gate_accum")
         .trigger(availableNow=True)
         .start()
     )
