@@ -87,7 +87,19 @@ HEADLINE = [
     "similarity_hamming_rerank",
     "quality_nb_classifier",
     "bpe_train_iters",
+    # round-6: the production-depth BPE loop (16 checkpointed rounds +
+    # the corpus token count under the learned vocab) and the persisted
+    # index round trip (bucketed write + shuffle-free probe)
+    "bpe_token_count",
+    "dedup_index_persisted",
 ]
+
+# Queries whose driver function does EAGER work (checkpointed training
+# loops, index writes) at DataFrame-construction time: for these the
+# build must sit inside the timed section or the bench records only the
+# final cheap projection. Execution-only timing is kept for everything
+# else so r4/r5 comparisons stay apples-to-apples.
+EAGER_BUILD = {"bpe_token_count", "dedup_index_persisted"}
 
 
 def main() -> int:
@@ -120,11 +132,13 @@ def main() -> int:
     medians: dict[str, float] = {}
     bests: dict[str, float] = {}
     for name in names:
-        df = qs[name](spark, sf_dir)
+        df = None if name in EAGER_BUILD else qs[name](spark, sf_dir)
         samples = []
         for _ in range(REPS):
             t0 = time.time()
-            df.write.mode("overwrite").format("noop").save()
+            (df if df is not None else qs[name](spark, sf_dir)).write.mode(
+                "overwrite"
+            ).format("noop").save()
             samples.append(time.time() - t0)
         medians[name] = round(statistics.median(samples), 3)
         bests[name] = round(min(samples), 3)

@@ -150,3 +150,30 @@ def test_apply_segments_with_learned_rules(spark, tmp_path):
         "then": (["the", "n"], 2, 1),
         "aaaa": (["aa", "aa"], 2, 1),
     }
+
+
+def test_token_count_monotone_nonincreasing_in_depth(spark, tmp_path):
+    """Each merge rule rewrites some (>= 0) adjacent pair occurrences
+    into single symbols, so the corpus token count under the learned
+    vocab can only fall (or stall) as merge depth grows — the law the
+    production bpe_token_count query rides (VERDICT r5 #6). Swept over
+    depths 0..16 on a corpus with chaining merges AND self-merge runs
+    (the case the r5 two-pass rewrite broke)."""
+    from mapreduce_spark.operators.textops import _bpe_run
+
+    sf_dir = _write_docs(
+        spark,
+        tmp_path,
+        ["the the then there", "aaaaaa aaaa zzzzz", "banana bandana"],
+    )
+    syms = "filter(split(w, '\\\\|'), s -> s <> '')"
+    counts = []
+    for n in [0, 1, 2, 4, 8, 16]:
+        _, wf = _bpe_run(spark, sf_dir, n_iters=n, checkpoint=n > 4)
+        counts.append(
+            wf.agg(
+                F.sum(F.expr(f"f * size({syms})")).cast("bigint")
+            ).collect()[0][0]
+        )
+    assert counts == sorted(counts, reverse=True), counts
+    assert counts[-1] < counts[0], "16 merges must actually shrink tokens"
