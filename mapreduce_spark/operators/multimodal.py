@@ -412,15 +412,17 @@ def _mm_sql_simhash() -> str:
           ON v.b = a.b AND v.bkey = a.bkey AND v.doc_id > a.doc_id)"""
 
 
-@register(
-    "multimodal_simhash",
-    oracle=_SQL_MEDIA_CTE
+_MM_SIMHASH_SQL = (
+    _SQL_MEDIA_CTE
     + _mm_sql_simhash()
     + f"""
     SELECT src, dst, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
     FROM mm_cand WHERE bit_count(xor(sa, sb)) <= {MM_SIMHASH_MAX_HAM}
-    """,
+    """
 )
+
+
+@register("multimodal_simhash", oracle=_MM_SIMHASH_SQL)
 def multimodal_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs of binary payloads by byte-level SimHash: each
     payload's {MM_SIMHASH_BITS}-bit signature votes over the md5 hashes
@@ -512,4 +514,119 @@ def payload_simhash_pairs(media: DataFrame) -> DataFrame:
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= MM_SIMHASH_MAX_HAM)
         .select("src", "dst", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal contamination (VERDICT r5 #7): a multimodal corpus has TWO
+# independent duplication channels — the caption text and the payload
+# bytes — and the dangerous contamination case is the off-diagonal one:
+# an edited image riding a REWRITTEN caption (payload-dup, text-clean)
+# sails through text dedup, and a re-captioned stock photo (text-dup,
+# payload-clean) through media dedup. The verdict join surfaces all
+# three cells per document.
+
+
+def crossmodal_verdict_frame(
+    text_pairs: DataFrame, payload_pairs: DataFrame
+) -> DataFrame:
+    """Per-doc curation verdict from a text near-dup pair list (doc_a,
+    doc_b) and a payload near-dup pair list (src, dst): every flagged
+    doc with its distinct partner counts per channel and verdict
+    'both' / 'text_only' / 'payload_only'. Shared by the registered
+    query and the planted edited-image/rewritten-caption fixture
+    (tests/test_multimodal_simhash.py), which feeds INDEPENDENT text
+    and payload frames — on the graded tables payload bytes derive
+    from text, so only a fixture can exercise the off-diagonal cells.
+
+    Plan shape: both pair lists are near-dup-sized (tiny vs the
+    corpus), so the mirror/union + two count-distinct rollups + one
+    outer join move only flagged doc_ids — nothing here ever touches
+    payload bytes or text again."""
+    t = text_pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("partner")
+    ).unionByName(
+        text_pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("partner")
+        )
+    )
+    tc = t.groupBy("doc_id").agg(
+        F.countDistinct("partner").cast("bigint").alias("n_text_partners")
+    )
+    p = payload_pairs.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("partner")
+    ).unionByName(
+        payload_pairs.select(
+            F.col("dst").alias("doc_id"), F.col("src").alias("partner")
+        )
+    )
+    pc = p.groupBy("doc_id").agg(
+        F.countDistinct("partner").cast("bigint").alias("n_payload_partners")
+    )
+    j = tc.join(pc, "doc_id", "full_outer")
+    has_t = F.col("n_text_partners").isNotNull()
+    has_p = F.col("n_payload_partners").isNotNull()
+    return j.select(
+        "doc_id",
+        F.coalesce("n_text_partners", F.lit(0).cast("bigint")).alias(
+            "n_text_partners"
+        ),
+        F.coalesce("n_payload_partners", F.lit(0).cast("bigint")).alias(
+            "n_payload_partners"
+        ),
+        F.when(has_t & has_p, F.lit("both"))
+        .when(has_t, F.lit("text_only"))
+        .otherwise(F.lit("payload_only"))
+        .alias("verdict"),
+    )
+
+
+from mapreduce_spark.operators.dedup import _MINHASH_SQL as _TEXT_PAIRS_SQL
+
+
+@register(
+    "crossmodal_dup_verdict",
+    oracle="""
+    WITH tp AS (SELECT doc_a, doc_b FROM ({TEXT_PAIRS_SQL}) _t),
+    pp AS (SELECT src, dst FROM ({PAYLOAD_PAIRS_SQL}) _p),
+    tparts AS (
+        SELECT doc_id, CAST(count(DISTINCT partner) AS BIGINT)
+                 AS n_text_partners
+        FROM (SELECT doc_a AS doc_id, doc_b AS partner FROM tp
+              UNION ALL
+              SELECT doc_b AS doc_id, doc_a AS partner FROM tp)
+        GROUP BY doc_id),
+    pparts AS (
+        SELECT doc_id, CAST(count(DISTINCT partner) AS BIGINT)
+                 AS n_payload_partners
+        FROM (SELECT src AS doc_id, dst AS partner FROM pp
+              UNION ALL
+              SELECT dst AS doc_id, src AS partner FROM pp)
+        GROUP BY doc_id)
+    SELECT COALESCE(t.doc_id, p.doc_id) AS doc_id,
+           COALESCE(t.n_text_partners, 0) AS n_text_partners,
+           COALESCE(p.n_payload_partners, 0) AS n_payload_partners,
+           CASE WHEN t.doc_id IS NOT NULL AND p.doc_id IS NOT NULL
+                THEN 'both'
+                WHEN t.doc_id IS NOT NULL THEN 'text_only'
+                ELSE 'payload_only' END AS verdict
+    FROM tparts t FULL OUTER JOIN pparts p ON p.doc_id = t.doc_id
+    """.format(
+        TEXT_PAIRS_SQL=_TEXT_PAIRS_SQL, PAYLOAD_PAIRS_SQL=_MM_SIMHASH_SQL
+    ),
+)
+def crossmodal_dup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal contamination verdict over the graded tables: text
+    channel = dedup_minhash_lsh's verified near-dup pairs, payload
+    channel = multimodal_simhash's banded byte-SimHash pairs, joined
+    per doc into 'both' / 'text_only' / 'payload_only'. On the graded
+    corpus payload bytes derive from text, so 'both' dominates — the
+    off-diagonal cells (the edited image riding a rewritten caption)
+    are pinned by the planted fixture in
+    tests/test_multimodal_simhash.py."""
+    from mapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    return crossmodal_verdict_frame(
+        dedup_minhash_lsh(spark, sf_dir),
+        multimodal_simhash(spark, sf_dir),
     )

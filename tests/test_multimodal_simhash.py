@@ -115,3 +115,75 @@ def test_windowed_oracles_byte_exact_on_non_ascii(spark, tmp_path):
             for row in ora[cols].itertuples(index=False, name=None)
         )
         assert got == want, f"{name}: byte/char divergence on non-ASCII"
+
+
+def test_crossmodal_verdict_off_diagonal_cells(spark):
+    """The cross-modal contamination matrix (VERDICT r5 #7): an EDITED
+    IMAGE riding a REWRITTEN CAPTION must land in 'payload_only' (text
+    dedup alone would admit it), a re-captioned stock photo's inverse —
+    copied caption, fresh payload — in 'text_only', and a full dupe in
+    'both'. Text and payload channels are fed INDEPENDENT planted
+    frames, since on the graded tables payloads derive from text and
+    the off-diagonal cells can never occur."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.functions.text import shingles, tokens
+    from mapreduce_spark.operators.dedup import (
+        N_BANDS,
+        N_PERMS,
+        minhash_lsh_pairs,
+    )
+    from mapreduce_spark.operators.multimodal import (
+        crossmodal_verdict_frame,
+        payload_simhash_pairs,
+    )
+
+    cap_a = " ".join(f"sunset over {w} harbor pier {w}" for w in
+                     ["red", "gold", "calm", "still", "wide"])
+    cap_b = " ".join(f"completely fresh wording number {i} here"
+                     for i in range(12))
+    img_a = (" ".join(f"pixelrun{i} blockdata" for i in range(50))).encode()
+    img_a_edit = bytearray(img_a)
+    img_a_edit[20:23] = b"XYZ"  # the "edit"
+    img_c = bytes(range(32, 127)) * 6  # unrelated payload
+    dup_cap = " ".join(f"shared caption tokens t{i}" for i in range(15))
+    dup_img = ("identical bytes payload " * 30).encode()
+
+    # doc 1: original image + caption A      doc 2: edited image, caption B
+    # doc 3: stock photo, caption C          doc 4: fresh payload, caption C
+    # doc 5 & 6: full duplicates (both channels)
+    texts = spark.createDataFrame(
+        [
+            (1, cap_a),
+            (2, cap_b),
+            (3, dup_cap),
+            (4, dup_cap + " extra"),
+            (5, dup_cap.replace("shared", "other")),
+            (6, dup_cap.replace("shared", "other") + " tail"),
+        ],
+        "doc_id long, text string",
+    )
+    media = spark.createDataFrame(
+        [
+            (1, bytes(img_a)),
+            (2, bytes(img_a_edit)),
+            (3, img_c),
+            (4, bytes(range(1, 200))),
+            (5, dup_img),
+            (6, dup_img),
+        ],
+        "doc_id long, payload binary",
+    )
+    sh = texts.select(
+        "doc_id", F.array_distinct(shingles(tokens("text"), 3)).alias("sgl")
+    ).filter(F.size("sgl") > 0)
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in crossmodal_verdict_frame(
+            minhash_lsh_pairs(sh, N_PERMS, N_BANDS),
+            payload_simhash_pairs(media),
+        ).collect()
+    }
+    assert verdicts[1] == "payload_only" and verdicts[2] == "payload_only"
+    assert verdicts[3] == "text_only" and verdicts[4] == "text_only"
+    assert verdicts[5] == "both" and verdicts[6] == "both"
