@@ -2586,9 +2586,7 @@ def ivfpq_adc_topk(
     )
 
 
-@register(
-    "similarity_ivfpq_adc",
-    oracle=f"""
+_IVFPQ_ADC_SQL = f"""
     WITH {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
     {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
     {_SQL_PQT_CTES},
@@ -2600,8 +2598,10 @@ def ivfpq_adc_topk(
                  AS rank
         FROM adc_ip)
     WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+@register("similarity_ivfpq_adc", oracle=_IVFPQ_ADC_SQL)
 def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed IVFADC search under the production profile: the
     Lloyd-trained |V|/{SCALED_IVF_CENT_MOD}-list coarse quantizer routes
@@ -2691,6 +2691,179 @@ def ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = similarity_ivfpq_adc(spark, sf_dir).select("query_id", "vec_id")
     return _tier_recall(exact, "ivfpq", adc)
+
+
+# ===========================================================================
+# Persisted vector-index lifecycle (the dedup.minhash_index_write
+# discipline applied to the ANN tier): the IVFADC serving state —
+# (cid, PQ code) per vector plus the two tiny codebooks — lives ON DISK
+# between query batches, with the codes PARTITIONED BY coarse cell so a
+# probe reads only its nprobe directories (Spark plans a dynamic-
+# partition-pruning subquery off the broadcast route side — asserted by
+# tests/test_vector_index.py). Re-quantizing 1e9 vectors per query batch
+# is the cost this kills; the write is one pass, the probe touches
+# nprobe/|cells| of the corpus bytes.
+
+
+def _nearest_cells(
+    df: DataFrame, cent: DataFrame, id_col: str, keep: int
+) -> DataFrame:
+    """(id_col, cid): each row's ``keep`` nearest centroids by rounded
+    cosine (ties to lower cid) — assignment at keep=1, query routing at
+    keep=nprobe. Expects (id_col, embedding, nrm) rows and a broadcast-
+    sized (cid, ce, cn) centroid frame."""
+    scored = df.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        "cid",
+        F.round(
+            cosine_n(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn")),
+            6,
+        ).alias("_c"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_c").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= keep)
+        .select(id_col, "cid")
+    )
+
+
+def _vindex_codes_path(spark: SparkSession, name: str) -> str:
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return f"{warehouse}/{name}_codes"
+
+
+def vector_index_write(
+    emb: DataFrame,
+    name: str,
+    cent_mod: int = SCALED_IVF_CENT_MOD,
+    rem: int = IVF_CENT_REM,
+) -> None:
+    """Build and persist the IVFADC index ``name`` from a (vec_id,
+    embedding) frame: codes as cid-partitioned parquet (one directory
+    per coarse cell — at a production 32k-cell geometry that is 32k
+    directories, each holding that cell's (vec_id, {PQ_SUBS}-byte code)
+    rows), the trained coarse quantizer as ``{{name}}_centroids`` and
+    the trained PQ book as ``{{name}}_book`` (both broadcast-sized
+    tables). One corpus pass; raw embeddings are never stored."""
+    spark = emb.sparkSession
+    import shutil
+
+    for suffix in ("centroids", "book"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        shutil.rmtree(
+            f"{_vindex_codes_path(spark, name).removesuffix('_codes')}_{suffix}",
+            ignore_errors=True,
+        )
+    cent = refined_centroids(emb, cent_mod, rem)
+    cent.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{name}_centroids"
+    )
+    book = _pq_refined_book_frame(_pq_ex_frame(emb)).groupBy(
+        "sub_idx", "seed_id"
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+            lambda e: e["cq"],
+        ).alias("sqa")
+    )
+    book.write.mode("overwrite").format("parquet").saveAsTable(f"{name}_book")
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    assign = _nearest_cells(embn, cent, "vec_id", 1)
+    pairs = _pq_pairs_trained_frame(_pq_ex_frame(emb))
+    codes = pairs.groupBy("vec_id", "sub_idx").agg(
+        (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
+            "code"
+        )
+    )
+    codes_arr = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_idx", "code"))),
+            lambda e: e["code"].cast("int"),
+        ).alias("pq_code")
+    )
+    (
+        assign.join(codes_arr, "vec_id")
+        .repartition("cid")
+        .write.partitionBy("cid")
+        .mode("overwrite")
+        .parquet(_vindex_codes_path(spark, name))
+    )
+
+
+def vector_index_probe(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    nprobe: int = SCALED_IVF_NPROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """ADC top-k of a (vec_id, embedding) query batch against the
+    on-disk index ``name``: route each query to its nprobe cells under
+    the STORED quantizer, read ONLY those cells' code partitions (the
+    route side broadcasts, so Catalyst prunes the codes scan with a
+    dynamic-partition-pruning subquery), build the per-query lookup
+    table against the STORED book, and fold integer ADC sums over the
+    candidates' codes. Nothing here touches raw corpus embeddings —
+    the probe's input bytes are nprobe/|cells| of the code table plus
+    two broadcast codebooks."""
+    cent = spark.table(f"{name}_centroids")
+    book = spark.table(f"{name}_book")
+    codes = spark.read.parquet(_vindex_codes_path(spark, name))
+    qn = queries.withColumn("nrm", norm(F.col("embedding"))).select(
+        F.col("vec_id").alias("query_id"), "embedding", "nrm"
+    )
+    route = _nearest_cells(qn, cent, "query_id", nprobe)
+    qtab = (
+        _pq_sub_arrays(_pq_ex_frame(queries))
+        .join(F.broadcast(book), "sub_idx")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub_idx",
+            F.col("seed_id").alias("code"),
+            F.expr(_PQ_D2).alias("d2"),
+        )
+    )
+    cand = codes.join(route, "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sub = cand.select(
+        "query_id", "vec_id", F.posexplode("pq_code").alias("sub_idx", "code")
+    )
+    adc = (
+        sub.join(F.broadcast(qtab), ["query_id", "sub_idx", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+@register("similarity_index_persisted", oracle=_IVFPQ_ADC_SQL)
+def similarity_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_ivfpq_adc with the index round-tripped THROUGH DISK:
+    build + persist the production-profile IVFADC index (cid-partitioned
+    codes, stored quantizer + book), then probe the query set against
+    the files — same rows as the in-memory query (same oracle), but the
+    serving path now starts from the artifact a real vector store ships:
+    the probe re-reads only its nprobe cells (dynamic partition pruning
+    off the broadcast route) and never re-quantizes the corpus. The
+    vector-side mirror of dedup_index_persisted."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vector_index_write(emb, "vindex_demo")
+    return vector_index_probe(
+        spark,
+        "vindex_demo",
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        SCALED_IVF_NPROBE,
+        TOP_K,
+    )
 
 
 # ===========================================================================

@@ -1,0 +1,85 @@
+"""Persisted IVFADC vector-index lifecycle (the ANN mirror of
+tests/test_index_lifecycle.py): the serving state lives on disk as
+cid-partitioned codes + two codebook tables, probes prune to their
+nprobe cells, and the round trip changes no ranked row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mapreduce_spark.operators.similarity import (
+    SCALED_IVF_NPROBE,
+    N_QUERIES,
+    TOP_K,
+    similarity_ivfpq_adc,
+    vector_index_probe,
+    vector_index_write,
+)
+from mapreduce_spark.sources.tables import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_on_disk_probe_matches_in_memory(spark, sf_dir):
+    """Round-tripping the index through partitioned parquet must not
+    change a single (query, vec, distance, rank) row vs the all-in-
+    memory IVFADC plan."""
+    emb = _emb(spark, sf_dir)
+    vector_index_write(emb, "t_vindex")
+    on_disk = sorted(
+        map(
+            tuple,
+            vector_index_probe(
+                spark, "t_vindex", emb.filter(F.col("vec_id") < N_QUERIES)
+            ).collect(),
+        )
+    )
+    in_memory = sorted(
+        map(tuple, similarity_ivfpq_adc(spark, sf_dir).collect())
+    )
+    assert on_disk == in_memory and len(on_disk) == N_QUERIES * TOP_K
+
+
+def test_probe_plans_dynamic_partition_pruning(spark, sf_dir):
+    """The codes scan must carry a dynamic-partition-pruning subquery
+    off the broadcast route side — the plan property that makes probe
+    I/O nprobe/|cells| of the corpus instead of a full scan."""
+    emb = _emb(spark, sf_dir)
+    vector_index_write(emb, "t_vindex_dpp")
+    probe = vector_index_probe(
+        spark, "t_vindex_dpp", emb.filter(F.col("vec_id") < N_QUERIES)
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_probe_touches_strict_cell_subset(spark, sf_dir):
+    """The query batch's routed cells must be a strict subset of the
+    index's cells on the testdata — otherwise the pruning assertion
+    above is vacuously scanning everything anyway."""
+    from mapreduce_spark.operators.similarity import (
+        _nearest_cells,
+        _vindex_codes_path,
+    )
+    from mapreduce_spark.functions.vectors import norm
+
+    emb = _emb(spark, sf_dir)
+    vector_index_write(emb, "t_vindex_cells")
+    codes = spark.read.parquet(_vindex_codes_path(spark, "t_vindex_cells"))
+    n_cells = codes.select("cid").distinct().count()
+    cent = spark.table("t_vindex_cells_centroids")
+    qn = emb.filter(F.col("vec_id") < N_QUERIES).withColumn(
+        "nrm", norm(F.col("embedding"))
+    ).select(F.col("vec_id").alias("query_id"), "embedding", "nrm")
+    probed = (
+        _nearest_cells(qn, cent, "query_id", SCALED_IVF_NPROBE)
+        .select("cid")
+        .distinct()
+        .count()
+    )
+    assert 0 < probed < n_cells, (probed, n_cells)
