@@ -92,6 +92,7 @@ HEADLINE = [
     # index round trip (bucketed write + shuffle-free probe)
     "bpe_token_count",
     "dedup_index_persisted",
+    "similarity_index_persisted",
 ]
 
 # Queries whose driver function does EAGER work (checkpointed training
@@ -99,7 +100,11 @@ HEADLINE = [
 # build must sit inside the timed section or the bench records only the
 # final cheap projection. Execution-only timing is kept for everything
 # else so r4/r5 comparisons stay apples-to-apples.
-EAGER_BUILD = {"bpe_token_count", "dedup_index_persisted"}
+EAGER_BUILD = {
+    "bpe_token_count",
+    "dedup_index_persisted",
+    "similarity_index_persisted",
+}
 
 
 def main() -> int:

@@ -2761,18 +2761,25 @@ def vector_index_write(
     cent.write.mode("overwrite").format("parquet").saveAsTable(
         f"{name}_centroids"
     )
-    book = _pq_refined_book_frame(_pq_ex_frame(emb)).groupBy(
-        "sub_idx", "seed_id"
-    ).agg(
+    ex = _pq_ex_frame(emb)
+    book = _pq_refined_book_frame(ex).groupBy("sub_idx", "seed_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "cq"))),
             lambda e: e["cq"],
         ).alias("sqa")
     )
     book.write.mode("overwrite").format("parquet").saveAsTable(f"{name}_book")
+    # assignment and codes run against the artifacts JUST WRITTEN (read
+    # back) — stored and derived state can never drift, and the Lloyd /
+    # trained-book derivations, the expensive half of the build, each
+    # run exactly once instead of re-deriving lazily per consumer
+    stored_cent = spark.table(f"{name}_centroids")
+    stored_book = spark.table(f"{name}_book")
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
-    assign = _nearest_cells(embn, cent, "vec_id", 1)
-    pairs = _pq_pairs_trained_frame(_pq_ex_frame(emb))
+    assign = _nearest_cells(embn, stored_cent, "vec_id", 1)
+    pairs = _pq_sub_arrays(ex).join(F.broadcast(stored_book), "sub_idx").select(
+        "vec_id", "sub_idx", "seed_id", F.expr(_PQ_D2).alias("d2")
+    )
     codes = pairs.groupBy("vec_id", "sub_idx").agg(
         (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
             "code"
