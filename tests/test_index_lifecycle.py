@@ -189,3 +189,40 @@ def test_fold_append_keeps_bucket_layout(spark, split_pair_docs):
         100,
         101,
     }
+
+
+def test_compaction_restores_single_file_buckets(spark, sf_dir):
+    """Ingests multiply files (each write task emits a file per bucket it
+    holds); compaction must rewrite to at most one file per bucket with
+    identical rows and an unchanged single-Exchange probe plan."""
+    import glob
+
+    from mapreduce_spark.operators.dedup import minhash_index_compact
+    from mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    minhash_index_write(docs.filter(F.col("doc_id") % 4 == 0), "t_idx_cpt")
+    minhash_index_write(
+        docs.filter(F.col("doc_id") % 4 == 2), "t_idx_cpt", mode="append"
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    n_before = len(glob.glob(f"{warehouse}/t_idx_cpt_bands/part-*"))
+    rows_before = sorted(
+        map(tuple, spark.table("t_idx_cpt_bands").collect())
+    )
+    minhash_index_compact(spark, "t_idx_cpt", buckets=INDEX_BUCKETS)
+    n_after = len(glob.glob(f"{warehouse}/t_idx_cpt_bands/part-*"))
+    assert n_after <= INDEX_BUCKETS < n_before, (n_before, n_after)
+    bands, _ = minhash_index_read(spark, "t_idx_cpt")
+    assert sorted(map(tuple, bands.collect())) == rows_before
+    new_bands, _ = minhash_index(docs.filter(F.col("doc_id") % 2 == 1))
+    probe = new_bands.join(
+        bands.withColumnRenamed("doc_id", "old_doc"),
+        ["band_idx", "band_hash"],
+    )
+    assert (
+        probe._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        == 1
+    )
