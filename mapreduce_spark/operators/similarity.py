@@ -2852,6 +2852,57 @@ def vector_index_probe(
     )
 
 
+@register(
+    "vindex_cell_stats",
+    oracle=f"""
+    WITH {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
+    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'vs')},
+    per AS (SELECT cid, CAST(count(*) AS BIGINT) AS c
+            FROM assign_vs GROUP BY cid)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(c) AS BIGINT) AS n_vectors,
+           CAST(max(c) AS BIGINT) AS max_cell,
+           CAST(sum(c * c) AS BIGINT) AS sum_sq,
+           round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 6) AS balance
+    FROM per
+    """,
+)
+def vindex_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy gauge for the production IVF quantizer — the
+    vector index's skew report (lsh_bucket_stats' sibling): non-empty
+    cell count, max cell size, Σc² (the probe-cost law: expected scanned
+    rows per query track the probed cells' sizes), and balance =
+    max_cell / mean_cell (1.0 = perfectly balanced; a runaway value
+    means one dense direction owns the corpus and the quantizer needs
+    re-training or more cells BEFORE a 1e9-vector index is built around
+    it). tests/test_vector_index.py gates balance on the testdata so a
+    quantizer change that degenerates cells fails CI, not a cluster.
+
+    Plan shape: the broadcast-centroid argmax assignment (shared with
+    every IVF consumer), a cid partial-agg, then a 1-row rollup —
+    strictly cheaper than any probe it prices."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = refined_centroids(emb, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    per = (
+        _nearest_cells(embn, cent, "vec_id", 1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("c").cast("bigint").alias("n_vectors"),
+        F.max("c").cast("bigint").alias("max_cell"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+        F.round(
+            F.max("c").cast("double")
+            * F.count(F.lit(1))
+            / F.sum("c"),
+            6,
+        ).alias("balance"),
+    )
+
+
 @register("similarity_index_persisted", oracle=_IVFPQ_ADC_SQL)
 def similarity_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity_ivfpq_adc with the index round-tripped THROUGH DISK:

@@ -83,3 +83,18 @@ def test_probe_touches_strict_cell_subset(spark, sf_dir):
         .count()
     )
     assert 0 < probed < n_cells, (probed, n_cells)
+
+
+def test_cell_balance_gauge_gated(spark, sf_dir):
+    """Gauge as CI gate (the test_pairing_cap discipline): the trained
+    quantizer's cell balance on the testdata must stay under a sane
+    bound — a quantizer change that lets one cell own the corpus fails
+    here instead of melting a 1e9-vector probe."""
+    from mapreduce_spark.operators.similarity import vindex_cell_stats
+
+    row = vindex_cell_stats(spark, sf_dir).collect()[0]
+    assert row.n_vectors > 0 and row.n_cells > 1
+    assert row.balance <= 20.0, (
+        f"max cell is {row.balance}x the mean — quantizer degenerated "
+        f"(max_cell={row.max_cell}, n_cells={row.n_cells})"
+    )
