@@ -828,3 +828,166 @@ def stream_domain_mix_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _mix_gate(stream, rates)
     return _drain(out, "mem_stream_domain_mix_gate", spark, "append")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-channel ingest gate: the vector sibling of stream_neardup_gate.
+from mapreduce_spark.functions.vectors import (
+    norm as _vnorm,
+)
+from mapreduce_spark.functions.vectors import (
+    sql_cosine_pair as _sql_cos_pair,
+)
+from mapreduce_spark.operators.dedup import (
+    COSINE_THRESHOLD as _EMB_GATE_COS,
+)
+from mapreduce_spark.operators.similarity import (
+    LSH_PLANES as _EG_PLANES,
+)
+from mapreduce_spark.operators.similarity import (
+    LSH_TABLES as _EG_TABLES,
+)
+from mapreduce_spark.operators.similarity import (
+    _sql_buckets_cte as _sql_eg_buckets,
+)
+from mapreduce_spark.operators.similarity import (
+    cosine_n as _cosine_n,
+)
+from mapreduce_spark.operators.similarity import (
+    lsh_buckets as _eg_lsh_buckets,
+)
+
+
+@register(
+    "stream_embdup_gate",
+    oracle=f"""
+    WITH {_sql_eg_buckets(_EG_PLANES, _EG_TABLES, 'eg')},
+    cand_eg AS (
+        SELECT DISTINCT n.vec_id AS new_vec, o.vec_id AS old_vec
+        FROM egbuckets n JOIN egbuckets o
+          ON o.table_idx = n.table_idx AND o.bucket = n.bucket
+        WHERE n.vec_id % 2 = 1 AND o.vec_id % 2 = 0),
+    dup_eg AS (
+        SELECT DISTINCT c.new_vec
+        FROM cand_eg c
+        JOIN embeddings a ON a.vec_id = c.new_vec
+        JOIN embeddings b ON b.vec_id = c.old_vec
+        WHERE round({_sql_cos_pair('a.embedding', 'b.embedding')}, 6)
+              >= {_EMB_GATE_COS})
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id % 2 = 1
+      AND e.vec_id NOT IN (SELECT new_vec FROM dup_eg)
+    """,
+)
+def stream_embdup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-channel near-dup admission gate: incoming vectors (the
+    odd vec_id half, playing live ingest) probe the PERSISTED
+    hyperplane-LSH bucket index of the existing corpus (even half) and
+    are admitted only if no bucket-mate reaches cosine
+    {_EMB_GATE_COS} — semantic dedup at the ingest door, the third gate
+    channel after text (stream_neardup_gate) and payload bytes
+    (multimodal_simhash feeding crossmodal_dup_verdict). A multimodal
+    pipeline needs all three: a re-encoded image with a rewritten
+    caption still lands next to its source in embedding space.
+
+    Plan shape: the index is TWO bucketed tables written once — buckets
+    on the probe key (table_idx, bucket), raw vectors on vec_id for the
+    exact-cosine verify — so every micro-batch probe is shuffle-free on
+    the corpus side (the dedup_index_persisted discipline); per batch,
+    bucket derivation runs only on the batch's vectors, candidates come
+    from the bucket equi-join, survivors pay one exact cosine, and a
+    left-anti join admits the clean rows. ZERO streaming state."""
+    import shutil
+    import tempfile
+    from urllib.parse import urlparse
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for suffix in ("buckets", "vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS embdup_idx_{suffix}")
+        shutil.rmtree(f"{warehouse}/embdup_idx_{suffix}", ignore_errors=True)
+    (
+        _eg_lsh_buckets(
+            corpus.select("vec_id", "embedding"), _EG_PLANES, _EG_TABLES
+        )
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(16, "table_idx", "bucket")
+        .sortBy("table_idx", "bucket")
+        .saveAsTable("embdup_idx_buckets")
+    )
+    (
+        corpus.select(
+            "vec_id", "embedding", _vnorm(F.col("embedding")).alias("nrm")
+        )
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(16, "vec_id")
+        .sortBy("vec_id")
+        .saveAsTable("embdup_idx_vectors")
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings*.parquet")
+        .parquet(sf_dir)
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_embdup_gate_")
+
+    def _admit_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        session = batch_df.sparkSession
+        batch = batch_df.filter(F.col("vec_id") % 2 == 1).select(
+            "vec_id", "embedding", "label"
+        )
+        nb = _eg_lsh_buckets(
+            batch.select("vec_id", "embedding"), _EG_PLANES, _EG_TABLES
+        ).selectExpr("vec_id AS new_vec", "table_idx", "bucket")
+        ob = session.table("embdup_idx_buckets").selectExpr(
+            "vec_id AS old_vec", "table_idx", "bucket"
+        )
+        cand = (
+            nb.join(ob, ["table_idx", "bucket"])
+            .select("new_vec", "old_vec")
+            .dropDuplicates(["new_vec", "old_vec"])
+        )
+        na = batch.select(
+            F.col("vec_id").alias("new_vec"),
+            F.col("embedding").alias("ne"),
+            _vnorm(F.col("embedding")).alias("nn"),
+        )
+        oa = session.table("embdup_idx_vectors").selectExpr(
+            "vec_id AS old_vec", "embedding AS oe", "nrm AS onrm"
+        )
+        dup = (
+            cand.join(na, "new_vec")
+            .join(oa, "old_vec")
+            .filter(
+                F.round(
+                    _cosine_n(
+                        F.col("ne"), F.col("oe"), F.col("nn"), F.col("onrm")
+                    ),
+                    6,
+                )
+                >= _EMB_GATE_COS
+            )
+            .select(F.col("new_vec").alias("vec_id"))
+        )
+        batch.join(dup, "vec_id", "left_anti").select(
+            "vec_id", "label"
+        ).write.mode("append").parquet(out_dir)
+
+    for q in spark.streams.active:
+        if q.name == "stream_embdup_gate":
+            q.stop()
+    query = (
+        stream.writeStream.foreachBatch(_admit_batch)
+        .queryName("stream_embdup_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
