@@ -3325,3 +3325,132 @@ def knn_graph_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, KNN_GRAPH_SCALED_K
     )
     return knn_cluster_labels(emb, edges)
+
+
+# ---------------------------------------------------------------------------
+# Triangle census of the mutual k-NN graph: transitivity is the standard
+# density probe of a neighbor graph (a vector whose neighbors are also
+# neighbors of EACH OTHER sits inside a tight semantic clump — redundancy
+# a curation pass down-samples; a triangle-free vector is a bridge/outlier
+# worth keeping). Mutual edges (both directions ranked) make the graph
+# undirected and robust to one-sided hub attraction.
+
+
+def mutual_knn_edges(edges: DataFrame) -> DataFrame:
+    """(u, v) with u < v where BOTH (u->v) and (v->u) appear in the
+    directed k-NN edge frame — one self-equi-join on the reversed key."""
+    a = edges.select("src", "dst")
+    b = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        a.join(b, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+    )
+
+
+def _sql_knn_triangles(graph: str = "graph_g") -> str:
+    """CTE chain ed/deg/tric/pertri over a knn-graph CTE: mutual
+    undirected edges, per-vertex degree, the ordered-triple triangle
+    join, and per-vertex triangle counts."""
+    return f"""
+    ed AS (
+        SELECT DISTINCT a.src AS u, a.dst AS v
+        FROM {graph} a JOIN {graph} b
+          ON b.src = a.dst AND b.dst = a.src
+        WHERE a.src < a.dst),
+    deg AS (
+        SELECT vid, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT u AS vid FROM ed UNION ALL SELECT v AS vid FROM ed)
+        GROUP BY vid),
+    tric AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM ed e1
+        JOIN ed e2 ON e2.u = e1.v
+        JOIN ed e3 ON e3.u = e1.u AND e3.v = e2.v),
+    pertri AS (
+        SELECT vid, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS vid FROM tric
+            UNION ALL SELECT b AS vid FROM tric
+            UNION ALL SELECT c AS vid FROM tric)
+        GROUP BY vid)"""
+
+
+@register(
+    "knn_graph_triangles",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('', KNN_GRAPH_K)},
+    {_sql_knn_triangles()}
+    SELECT d.vid AS vec_id, d.degree,
+           coalesce(p.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN pertri p ON p.vid = d.vid
+    """,
+)
+def knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle census + local clustering coefficient of the
+    MUTUAL k-NN graph (Watts-Strogatz transitivity over the
+    graph-curation artifact): mutual edges from one reversed-key
+    self-join, triangles from the ordered-triple join e(a,b) ⋈ e(b,c) ⋈
+    e(a,c) with a<b<c (each triangle materializes exactly once), degree
+    and per-vertex counts from key rollups. Coefficient =
+    2T/(deg·(deg-1)), rounded 6dp from exact integers — engine-stable.
+
+    Scale shape: mutual edges are <= |V|·k rows, every join is a key
+    equi-join on vertex ids, and the triple join's fan-out is bounded by
+    the true triangle count (the ordered a<b<c form never enumerates a
+    wedge twice) — at 100 TB this is the cheap follow-up pass over the
+    already-built graph, not a new neighbor search."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ed = mutual_knn_edges(
+        knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    ).localCheckpoint(eager=True)
+    return triangle_census(ed)
+
+
+def triangle_census(ed: DataFrame) -> DataFrame:
+    """(vec_id, degree, n_triangles, clustering_coeff) over an
+    undirected (u, v) edge frame with u < v — the census body shared by
+    the registered query and the planted-clique test
+    (tests/test_knn_clusters.py)."""
+    deg = (
+        ed.select(F.col("u").alias("vid"))
+        .unionByName(ed.select(F.col("v").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    e2 = ed.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = ed.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tric = (
+        ed.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .join(e2, "b")
+        .join(e3, ["a", "c"])
+    )
+    pertri = (
+        tric.select(F.col("a").alias("vid"))
+        .unionByName(tric.select(F.col("b").alias("vid")))
+        .unionByName(tric.select(F.col("c").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(pertri, "vid", "left").select(
+        F.col("vid").alias("vec_id"),
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )

@@ -1690,6 +1690,167 @@ def perplexity_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+# 1998 eq. 4.25, fixed discount) — the smoothing KenLM ships, i.e. what
+# CCNet actually scores perplexity with. Stupid backoff (above) is the
+# web-scale shortcut; KN is the principled one: the lower-order
+# distribution is the CONTINUATION probability (how many distinct
+# histories a word follows) rather than raw frequency, which stops
+# "Francisco" (frequent but only after "San") from stealing mass.
+KN_DISCOUNT = 0.75  # Chen & Goodman's fixed D
+
+
+@register(
+    "perplexity_kn_bigram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks
+               FROM documents),
+    m AS (SELECT toks FROM t WHERE doc_id % 2 = 0),
+    bc AS (SELECT g AS bigram, CAST(count(*) AS BIGINT) AS c12
+           FROM (SELECT unnest({sql_shingles('toks', 2)}) AS g FROM m)
+           GROUP BY g),
+    hist AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                    CAST(sum(c12) AS BIGINT) AS c1,
+                    CAST(count(*) AS BIGINT) AS n1f
+             FROM bc GROUP BY 1),
+    cont AS (SELECT split_part(bigram, ' ', 2) AS w2,
+                    CAST(count(*) AS BIGINT) AS n1b
+             FROM bc GROUP BY 1),
+    stats AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM bc) AS bt,
+                     (SELECT CAST(count(DISTINCT w) AS BIGINT)
+                      FROM (SELECT unnest(toks) AS w FROM m)) AS vs),
+    d AS (SELECT doc_id, toks FROM t WHERE doc_id % 2 = 1
+          AND len(toks) >= 2),
+    dbc AS (SELECT doc_id, g AS bigram, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT doc_id, unnest({sql_shingles('toks', 2)}) AS g
+                  FROM d)
+            GROUP BY doc_id, g),
+    s AS (SELECT dbc.doc_id, dbc.n,
+                 CAST(coalesce(cont.n1b, 0) + 1 AS DOUBLE)
+                   / (stats.bt + stats.vs) AS pc,
+                 hist.c1, hist.n1f, coalesce(bc.c12, 0) AS c12
+          FROM dbc
+          LEFT JOIN bc ON bc.bigram = dbc.bigram
+          LEFT JOIN hist ON hist.w1 = split_part(dbc.bigram, ' ', 1)
+          LEFT JOIN cont ON cont.w2 = split_part(dbc.bigram, ' ', 2)
+          CROSS JOIN stats),
+    p AS (SELECT doc_id, n,
+                 CASE WHEN c1 IS NOT NULL THEN
+                      (CASE WHEN c12 > 0
+                            THEN (CAST(c12 AS DOUBLE) - {KN_DISCOUNT}) / c1
+                            ELSE 0.0 END)
+                      + (({KN_DISCOUNT} * n1f) / c1) * pc
+                      ELSE pc END AS prob
+          FROM s),
+    nll AS (SELECT doc_id, n,
+                   CAST(round(1000000 * round(-ln(prob), 6)) AS BIGINT)
+                     AS micro
+            FROM p)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(CAST(sum(n * micro) AS BIGINT) // CAST(sum(n) AS BIGINT)
+                AS DOUBLE) / 1000000 AS avg_nll
+    FROM nll GROUP BY doc_id
+    """,
+)
+def perplexity_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out interpolated Kneser-Ney bigram scoring: the model trains
+    on the even-doc half and scores the odd half with
+    P(w2|w1) = max(c12 - D, 0)/c1 + (D * N1+(w1.)/c1) * Pcont(w2),
+    D = {KN_DISCOUNT}, where Pcont(w2) = (N1+(.w2) + 1)/(types + V)
+    (add-one over bigram TYPES + vocab so OOV score-side words stay
+    finite); an unseen history drops to Pcont alone. The continuation
+    law is KN's whole point: a word's unigram mass is how many distinct
+    histories it follows, not how often it occurs.
+
+    Exactness discipline (the perplexity_bigram playbook): every term is
+    a few IEEE ops on exact BIGINT counts written with IDENTICAL
+    parenthesization on both engines — (c12 - D)/c1, then
+    ((D * n1f)/c1) * pc — so products and quotients are bit-identical;
+    per-bigram NLL rounds to 6dp, accumulates in integer micro-units,
+    and the per-doc average is one truncating integer division.
+
+    Plan shape: the model is THREE rollups off one (bigram, c12) table
+    (histories, continuations, 1-row type/vocab stats — all map-side
+    combined); scoring is three LEFT equi-joins on n-gram keys (AQE
+    sizes each) plus the broadcast stats row; the rollup is per-doc.
+    Identical shuffle structure to perplexity_trigram_backoff with one
+    fewer model table."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    m = t.filter(F.col("doc_id") % 2 == 0)
+    bc = (
+        m.select(F.explode(shingles(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    hist = (
+        bc.select(F.substring_index("bigram", " ", 1).alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(
+            F.sum("c12").cast("bigint").alias("c1"),
+            F.count(F.lit(1)).cast("bigint").alias("n1f"),
+        )
+    )
+    cont = (
+        bc.select(F.substring_index("bigram", " ", -1).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    )
+    bt = bc.agg(F.count(F.lit(1)).cast("bigint").alias("bt"))
+    vs = m.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").cast("bigint").alias("vs")
+    )
+    stats = bt.crossJoin(vs)
+    d = t.filter((F.col("doc_id") % 2 == 1) & (F.size("toks") >= 2))
+    dbc = (
+        d.select("doc_id", F.explode(shingles(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hj = hist.withColumnRenamed("w1", "_w1")
+    cj = cont.withColumnRenamed("w2", "_w2")
+    s = (
+        dbc.join(bc.withColumnRenamed("c12", "_c12"), "bigram", "left")
+        .join(hj, F.substring_index(dbc.bigram, " ", 1) == hj._w1, "left")
+        .join(cj, F.substring_index(dbc.bigram, " ", -1) == cj._w2, "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    pc = (F.coalesce("n1b", F.lit(0)) + 1).cast("double") / (
+        F.col("bt") + F.col("vs")
+    )
+    c12 = F.coalesce("_c12", F.lit(0))
+    prob = F.when(
+        F.col("c1").isNotNull(),
+        F.when(
+            c12 > 0, (c12.cast("double") - KN_DISCOUNT) / F.col("c1")
+        ).otherwise(F.lit(0.0))
+        + ((F.lit(KN_DISCOUNT) * F.col("n1f")) / F.col("c1")) * pc,
+    ).otherwise(pc)
+    scored = s.select(
+        "doc_id",
+        "n",
+        F.round(1_000_000 * F.round(-F.log(prob), 6)).cast("bigint").alias(
+            "micro"
+        ),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("micro")).cast("bigint").alias("_nm"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.expr("_nm div n_bigrams").cast("double") / 1_000_000).alias(
+                "avg_nll"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 DSIR_RESAMPLE_RATE = 0.25   # corpus-average acceptance target
 DSIR_RESAMPLE_SEED = "dsir1|"  # key-domain tag; changing it redraws
 

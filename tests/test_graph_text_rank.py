@@ -460,3 +460,43 @@ def test_dedup_span_remove_scaled_production_span(spark, tmp_path):
         for r in qs["dedup_span_remove"](spark, str(tmp_path)).collect()
     }
     assert demo[3] == 45 and scaled[3][2] == 0
+
+
+def test_kn_bigram_branches_hand_computed(spark, tmp_path):
+    """All three interpolated-KN branches verified against hand-computed
+    NLLs on a tiny corpus: seen bigram (discounted ML + lambda*Pcont),
+    unseen bigram under a seen history (lambda*Pcont alone), and unseen
+    history (raw Pcont)."""
+    import math
+
+    from mapreduce_spark.operators.textops import KN_DISCOUNT
+    from mapreduce_spark.registry import get_queries
+
+    spark.createDataFrame(
+        [
+            (0, "en", "a b a b a c", "s"),  # model half (even doc_id)
+            (1, "en", "a b", "s"),          # seen bigram
+            (3, "en", "a a", "s"),          # unseen bigram, seen history
+            (5, "en", "z a", "s"),          # unseen history
+        ],
+        "doc_id long, lang string, text string, source string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r["doc_id"]: r
+        for r in get_queries()["perplexity_kn_bigram"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {1, 3, 5}
+    # model bigrams: "a b" x2, "b a" x2, "a c" x1 -> types bt=3, vs=3
+    # hist a: c1=3, n1f=2 ; hist b: c1=2, n1f=1
+    # cont b: n1b=1 ; cont a: n1b=1 ; cont c: n1b=1
+    D = KN_DISCOUNT
+    pc = lambda n1b: (n1b + 1) / (3 + 3)
+    nll = lambda p: round(1e6 * round(-math.log(p), 6))
+    seen = nll((2 - D) / 3 + ((D * 2) / 3) * pc(1))     # P(b|a)
+    zero = nll(0.0 + ((D * 2) / 3) * pc(1))             # P(a|a)
+    unhist = nll(pc(1))                                 # P(a|z)
+    assert rows[1]["avg_nll"] == seen / 1e6
+    assert rows[3]["avg_nll"] == zero / 1e6
+    assert rows[5]["avg_nll"] == unhist / 1e6

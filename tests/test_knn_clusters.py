@@ -86,3 +86,33 @@ def test_planted_pairs_co_labeled(paired):
     hits = sum(1 for q, p in truth.items() if labels[q] == labels[p])
     recall = hits / len(truth)
     assert recall >= 0.9, f"co-label recall {recall:.3f} < 0.9"
+
+
+def test_triangle_census_on_planted_clique_and_path(spark):
+    """Hand-computed census: a 4-clique (every vertex: deg 3, 3
+    triangles, coefficient 1.0) glued by one bridge edge to a 3-path
+    (bridge and path vertices: 0 triangles, coefficient 0)."""
+    from mapreduce_spark.operators.similarity import (
+        mutual_knn_edges,
+        triangle_census,
+    )
+
+    # clique {0,1,2,3}; bridge 3-4; path 4-5
+    und = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]
+    # feed DIRECTED edges (both directions) through mutual_knn_edges to
+    # also pin the mutuality rule: drop one direction of 4-5 -> edge gone
+    directed = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    directed.remove((5, 4))
+    ed = mutual_knn_edges(
+        spark.createDataFrame(directed, "src long, dst long")
+    )
+    rows = {r.vec_id: r for r in triangle_census(ed).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}  # 5 dropped: one-sided edge
+    for v in (0, 1, 2):
+        assert rows[v].degree == 3
+        assert rows[v].n_triangles == 3
+        assert rows[v].clustering_coeff == 1.0
+    assert rows[3].degree == 4 and rows[3].n_triangles == 3
+    assert rows[3].clustering_coeff == round(2 * 3 / (4 * 3), 6)
+    assert rows[4].degree == 1 and rows[4].n_triangles == 0
+    assert rows[4].clustering_coeff == 0.0

@@ -166,6 +166,9 @@ CARTESIAN_OK = {
     "domain_mix_report",  # broadcasts the 1-row token/weight totals
     "bpe_train_iters",  # broadcasts each round's 1-row merge rule
     "bpe_apply",  # same three 1-row merge-rule broadcasts, applied
+    "perplexity_kn_bigram",  # broadcasts the 1-row (types, vocab) aggregate
+    "similarity_index_persisted",  # broadcast stored-centroid routing NLJ
+    "vindex_cell_stats",  # same broadcast-centroid assignment NLJ
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
@@ -175,6 +178,8 @@ PLAN_SWEEP_SKIP = {
     "stream_static_join", "stream_stream_join", "stream_text_clean",
     "stream_quality_gate", "stream_gopher_gate", "stream_contamination_gate",
     "stream_neardup_gate",  # drains the ingest stream when invoked
+    "stream_neardup_gate_accum",  # drains + folds the ingest stream
+    "stream_embdup_gate",  # drains the embedding ingest stream
     "stream_anomaly_gate",  # drains the event stream when invoked
     "stream_ohlc",  # drains the event stream when invoked
     "stream_domain_mix_gate",  # drains the document stream when invoked
