@@ -2577,3 +2577,213 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.sum(F.expr(f"f * size({syms})")).cast("bigint").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# C4 heuristic cleaning rules (Raffel et al. 2020 sec. 2.2), adapted to
+# sentence granularity (the corpus is single-line text, so C4's per-LINE
+# rules apply to its '[.!?]'-delimited sentences): a sentence survives
+# with >= C4_MIN_LINE_WORDS words; a page survives with >= C4_MIN_LINES
+# surviving sentences, terminal punctuation, no "lorem ipsum", no curly
+# brace, and no blocklist phrase (a placeholder trio standing in for the
+# deployment's policy list — the plan shape is the same for any list
+# that fits a broadcast).
+C4_MIN_LINE_WORDS = 5
+C4_MIN_LINES = 3
+C4_BLOCKLIST = ("click here to", "winner!!!", "casino bonus")
+
+
+@register(
+    "c4_rules",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(list_transform(
+                   regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+                   x -> x <> '') AS sents,
+               lower(text) AS lt,
+               rtrim(text) AS rt
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(len(list_filter(sents, x ->
+                len(list_filter(regexp_split_to_array(x, '\\s+'),
+                                t -> t <> '')) >= {C4_MIN_LINE_WORDS}))
+                AS BIGINT) AS n_kept_sentences,
+           substr(rt, -1, 1) IN ('.', '!', '?') AS ends_terminal,
+           contains(lt, 'lorem ipsum') AS has_lorem,
+           contains(lt, '{{') AS has_brace,
+           ({' OR '.join(f"contains(lt, '{p}')" for p in C4_BLOCKLIST)})
+             AS has_blocked,
+           (len(list_filter(sents, x ->
+                len(list_filter(regexp_split_to_array(x, '\\s+'),
+                                t -> t <> '')) >= {C4_MIN_LINE_WORDS}))
+                >= {C4_MIN_LINES}
+            AND substr(rt, -1, 1) IN ('.', '!', '?')
+            AND NOT contains(lt, 'lorem ipsum')
+            AND NOT contains(lt, '{{')
+            AND NOT ({' OR '.join(f"contains(lt, '{p}')" for p in C4_BLOCKLIST)}))
+             AS keep
+    FROM s
+    """,
+)
+def c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic page-cleaning gate (Raffel et al. 2020): sentence
+    word-count survival, minimum surviving-sentence count, terminal
+    punctuation, lorem-ipsum / curly-brace / blocklist rejections — each
+    surfaced as a column plus the conjunctive keep flag, the third
+    heuristic gate alongside gopher_rules and quality_score (real
+    pipelines run all three and compare disagreement, which
+    filter_agreement_report already does for the first two).
+
+    Plan shape: ZERO shuffles — every rule is per-row string/array math
+    in whole-stage codegen; the blocklist is inlined literals (a list
+    that outgrows literals becomes a broadcast join on a phrase-hash
+    prefilter, the contamination_gate_bloom shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = (
+        "filter(transform(split(text, '[.!?]+'), x -> trim(x)), "
+        "x -> x != '')"
+    )
+    n_kept = (
+        f"size(filter({sents}, x -> "
+        f"size(filter(split(x, '\\\\s+'), t -> t != '')) "
+        f">= {C4_MIN_LINE_WORDS}))"
+    )
+    lt = F.lower(F.col("text"))
+    ends = F.expr("substring(rtrim(text), -1, 1)").isin(".", "!", "?")
+    blocked = F.lit(False)
+    for p in C4_BLOCKLIST:
+        blocked = blocked | F.contains(lt, F.lit(p))
+    has_lorem = F.contains(lt, F.lit("lorem ipsum"))
+    has_brace = F.contains(lt, F.lit("{"))
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({sents})").cast("bigint").alias("n_sentences"),
+        F.expr(n_kept).cast("bigint").alias("n_kept_sentences"),
+        ends.alias("ends_terminal"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        blocked.alias("has_blocked"),
+        (
+            (F.expr(n_kept) >= C4_MIN_LINES)
+            & ends
+            & ~has_lorem
+            & ~has_brace
+            & ~blocked
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+# "local algorithms for document fingerprinting", the MOSS algorithm):
+# hash every character k-gram, slide a w-window over the hash sequence,
+# and select each window's MINIMUM hash (ties to the RIGHTMOST
+# occurrence). Guarantees: any shared substring of length >= k + w - 1
+# yields a shared fingerprint (no false negatives for long matches),
+# and selected density is ~2/(w+1) — position-robust overlap detection
+# that rolling content hashes (doc_fingerprint) cannot give.
+WINNOW_K = 5   # character k-gram width
+WINNOW_W = 4   # window of consecutive gram hashes
+_WINNOW_P31 = 2_147_483_647
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, length(text) AS n,
+               list_transform(range(1, length(text) - {WINNOW_K} + 2),
+                   i -> {md5_long_sql(f"substr(text, i, {WINNOW_K})")}
+                        % {_WINNOW_P31}) AS hs
+        FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}),
+    w AS (
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+               list_transform(range(1, len(hs) - {WINNOW_W} + 2), j ->
+                   list_min(list_transform(range(0, {WINNOW_W}), o ->
+                       hs[j + o] * {WINNOW_W * 2}
+                       + ({WINNOW_W - 1} - o)))) AS packed
+        FROM g),
+    f AS (
+        SELECT doc_id, n_grams,
+               CAST(len(packed) AS BIGINT) AS n_windows,
+               list_sort(list_distinct(list_transform(
+                   range(1, len(packed) + 1), j ->
+                       CAST(j + ({WINNOW_W - 1}
+                                 - packed[j] % {WINNOW_W * 2}) AS VARCHAR)
+                       || ':' ||
+                       CAST(packed[j] // {WINNOW_W * 2} AS VARCHAR))))
+                 AS fps
+        FROM w)
+    SELECT doc_id, n_grams, n_windows,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           round(CAST(len(fps) AS DOUBLE) / n_windows, 6) AS density,
+           md5(array_to_string(fps, '|')) AS fp_digest
+    FROM f
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection per document (Schleimer et al.
+    2003, the MOSS algorithm): the k={WINNOW_K} character-gram hashes
+    slide under a w={WINNOW_W} window, each window keeps its minimum
+    hash with ties to the rightmost position (packed as
+    hash*2w + (w-1-offset) so one integer min decides both), and the
+    distinct selected (position:hash) pairs are the document's
+    fingerprint set — any shared substring of length >=
+    {WINNOW_K + WINNOW_W - 1} between two documents is GUARANTEED a
+    shared fingerprint, the local-algorithm property rolling content
+    hashes don't have. Surfaced per doc as gram/window/fingerprint
+    counts, selected density (the paper's ~2/(w+1) law — asserted on
+    real text in tests), and an md5 digest of the sorted set (equal
+    digests <=> identical fingerprint sets, so a GROUP BY on fp_digest
+    is plagiarism-cluster detection).
+
+    Plan shape: ZERO shuffles — one md5 per gram computed once into an
+    array, window minima are integer folds over element_at references,
+    dedup/sort/digest are per-row array ops, all in codegen."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    )
+    w2 = WINNOW_W * 2
+    g = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - WINNOW_K + 1),
+            lambda i: md5_long(F.col("text").substr(i, F.lit(WINNOW_K)))
+            % _WINNOW_P31,
+        ).alias("hs"),
+    )
+    packed = (
+        f"transform(sequence(1, size(hs) - {WINNOW_W} + 1), j -> "
+        f"array_min(transform(sequence(0, {WINNOW_W - 1}), o -> "
+        f"element_at(hs, j + o) * {w2} + ({WINNOW_W - 1} - o))))"
+    )
+    fps = (
+        f"array_sort(array_distinct(transform("
+        f"sequence(1, size(packed)), j -> "
+        f"concat(cast(j + ({WINNOW_W - 1} - element_at(packed, j) % {w2}) "
+        f"as string), ':', "
+        f"cast(element_at(packed, j) div {w2} as string)))))"
+    )
+    w = g.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_grams"),
+        F.expr(packed).alias("packed"),
+    )
+    f = w.select(
+        "doc_id",
+        "n_grams",
+        F.size("packed").cast("bigint").alias("n_windows"),
+        F.expr(fps).alias("fps"),
+    )
+    return f.select(
+        "doc_id",
+        "n_grams",
+        "n_windows",
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.round(
+            F.size("fps").cast("double") / F.col("n_windows"), 6
+        ).alias("density"),
+        F.md5(F.array_join("fps", "|")).alias("fp_digest"),
+    )
