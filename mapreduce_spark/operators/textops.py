@@ -2742,34 +2742,14 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ZERO shuffles — one md5 per gram computed once into an
     array, window minima are integer folds over element_at references,
     dedup/sort/digest are per-row array ops, all in codegen."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= WINNOW_K + WINNOW_W - 1
-    )
+    w = _winnow_packed(load_table(spark, sf_dir, "documents"))
     w2 = WINNOW_W * 2
-    g = docs.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.length("text") - WINNOW_K + 1),
-            lambda i: md5_long(F.col("text").substr(i, F.lit(WINNOW_K)))
-            % _WINNOW_P31,
-        ).alias("hs"),
-    )
-    packed = (
-        f"transform(sequence(1, size(hs) - {WINNOW_W} + 1), j -> "
-        f"array_min(transform(sequence(0, {WINNOW_W - 1}), o -> "
-        f"element_at(hs, j + o) * {w2} + ({WINNOW_W - 1} - o))))"
-    )
     fps = (
         f"array_sort(array_distinct(transform("
         f"sequence(1, size(packed)), j -> "
         f"concat(cast(j + ({WINNOW_W - 1} - element_at(packed, j) % {w2}) "
         f"as string), ':', "
         f"cast(element_at(packed, j) div {w2} as string)))))"
-    )
-    w = g.select(
-        "doc_id",
-        F.size("hs").cast("bigint").alias("n_grams"),
-        F.expr(packed).alias("packed"),
     )
     f = w.select(
         "doc_id",
@@ -2786,4 +2766,117 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("fps").cast("double") / F.col("n_windows"), 6
         ).alias("density"),
         F.md5(F.array_join("fps", "|")).alias("fp_digest"),
+    )
+
+
+def _winnow_packed(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, packed) — the per-doc packed window minima the
+    fingerprint report and the overlap pairer both decode."""
+    w2 = WINNOW_W * 2
+    g = docs.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - WINNOW_K + 1),
+            lambda i: md5_long(F.col("text").substr(i, F.lit(WINNOW_K)))
+            % _WINNOW_P31,
+        ).alias("hs"),
+    )
+    packed = (
+        f"transform(sequence(1, size(hs) - {WINNOW_W} + 1), j -> "
+        f"array_min(transform(sequence(0, {WINNOW_W - 1}), o -> "
+        f"element_at(hs, j + o) * {w2} + ({WINNOW_W - 1} - o))))"
+    )
+    return g.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_grams"),
+        F.expr(packed).alias("packed"),
+    )
+
+
+# MOSS's actual report: pairs of documents ranked by SHARED fingerprint
+# hashes (position-independent — a moved block still matches), with
+# document-frequency pruning dropping boilerplate fingerprints the way
+# dedup_ngram_jaccard prunes stop-shingles.
+WINNOW_DF_MAX = 20     # fingerprints in more docs than this are boilerplate
+WINNOW_MIN_SHARED = 3  # report pairs sharing at least this many
+
+
+_SQL_WINNOW_GW = f"""
+    WITH g AS (
+        SELECT doc_id, length(text) AS n,
+               list_transform(range(1, length(text) - {WINNOW_K} + 2),
+                   i -> {md5_long_sql(f"substr(text, i, {WINNOW_K})")}
+                        % {_WINNOW_P31}) AS hs
+        FROM documents WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}),
+    w AS (
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+               list_transform(range(1, len(hs) - {WINNOW_W} + 2), j ->
+                   list_min(list_transform(range(0, {WINNOW_W}), o ->
+                       hs[j + o] * {WINNOW_W * 2}
+                       + ({WINNOW_W - 1} - o)))) AS packed
+        FROM g)"""
+
+
+@register(
+    "winnowing_overlap_pairs",
+    oracle=_SQL_WINNOW_GW
+    + f""",
+    dh AS (
+        SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(packed,
+                          p -> p // {WINNOW_W * 2})) AS h
+            FROM w)),
+    df AS (SELECT h FROM dh GROUP BY h
+           HAVING count(*) <= {WINNOW_DF_MAX}),
+    pruned AS (SELECT dh.doc_id, dh.h FROM dh JOIN df USING (h)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM pruned a JOIN pruned b
+          ON b.h = a.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    WHERE n_shared >= {WINNOW_MIN_SHARED}
+    """,
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS overlap report: document pairs sharing >=
+    {WINNOW_MIN_SHARED} selected fingerprint HASHES (positions ignored,
+    so a moved or re-surrounded block still matches — the property the
+    winnowing guarantee exists for). Fingerprints appearing in more
+    than {WINNOW_DF_MAX} documents are pruned first: boilerplate
+    matches everything and proves nothing, the same
+    document-frequency discipline as dedup_ngram_jaccard's
+    stop-shingle cut.
+
+    Scale shape: candidates come from the inverted fingerprint index
+    (an equi-join on the hash key) — never all-pairs; the df prune
+    bounds any fingerprint's fan-out at {WINNOW_DF_MAX}^2 pairs, so
+    cost tracks true overlap density. Selection keeps ~2/(w+1) of
+    grams, so the index is ~{2 * 100 // (WINNOW_W + 1)}% the size of a
+    full k-gram index at the same guarantee threshold."""
+    w = _winnow_packed(load_table(spark, sf_dir, "documents"))
+    dh = w.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(packed, p -> p div {WINNOW_W * 2})"
+                )
+            )
+        ).alias("h"),
+    )
+    df_ok = dh.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= WINNOW_DF_MAX
+    )
+    pruned = dh.join(df_ok.select("h"), "h")
+    a = pruned.select(F.col("doc_id").alias("doc_a"), "h")
+    b = pruned.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )

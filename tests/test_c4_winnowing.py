@@ -113,3 +113,29 @@ def test_winnowing_digest_and_density_laws(spark, sf_dir):
     # (if any) must share it; every digest is a 32-hex md5
     for r in rows:
         assert len(r.fp_digest) == 32
+
+
+def test_winnowing_overlap_finds_moved_block(spark, tmp_path):
+    """The MOSS property: a >= k+w-1-char block shared between two
+    documents surfaces as an overlap pair even when MOVED to a different
+    position and surrounded by fresh text; unrelated docs don't pair."""
+    from mapreduce_spark.operators.textops import WINNOW_MIN_SHARED
+
+    block = "the unmistakable copied passage travels intact"
+    sf_dir = _write_docs(
+        spark,
+        tmp_path,
+        [
+            "opening words here " + block + " and a local tail",       # 0
+            "totally different start, then " + block + " moved later", # 1
+            "nothing in common with anyone else whatsoever right now", # 2
+        ],
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in get_queries()["winnowing_overlap_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert (0, 1) in rows and rows[(0, 1)] >= WINNOW_MIN_SHARED
+    assert not any(2 in pair for pair in rows)
