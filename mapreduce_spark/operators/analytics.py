@@ -1693,3 +1693,109 @@ def activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").cast("bigint").alias("n_events"),
         (gini_micro.cast("double") / 1_000_000).alias("gini"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over lineitem's four measures, exact-sum
+# formulation: every moment accumulates as a DECIMAL(38,0) sum of exact
+# integer cents (order-independent at any parallelism — a double SUM of
+# squares diverges between engines in the low bits), and the correlation
+# assembles from those exact moments with one fixed IEEE expression per
+# pair. Spark's built-in corr() is a streaming double estimator whose
+# result depends on partition order — unusable against a bit-exact
+# oracle, and the reason warehouses compute corr from moment rollups.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+]
+
+
+def _sql_corr(a: str, b: str) -> str:
+    return (
+        f"round((n * s_{a}_{b} - s_{a} * s_{b}) / "
+        f"sqrt((n * s2_{a} - s_{a} * s_{a}) * (n * s2_{b} - s_{b} * s_{b})),"
+        f" 6)"
+    )
+
+
+@register(
+    "corr_matrix",
+    oracle=f"""
+    WITH c AS (SELECT {', '.join(
+        f"CAST(round(CAST({c} AS DOUBLE) * 100) AS BIGINT) AS {c}"
+        for c in _CORR_COLS)}
+               FROM lineitem),
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 {', '.join(
+                     f"CAST(SUM(CAST({c} AS DECIMAL(38,0))) AS DOUBLE)"
+                     f" AS s_{c}" for c in _CORR_COLS)},
+                 {', '.join(
+                     f"CAST(SUM(CAST({c} AS DECIMAL(38,0))"
+                     f" * CAST({c} AS DECIMAL(38,0))) AS DOUBLE)"
+                     f" AS s2_{c}" for c in _CORR_COLS)},
+                 {', '.join(
+                     f"CAST(SUM(CAST({a} AS DECIMAL(38,0))"
+                     f" * CAST({b} AS DECIMAL(38,0))) AS DOUBLE)"
+                     f" AS s_{a}_{b}" for a, b in _CORR_PAIRS)}
+          FROM c)
+    {' UNION ALL '.join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n, "
+        f"{_sql_corr(a, b)} AS corr FROM m" for a, b in _CORR_PAIRS)}
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six pairwise Pearson correlations of lineitem's measures in
+    ONE scan: quantities become exact integer cents, the full moment
+    vector (count, 4 sums, 4 sums-of-squares, 6 cross-products)
+    accumulates as order-independent DECIMAL(38,0) sums (headroom to
+    ~1e13 rows of squared cents), and each correlation is one fixed
+    IEEE expression over the exact moments, rounded 6dp — bit-identical
+    across engines and parallelism, which a streaming double corr()
+    never is. Plan: one map-side-combined rollup to a single row, then
+    a 6-row explode — the cheapest possible shape at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        *[
+            F.round(F.col(c).cast("double") * 100)
+            .cast("bigint")
+            .alias(c)
+            for c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(38,0)")).cast("double").alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum(
+                F.col(c).cast("decimal(38,0)") * F.col(c).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias(f"s2_{c}")
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum(
+                F.col(a).cast("decimal(38,0)") * F.col(b).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias(f"s_{a}_{b}")
+        )
+    m = cents.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n").cast("bigint").alias("n"),
+                F.expr(_sql_corr(a, b)).alias("corr"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select(
+        "r.col_a", "r.col_b", "r.n", "r.corr"
+    )

@@ -379,3 +379,27 @@ def test_activity_gini_matches_sorted_recompute(spark):
         assert r["n_users"] == u and r["n_events"] == tot
         assert r["gini"] == micro / 1e6
         assert 0 <= r["gini"] < 1
+
+
+def test_corr_matrix_hand_computed_and_bounded(spark, tmp_path):
+    """Pearson on a planted frame: an exactly linear pair hits 1.0, an
+    exactly anti-linear pair hits -1.0, and every corr is in [-1, 1]."""
+    rows = [
+        # qty, price=2*qty (corr 1), disc = -qty scaled (corr -1), tax noise
+        (float(q), float(2 * q), float(10 - q) / 100, float(t) / 100)
+        for q, t in zip(range(1, 9), [3, 1, 4, 1, 5, 9, 2, 6])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    from mapreduce_spark.registry import get_queries
+
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in get_queries()["corr_matrix"](spark, str(tmp_path)).collect()
+    }
+    assert got[("l_quantity", "l_extendedprice")] == 1.0
+    assert got[("l_quantity", "l_discount")] == -1.0
+    assert all(-1.0 <= v <= 1.0 for v in got.values())
