@@ -991,3 +991,180 @@ def stream_embdup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@register(
+    "stream_embdup_gate_accum",
+    oracle=f"""
+    WITH {_sql_eg_buckets(_EG_PLANES, _EG_TABLES, 'ea')},
+    pairs_ea AS (
+        SELECT DISTINCT n.vec_id AS d1, o.vec_id AS d2
+        FROM eabuckets n JOIN eabuckets o
+          ON o.table_idx = n.table_idx AND o.bucket = n.bucket
+         AND n.vec_id <> o.vec_id),
+    ver_ea AS (
+        SELECT p.d1, p.d2
+        FROM pairs_ea p
+        JOIN embeddings a ON a.vec_id = p.d1
+        JOIN embeddings b ON b.vec_id = p.d2
+        WHERE round({_sql_cos_pair('a.embedding', 'b.embedding')}, 6)
+              >= {_EMB_GATE_COS}),
+    adm1_ea AS (
+        SELECT e.vec_id FROM embeddings e
+        WHERE e.vec_id % 4 = 1
+          AND NOT EXISTS (SELECT 1 FROM ver_ea v
+                          WHERE v.d1 = e.vec_id AND v.d2 % 2 = 0)),
+    adm2_ea AS (
+        SELECT e.vec_id FROM embeddings e
+        WHERE e.vec_id % 4 = 3
+          AND NOT EXISTS (SELECT 1 FROM ver_ea v
+                          WHERE v.d1 = e.vec_id
+                            AND (v.d2 % 2 = 0
+                                 OR v.d2 IN (SELECT vec_id FROM adm1_ea))))
+    SELECT e.vec_id, e.label, CAST(1 AS BIGINT) AS batch_idx
+    FROM embeddings e JOIN adm1_ea a ON a.vec_id = e.vec_id
+    UNION ALL
+    SELECT e.vec_id, e.label, CAST(2 AS BIGINT) AS batch_idx
+    FROM embeddings e JOIN adm2_ea a ON a.vec_id = e.vec_id
+    """,
+)
+def stream_embdup_gate_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-ACCUMULATING embedding ingest gate: after each micro-batch,
+    the admitted vectors' LSH buckets and raw vectors fold back into the
+    on-disk index via bucketed appends, so two semantically-near vectors
+    arriving in different batches admit exactly ONE — the
+    stream_neardup_gate_accum contract carried to the embedding channel.
+    Same deterministic two-batch replay (vec_id%4==1 then %4==3 spooled
+    as mtime-ordered files, maxFilesPerTrigger=1) so the SQL oracle
+    replays the protocol exactly; same cloned-session refresh rule so
+    batch N+1 sees batch N's appends. Per-batch cost is the batch's
+    bucket derivation + true collisions + two bucketed appends; the
+    corpus is never rescanned or rewritten."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    from urllib.parse import urlparse
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for suffix in ("buckets", "vectors"):
+        spark.sql(f"DROP TABLE IF EXISTS embacc_idx_{suffix}")
+        shutil.rmtree(f"{warehouse}/embacc_idx_{suffix}", ignore_errors=True)
+
+    def _append_index(vecs: DataFrame, mode: str) -> None:
+        (
+            _eg_lsh_buckets(
+                vecs.select("vec_id", "embedding"), _EG_PLANES, _EG_TABLES
+            )
+            .write.mode(mode)
+            .format("parquet")
+            .bucketBy(16, "table_idx", "bucket")
+            .sortBy("table_idx", "bucket")
+            .saveAsTable("embacc_idx_buckets")
+        )
+        (
+            vecs.select(
+                "vec_id", "embedding", _vnorm(F.col("embedding")).alias("nrm")
+            )
+            .write.mode(mode)
+            .format("parquet")
+            .bucketBy(16, "vec_id")
+            .sortBy("vec_id")
+            .saveAsTable("embacc_idx_vectors")
+        )
+
+    _append_index(corpus, "overwrite")
+
+    spool = tempfile.mkdtemp(prefix="stream_embdup_accum_")
+    in_dir = os.path.join(spool, "incoming")
+    os.makedirs(in_dir)
+    for i, pred in enumerate([1, 3]):
+        part = os.path.join(spool, f"b{i}")
+        emb.filter(F.col("vec_id") % 4 == pred).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        src = next(
+            os.path.join(part, f)
+            for f in os.listdir(part)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"batch{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (time.time() - 600 + 300 * i,) * 2)
+
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(spool, "admitted")
+
+    def _admit_and_fold(batch_df: DataFrame, _batch_id: int) -> None:
+        session = batch_df.sparkSession
+        session.catalog.refreshTable("embacc_idx_buckets")
+        session.catalog.refreshTable("embacc_idx_vectors")
+        batch = batch_df.select(
+            "vec_id", "embedding", "label"
+        ).localCheckpoint(eager=True)
+        nb = _eg_lsh_buckets(
+            batch.select("vec_id", "embedding"), _EG_PLANES, _EG_TABLES
+        ).selectExpr("vec_id AS new_vec", "table_idx", "bucket")
+        ob = session.table("embacc_idx_buckets").selectExpr(
+            "vec_id AS old_vec", "table_idx", "bucket"
+        )
+        cand = (
+            nb.join(ob, ["table_idx", "bucket"])
+            .select("new_vec", "old_vec")
+            .dropDuplicates(["new_vec", "old_vec"])
+        )
+        na = batch.select(
+            F.col("vec_id").alias("new_vec"),
+            F.col("embedding").alias("ne"),
+            _vnorm(F.col("embedding")).alias("nn"),
+        )
+        oa = session.table("embacc_idx_vectors").selectExpr(
+            "vec_id AS old_vec", "embedding AS oe", "nrm AS onrm"
+        )
+        dup = (
+            cand.join(na, "new_vec")
+            .join(oa, "old_vec")
+            .filter(
+                F.round(
+                    _cosine_n(
+                        F.col("ne"), F.col("oe"), F.col("nn"), F.col("onrm")
+                    ),
+                    6,
+                )
+                >= _EMB_GATE_COS
+            )
+            .select(F.col("new_vec").alias("vec_id"))
+        )
+        admitted = batch.join(dup, "vec_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        admitted.select(
+            "vec_id",
+            "label",
+            F.when(F.col("vec_id") % 4 == 1, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("bigint")
+            .alias("batch_idx"),
+        ).write.mode("append").parquet(out_dir)
+        _append_index(admitted, "append")
+
+    for q in spark.streams.active:
+        if q.name == "stream_embdup_gate_accum":
+            q.stop()
+    query = (
+        stream.writeStream.foreachBatch(_admit_and_fold)
+        .queryName("stream_embdup_gate_accum")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -180,6 +180,7 @@ PLAN_SWEEP_SKIP = {
     "stream_neardup_gate",  # drains the ingest stream when invoked
     "stream_neardup_gate_accum",  # drains + folds the ingest stream
     "stream_embdup_gate",  # drains the embedding ingest stream
+    "stream_embdup_gate_accum",  # drains + folds the embedding stream
     "stream_anomaly_gate",  # drains the event stream when invoked
     "stream_ohlc",  # drains the event stream when invoked
     "stream_domain_mix_gate",  # drains the document stream when invoked

@@ -326,3 +326,61 @@ def test_stream_domain_mix_gate_equals_batch_sample(spark, sf_dir, qs):
     assert a == b and len(a) > 0
     n_all = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert len(a) < n_all
+
+
+def test_embdup_accum_gate_split_pair_admits_one(spark, tmp_path):
+    """The vector fold contract (stream_neardup_gate_accum's law on the
+    embedding channel): a near-identical vector pair split across the
+    two ingest batches admits exactly its batch-1 member — batch 2's
+    copy collides with the just-folded buckets. Planted 64-dim vectors:
+    corpus 100, batch-1 novel 101 + unrelated 105, batch-2 copy 103."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.registry import get_queries
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + 0.001 for x in base]
+    ortho = [rng.uniform(-1, 1) for _ in range(64)]
+    corpus_vec = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [
+        (100, corpus_vec, 0),
+        (101, base, 1),
+        (103, near, 1),   # batch-2 near-dup of batch-1's 101
+        (105, ortho, 2),
+    ]
+    # the driver testdata ships each table as ONE parquet FILE (the
+    # streaming gates glob on that layout) — write-then-move to match
+    import os
+
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/_emb_dir")
+    src = next(
+        f
+        for f in os.listdir(f"{tmp_path}/_emb_dir")
+        if f.endswith(".parquet")
+    )
+    os.rename(
+        f"{tmp_path}/_emb_dir/{src}", f"{tmp_path}/embeddings.parquet"
+    )
+    got = {
+        r.vec_id: r.batch_idx
+        for r in get_queries()["stream_embdup_gate_accum"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert 101 in got and got[101] == 1
+    assert 105 in got
+    assert 103 not in got, "batch-2 copy must reject against folded 101"
+    # the static gate (no fold) admits the same pair TWICE - the
+    # difference IS the accumulating contract
+    static = {
+        r.vec_id
+        for r in get_queries()["stream_embdup_gate"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert 103 in static and 101 in static
