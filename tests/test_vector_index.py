@@ -98,3 +98,26 @@ def test_cell_balance_gauge_gated(spark, sf_dir):
         f"max cell is {row.balance}x the mean — quantizer degenerated "
         f"(max_cell={row.max_cell}, n_cells={row.n_cells})"
     )
+
+
+def test_append_preserves_pruning_and_matches_bulk(spark, sf_dir):
+    """Append parity law: staging the data in two writes under a pinned
+    training corpus yields byte-identical probe results to the one-shot
+    bulk build, and the probe plan still carries the DPP subquery."""
+    emb = _emb(spark, sf_dir)
+    vector_index_write(emb, "t_vx_bulk")
+    from mapreduce_spark.operators.similarity import vector_index_append
+
+    vector_index_write(
+        emb.filter(F.col("vec_id") % 2 == 0), "t_vx_staged", train=emb
+    )
+    vector_index_append(emb.filter(F.col("vec_id") % 2 == 1), "t_vx_staged")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    bulk = sorted(
+        map(tuple, vector_index_probe(spark, "t_vx_bulk", q).collect())
+    )
+    staged_probe = vector_index_probe(spark, "t_vx_staged", q)
+    staged = sorted(map(tuple, staged_probe.collect()))
+    assert staged == bulk and len(bulk) == N_QUERIES * TOP_K
+    plan = staged_probe._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
