@@ -1799,3 +1799,83 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.explode(rows).alias("r")).select(
         "r.col_a", "r.col_b", "r.n", "r.corr"
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped distribution-shape report: exact integer power sums -> skew/kurtosis.
+
+_M2 = "(n * s2 - s1 * s1) / (n * n)"
+_MOMENT_EXPRS = [
+    ("mean_qty", "round(s1 / n / 100, 6)"),
+    ("std_qty", f"round(sqrt({_M2}) / 100, 6)"),
+    (
+        "skewness",
+        f"round(((n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)"
+        f" / (n * n * n)) / power({_M2}, 1.5), 6)",
+    ),
+    (
+        "kurtosis_excess",
+        f"round(((n * n * n * s4 - 4 * n * n * s1 * s3"
+        f" + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)"
+        f" / (n * n * n * n)) / power({_M2}, 2.0) - 3, 6)",
+    ),
+]
+
+
+@register(
+    "moments_report",
+    oracle=f"""
+    WITH c AS (SELECT l_returnflag,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS q
+               FROM lineitem),
+    m AS (SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(q * q AS HUGEINT)) AS DOUBLE) AS s2,
+                 CAST(sum(CAST(q * q * q AS HUGEINT)) AS DOUBLE) AS s3,
+                 CAST(sum(CAST(q * q * q * q AS HUGEINT)) AS DOUBLE) AS s4
+          FROM c GROUP BY 1)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           {", ".join(f"{e} AS {a}" for a, e in _MOMENT_EXPRS)}
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape card per return flag: n, mean, population std,
+    skewness and excess kurtosis of l_quantity — the profile a curation
+    pipeline consults before z-score/MAD outlier thresholds (a skewed or
+    heavy-tailed column needs robust cutoffs, not +-3 sigma).
+
+    Same exactness discipline as corr_matrix: quantities become integer
+    cents, the four power sums accumulate as order-independent
+    DECIMAL(38,0) (mergeable across partitions AND across runs — this
+    row IS a moment sketch), and every shape statistic is one fixed IEEE
+    expression over the exact sums, rounded 6 dp — bit-identical across
+    engines and parallelism, unlike streaming skewness()/kurtosis()
+    whose float accumulation is order-dependent. Plan: one scan,
+    map-side-combined groupBy to |flags| rows, scalar math on those."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity").cast("double") * 100).cast("bigint")
+    c = li.select("l_returnflag", q.alias("q"))
+    m = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2"),
+        F.sum((F.col("q") * F.col("q") * F.col("q")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s3"),
+        F.sum(
+            (F.col("q") * F.col("q") * F.col("q") * F.col("q")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        *[F.expr(e).alias(a) for a, e in _MOMENT_EXPRS],
+    ).orderBy("l_returnflag")

@@ -139,3 +139,141 @@ def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("units").alias("rank_units"),
         F.round(F.col("units").cast("double") / PR_SCALE, 9).alias("pagerank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components via alternating large-star / small-star contractions.
+
+CC_STAR_MAX_ITERS = 12
+
+
+def _edge_digest(edges: DataFrame) -> tuple[int, int]:
+    """Scalar (count, commutative hash-sum) fingerprint of an edge set —
+    the convergence probe, two aggregates in one pass, no data collect."""
+    from mapreduce_spark.functions.hashing import md5_long
+
+    r = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                md5_long(
+                    F.concat_ws(":", F.col("child"), F.col("parent"))
+                ).cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).first()
+    return int(r["n"]), int(r["h"])
+
+
+def cc_star(edges: DataFrame, nodes: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    the O(log n)-round algorithm for 100 TB graphs, vs min-label
+    propagation whose round count is the component DIAMETER (a 1e6-long
+    chain of near-dup shards needs 1e6 min-label rounds but ~20 star
+    rounds).
+
+    ``edges``: columns (a, b), undirected, any orientation, self-loops
+    ignored. ``nodes``: column (id) — the full node universe, so
+    isolated nodes come out as singletons. Returns (labels, rounds)
+    where labels has (id, component) = the component's minimum node id.
+
+    Both star operations are a groupBy-min + an equi-join back on the
+    grouping key — NO per-group array materialization (the collect_list
+    pitfall the r6 occupancy cap exists for): a hot node's neighbor list
+    never sits in one task's memory, it streams through a map-side-
+    combined min and a skew-splittable join. Each round's output is
+    localCheckpointed to cut lineage; convergence is a scalar
+    count+hash-sum compare, not a plan-growing anti-join."""
+    sym = (
+        edges.select(F.col("a").alias("child"), F.col("b").alias("parent"))
+        .unionByName(
+            edges.select(F.col("b").alias("child"), F.col("a").alias("parent"))
+        )
+        .filter(F.col("child") != F.col("parent"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _edge_digest(sym)
+    cur = sym
+    rounds = 0
+    for _ in range(CC_STAR_MAX_ITERS):
+        rounds += 1
+        # large-star: group the SYMMETRIC adjacency by u; every strictly
+        # larger neighbor re-points to m(u) = min(N(u) ∪ {u}).
+        s = cur.unionByName(
+            cur.select(
+                F.col("parent").alias("child"), F.col("child").alias("parent")
+            )
+        ).distinct()
+        mins = (
+            s.groupBy("child")
+            .agg(F.min("parent").alias("mn"))
+            .select("child", F.least("mn", "child").alias("m"))
+        )
+        large = (
+            s.join(mins, "child")
+            .filter(F.col("parent") > F.col("child"))
+            .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+            .distinct()
+        )
+        # small-star: edges are now all child > parent; group by child,
+        # re-point every parent (and the child itself) to the min parent.
+        mins2 = large.groupBy("child").agg(F.min("parent").alias("m"))
+        joined = large.join(mins2, "child")
+        small = (
+            joined.filter(F.col("parent") != F.col("m"))
+            .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
+            .unionByName(mins2.select("child", F.col("m").alias("parent")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = small
+        dig = _edge_digest(cur)
+        if dig == prev:
+            break
+        prev = dig
+    labels = (
+        nodes.join(cur, nodes["id"] == cur["child"], "left")
+        .select(
+            F.col("id"),
+            F.coalesce(F.col("parent"), F.col("id")).alias("component"),
+        )
+    )
+    return labels, rounds
+
+
+from mapreduce_spark.operators.dedup import _CLUSTER_CTES  # noqa: E402
+
+
+@register(
+    "cc_star_components",
+    oracle=_CLUSTER_CTES
+    + """
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper FROM clus
+    """,
+)
+def cc_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the MinHash near-dup graph via the
+    large-star/small-star alternating algorithm — dedup_cluster's exact
+    contract (doc_id, cluster_id, is_keeper) computed by the
+    adversarial-diameter-robust production variant: min-label rounds
+    scale with component diameter, star rounds with log n, and a 100 TB
+    boilerplate chain makes the difference the whole job. The planted
+    64-chain in tests/test_cc_star.py converges in <= 7 star rounds
+    where min-label needs 63."""
+    from mapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    labels, _ = cc_star(pairs, docs)
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

@@ -2880,3 +2880,102 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+# --------------------------------------------------------------------------
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+
+@register(
+    "token_pmi",
+    oracle=f"""
+    WITH tok AS (SELECT {SQL_TOKENS.format(col='text')} AS t FROM documents),
+    big AS (
+        SELECT unnest(list_transform(range(len(t) - 1),
+                      i -> {{'w1': t[i + 1], 'w2': t[i + 2]}}),
+                      recursive := true)
+        FROM tok WHERE len(t) >= 2),
+    pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+           FROM big GROUP BY 1, 2),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+    nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uc),
+    np AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_pairs FROM pc)
+    SELECT pc.w1, pc.w2, pc.c_ab, u1.c AS c_w1, u2.c AS c_w2,
+           round(ln((CAST(pc.c_ab AS DOUBLE) / np.n_pairs)
+                    / ((CAST(u1.c AS DOUBLE) / nt.n_tok)
+                       * (CAST(u2.c AS DOUBLE) / nt.n_tok))), 6) AS pmi
+    FROM pc JOIN uc u1 ON u1.w = pc.w1 JOIN uc u2 ON u2.w = pc.w2
+    CROSS JOIN nt CROSS JOIN np
+    WHERE pc.c_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
+    """,
+)
+def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection: top-{PMI_TOP_K} adjacent token pairs by
+    pointwise mutual information — the word2phrase statistic (Mikolov et
+    al. 2013) every tokenizer-prep pipeline runs to decide which bigrams
+    deserve a merged vocabulary entry. pmi = ln(P(ab) / (P(a)·P(b))) with
+    P(ab) over the corpus bigram total and P(·) over the token total;
+    pairs below {PMI_MIN_COUNT} occurrences are noise and dropped
+    (the word2phrase min-count discount).
+
+    Scale shape: one tokenization pass feeds both count tables — bigram
+    counts via a zip_with pairing (JVM codegen, no Python), unigram
+    counts via explode — each map-side combined before its single
+    keyed shuffle. The two probability joins key on a vocabulary-sized
+    table (sublinear in corpus size; Heaps' law), so AQE broadcasts it
+    at any realistic scale and degrades to a shuffle join past the
+    threshold. The scalar totals are 1-row broadcasts. Top-k is a
+    TakeOrdered over the surviving >= {PMI_MIN_COUNT} pairs, never a
+    global sort. ln-on-exact-integer-ratios rounded 6 dp keeps the two
+    engines bit-identical (same discipline as tfidf_top_terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(tokens("text").alias("t")).filter(F.size("t") >= 1)
+    pairs = tok.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.col("t"),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).filter(F.col("p.w2").isNotNull())
+    pc = pairs.groupBy(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    uc = (
+        tok.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nt = uc.agg(F.sum("c").cast("bigint").alias("n_tok"))
+    np_ = pc.agg(F.sum("c_ab").cast("bigint").alias("n_pairs"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    scored = (
+        pc.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_w1",
+            "c_w2",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("n_pairs"))
+                    / (
+                        (F.col("c_w1").cast("double") / F.col("n_tok"))
+                        * (F.col("c_w2").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(PMI_TOP_K)

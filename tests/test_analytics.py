@@ -403,3 +403,52 @@ def test_corr_matrix_hand_computed_and_bounded(spark, tmp_path):
     assert got[("l_quantity", "l_extendedprice")] == 1.0
     assert got[("l_quantity", "l_discount")] == -1.0
     assert all(-1.0 <= v <= 1.0 for v in got.values())
+
+
+def test_moments_report_symmetric_and_skewed_groups(spark, tmp_path):
+    """Planted quantities: a symmetric uniform group has skewness exactly
+    0 and the hand-computed uniform excess kurtosis; a lopsided group
+    skews positive. Moments are exact integers, so equality is exact."""
+    rows = [("A", float(q)) for q in range(1, 6)] + [
+        ("B", 1.0),
+        ("B", 1.0),
+        ("B", 1.0),
+        ("B", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_quantity double")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    from mapreduce_spark.registry import get_queries
+
+    got = {
+        r.l_returnflag: r
+        for r in get_queries()["moments_report"](spark, str(tmp_path)).collect()
+    }
+    a = got["A"]
+    # uniform {1..5}: mean 3, m2 = 2, m4 = 6.8 -> excess kurt = 6.8/4 - 3
+    assert a.n == 5
+    assert a.mean_qty == 3.0
+    assert a.skewness == 0.0
+    assert a.kurtosis_excess == round(6.8 / 4.0 - 3.0, 6)
+    b = got["B"]
+    assert b.n == 4 and b.skewness > 1.0
+
+
+def test_token_pmi_planted_collocation(spark, tmp_path):
+    """6 copies of the bigram 'new york' clear the min-count gate; a
+    4-copy pair is counted in the totals but excluded from the output.
+    PMI matches the closed form on the planted counts."""
+    import math
+
+    docs = [("new york",)] * 6 + [("aa bb",)] * 4
+    df = spark.createDataFrame(
+        [(i, t) for i, (t,) in enumerate(docs)], "doc_id bigint, text string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from mapreduce_spark.registry import get_queries
+
+    rows = get_queries()["token_pmi"](spark, str(tmp_path)).collect()
+    assert [(r.w1, r.w2) for r in rows] == [("new", "york")]
+    r = rows[0]
+    assert (r.c_ab, r.c_w1, r.c_w2) == (6, 6, 6)
+    # n_pairs = 10, n_tok = 20
+    assert r.pmi == round(math.log((6 / 10) / ((6 / 20) * (6 / 20))), 6)

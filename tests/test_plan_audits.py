@@ -169,6 +169,7 @@ CARTESIAN_OK = {
     "perplexity_kn_bigram",  # broadcasts the 1-row (types, vocab) aggregate
     "similarity_index_persisted",  # broadcast stored-centroid routing NLJ
     "vindex_cell_stats",  # same broadcast-centroid assignment NLJ
+    "token_pmi",  # broadcasts the two 1-row token/pair-total aggregates
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip
@@ -185,6 +186,7 @@ PLAN_SWEEP_SKIP = {
     "stream_ohlc",  # drains the event stream when invoked
     "stream_domain_mix_gate",  # drains the document stream when invoked
     "dedup_cluster",  # runs a convergence loop when invoked
+    "cc_star_components",  # runs the star-contraction loop when invoked
     "dedup_cluster_stats",  # rolls up dedup_cluster's converged labels
     "dedup_keep_best",  # runs dedup_cluster's convergence loop when invoked
     "pipe_exec", "pipe_grep",  # RDD pipelines, no SQL plan to audit
