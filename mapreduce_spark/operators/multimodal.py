@@ -630,3 +630,130 @@ def crossmodal_dup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_minhash_lsh(spark, sf_dir),
         multimodal_simhash(spark, sf_dir),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — the storage-dedup primitive.
+
+CDC_W = 8      # rolling-window width in bytes
+CDC_DIV = 64   # boundary divisor -> expected chunk length ~64 bytes
+
+
+def _spark_md5l(e: str) -> str:
+    """Spark-SQL fragment equal to functions.hashing.md5_long(expr)."""
+    return f"cast(conv(substring(md5({e}), 1, 15), 16, 10) as bigint)"
+
+
+def _cdc_chunks_col() -> "F.Column":
+    """array<struct<chash,clen>> of content-defined chunks for a row with
+    columns (hx = uppercase hex of payload, n_bytes). A cut lands after
+    any {CDC_W}-byte window whose hash is 0 mod {CDC_DIV} — so boundaries
+    depend only on LOCAL bytes, and an insertion early in a payload
+    shifts every byte offset yet re-synchronizes at the next unchanged
+    window (the property fixed-size blocks lack, and the whole point of
+    CDC: Muthitacharoen et al., LBFS, SOSP 2001)."""
+    win = _spark_md5l(f"substring(hx, (i - 1) * 2 + 1, {CDC_W * 2})")
+    cuts = (
+        f"concat(array(1), "
+        f"transform(filter(sequence(1, greatest(n_bytes - {CDC_W}, 1)), "
+        f"i -> i <= n_bytes - {CDC_W} AND {win} % {CDC_DIV} = 0), "
+        f"i -> i + {CDC_W}), array(n_bytes + 1))"
+    )
+    chunk_hash = _spark_md5l(
+        f"substring(hx, (element_at(cuts, j) - 1) * 2 + 1, "
+        f"(element_at(cuts, j + 1) - element_at(cuts, j)) * 2)"
+    )
+    return F.expr(
+        f"transform(sequence(1, size(cuts) - 1), "
+        f"j -> struct({chunk_hash} as chash, "
+        f"element_at(cuts, j + 1) - element_at(cuts, j) as clen))"
+    ).alias("chunks"), F.expr(cuts).alias("cuts")
+
+
+def cdc_chunk_rows(media: DataFrame) -> DataFrame:
+    """(media_type, chash, clen) chunk rows for any (media_type, payload)
+    frame — shared by the registered query and the planted tests."""
+    chunks_col, cuts_col = _cdc_chunks_col()
+    d = media.select(
+        "media_type",
+        F.hex("payload").alias("hx"),
+        F.octet_length("payload").alias("n_bytes"),
+    ).select("media_type", "hx", "n_bytes", cuts_col)
+    return d.select(
+        "media_type", F.explode(chunks_col).alias("c")
+    ).select("media_type", "c.chash", "c.clen")
+
+
+_SQL_CDC_CUTS = (
+    f"list_concat(list_concat([1], "
+    f"list_transform(list_filter(range(1, greatest(n_bytes - {CDC_W}, 1) + 1), "
+    f"i -> i <= n_bytes - {CDC_W} AND "
+    f"CAST('0x' || substring(md5(substring(_hex, (i - 1) * 2 + 1, {CDC_W * 2})), 1, 15) AS BIGINT) "
+    f"% {CDC_DIV} = 0), i -> i + {CDC_W})), [n_bytes + 1])"
+)
+_SQL_CDC_CHASH = (
+    f"CAST('0x' || substring(md5(substring(_hex, (cuts[j] - 1) * 2 + 1, "
+    f"(cuts[j + 1] - cuts[j]) * 2)), 1, 15) AS BIGINT)"
+)
+
+
+@register(
+    "cdc_chunk_stats",
+    oracle=_SQL_MEDIA_CTE.rstrip()
+    + f""",
+    cu AS (SELECT media_type, _hex, n_bytes, {_SQL_CDC_CUTS} AS cuts
+           FROM media),
+    ch AS (SELECT media_type,
+                  unnest(list_transform(range(1, len(cuts)),
+                         j -> {{'chash': {_SQL_CDC_CHASH},
+                                'clen': cuts[j + 1] - cuts[j]}}),
+                         recursive := true)
+           FROM cu),
+    g AS (SELECT media_type, chash, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(max(clen) AS BIGINT) AS clen
+          FROM ch GROUP BY 1, 2)
+    SELECT media_type,
+           CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(cnt * clen) AS BIGINT) AS total_bytes,
+           CAST(sum(clen) AS BIGINT) AS distinct_bytes,
+           round(CAST(sum(clen) AS DOUBLE) / sum(cnt * clen), 6) AS dedup_ratio
+    FROM g GROUP BY media_type ORDER BY media_type
+    """,
+)
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup card per media type: chunk counts,
+    distinct-chunk counts, byte totals and the achievable storage-dedup
+    ratio — the primitive behind every dedupling store (LBFS, restic,
+    borg, data-lake blob dedup) and the BYTE-level complement of the
+    token-level span remover: shared payload regions land in identical
+    chunks even when their absolute offsets differ between payloads.
+
+    Plan shape: chunking is one per-row JVM pass over the payload's hex
+    encoding ({CDC_W}-byte window hash per position — the same per-gram
+    md5 budget multimodal_simhash already pays); payload bytes never
+    shuffle — only (media_type, chunk_hash, len) rows leave the scan,
+    and both rollups are map-side-combined groupBys. At 100 TB the
+    chunk-hash table is the dedup index; bucket it on chash and the
+    probe is dedup_index_persisted's shape exactly."""
+    m = media_table(spark, sf_dir).select("media_type", "payload")
+    rows = cdc_chunk_rows(m)
+    g = rows.groupBy("media_type", "chash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.max("clen").cast("bigint").alias("clen"),
+    )
+    return (
+        g.groupBy("media_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(F.col("cnt") * F.col("clen")).cast("bigint").alias("total_bytes"),
+            F.sum("clen").cast("bigint").alias("distinct_bytes"),
+            F.round(
+                F.sum("clen").cast("double")
+                / F.sum(F.col("cnt") * F.col("clen")),
+                6,
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("media_type")
+    )

@@ -187,3 +187,61 @@ def test_crossmodal_verdict_off_diagonal_cells(spark):
     assert verdicts[1] == "payload_only" and verdicts[2] == "payload_only"
     assert verdicts[3] == "text_only" and verdicts[4] == "text_only"
     assert verdicts[5] == "both" and verdicts[6] == "both"
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+
+
+def test_cdc_chunks_conserve_bytes(spark, sf_dir):
+    """Chunks tile each payload exactly: per media type, total chunk
+    bytes == total payload bytes."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.registry import get_queries
+
+    got = {
+        r.media_type: r
+        for r in get_queries()["cdc_chunk_stats"](spark, sf_dir).collect()
+    }
+    from mapreduce_spark.operators.multimodal import media_table
+
+    want = {
+        r.media_type: r.tb
+        for r in media_table(spark, sf_dir)
+        .groupBy("media_type")
+        .agg(F.sum(F.octet_length("payload")).alias("tb"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for mt, r in got.items():
+        assert r.total_bytes == want[mt]
+        assert r.n_distinct <= r.n_chunks
+        assert 0 < r.dedup_ratio <= 1.0
+
+
+def test_cdc_resynchronizes_after_prefix_insertion(spark):
+    """The CDC property: inserting a prefix shifts every byte offset, but
+    chunk boundaries re-synchronize at the next unchanged window, so the
+    two payloads share most chunks — fixed-size blocks would share none."""
+    import hashlib
+
+    from mapreduce_spark.operators.multimodal import cdc_chunk_rows
+
+    base = b"".join(
+        hashlib.md5(f"block{i}".encode()).hexdigest().encode()
+        for i in range(40)
+    )  # 1280 deterministic bytes
+    shifted = b"INSERTED-PREFIX-" + base
+    df = spark.createDataFrame(
+        [("a", bytearray(base)), ("b", bytearray(shifted))],
+        "media_type string, payload binary",
+    )
+    rows = cdc_chunk_rows(df).collect()
+    a = [(r.chash, r.clen) for r in rows if r.media_type == "a"]
+    b = [(r.chash, r.clen) for r in rows if r.media_type == "b"]
+    assert sum(l for _, l in a) == len(base)
+    assert sum(l for _, l in b) == len(shifted)
+    shared = set(a) & set(b)
+    # everything after the first post-insertion boundary matches again
+    assert len(shared) >= max(2, len(a) // 2), (len(shared), len(a), len(b))
