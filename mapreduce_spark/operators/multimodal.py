@@ -757,3 +757,216 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-index lifecycle + the streaming CDC ingest gate.
+
+CDC_INDEX_BUCKETS = 8
+# Admission rule: admit a payload only if strictly less than half of its
+# chunk BYTES are already stored (shared * 2 < total — integer-exact).
+
+
+def cdc_doc_chunk_rows(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, chash, clen) chunk occurrences for any
+    (doc_id, media_type, payload) frame."""
+    chunks_col, cuts_col = _cdc_chunks_col()
+    d = media.select(
+        "doc_id",
+        "media_type",
+        F.hex("payload").alias("hx"),
+        F.octet_length("payload").alias("n_bytes"),
+    ).select("doc_id", "media_type", "hx", "n_bytes", cuts_col)
+    return d.select(
+        "doc_id", "media_type", F.explode(chunks_col).alias("c")
+    ).select("doc_id", "media_type", "c.chash", "c.clen")
+
+
+def cdc_index_write(
+    chunks: DataFrame,
+    name: str,
+    buckets: int = CDC_INDEX_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Persist (or fold into) the on-disk chunk-hash store ``name``:
+    DISTINCT (chash, clen) bucketed on the probe key chash, so every
+    ingest probe is a bucket-local join with no store-side Exchange —
+    dedup_index_persisted's shape for the byte-dedup tier."""
+    spark = chunks.sparkSession
+    if mode == "overwrite":
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    (
+        chunks.select("chash", "clen")
+        .distinct()
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, "chash")
+        .saveAsTable(name)
+    )
+
+
+def _media_from_docs(docs: DataFrame) -> DataFrame:
+    """media_table's derivation over an arbitrary (doc_id, text) frame —
+    shared with the per-batch path, where the rows arrive on a stream."""
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
+_SQL_CDC_GATE = (
+    _SQL_MEDIA_CTE.rstrip()
+    + f""",
+    cu AS (SELECT doc_id, media_type, _hex, n_bytes, {_SQL_CDC_CUTS} AS cuts
+           FROM media),
+    ch AS (SELECT doc_id, media_type,
+                  unnest(list_transform(range(1, len(cuts)),
+                         j -> {{'chash': {_SQL_CDC_CHASH},
+                                'clen': cuts[j + 1] - cuts[j]}}),
+                         recursive := true)
+           FROM cu),
+    idx0 AS (SELECT DISTINCT chash FROM ch WHERE doc_id % 2 = 0),
+    b1 AS (SELECT * FROM ch WHERE doc_id % 4 = 1),
+    b1s AS (SELECT doc_id, media_type,
+                   CAST(sum(clen) AS BIGINT) AS total,
+                   CAST(sum(CASE WHEN chash IN (SELECT chash FROM idx0)
+                            THEN clen ELSE 0 END) AS BIGINT) AS shared
+            FROM b1 GROUP BY 1, 2),
+    adm1 AS (SELECT doc_id, media_type FROM b1s WHERE shared * 2 < total),
+    idx1 AS (SELECT chash FROM idx0
+             UNION
+             SELECT chash FROM b1 WHERE doc_id IN (SELECT doc_id FROM adm1)),
+    b2 AS (SELECT * FROM ch WHERE doc_id % 4 = 3),
+    b2s AS (SELECT doc_id, media_type,
+                   CAST(sum(clen) AS BIGINT) AS total,
+                   CAST(sum(CASE WHEN chash IN (SELECT chash FROM idx1)
+                            THEN clen ELSE 0 END) AS BIGINT) AS shared
+            FROM b2 GROUP BY 1, 2),
+    adm2 AS (SELECT doc_id, media_type FROM b2s WHERE shared * 2 < total)
+    SELECT doc_id, media_type, CAST(1 AS BIGINT) AS batch_idx FROM adm1
+    UNION ALL
+    SELECT doc_id, media_type, CAST(2 AS BIGINT) AS batch_idx FROM adm2
+    """
+)
+
+
+@register("stream_cdc_gate", oracle=_SQL_CDC_GATE)
+def stream_cdc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-ACCUMULATING streaming byte-dedup ingest gate: incoming
+    payloads (odd doc_ids, two pinned micro-batches) are content-defined-
+    chunked and probed against the PERSISTED chunk-hash store (built once
+    from the even half); a payload is admitted only if under half its
+    chunk bytes are already stored (shared*2 < total — integer-exact, no
+    float threshold), and each batch's admitted chunks FOLD BACK into the
+    store as a bucketed append, so a re-serialized copy split across
+    batches stores exactly one body. The storage-tier sibling of
+    stream_neardup_gate_accum: that gate dedups MEANING (token shingles),
+    this one dedups BYTES (CDC chunks) — a captioned re-encode passes the
+    text gate yet stops here.
+
+    Plan shape: per batch, chunking is one JVM pass over batch payloads;
+    the probe is an occurrence-level semi-join keyed on chash against the
+    bucketed store (no store-side Exchange); admission is one integer
+    compare per doc; the fold appends only chunks the store lacks.
+    ZERO streaming state — admission depends only on (payload, store),
+    batch boundaries are pinned by the two-file spool."""
+    import os
+    import tempfile
+    import time
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _media_from_docs(docs.filter(F.col("doc_id") % 2 == 0))
+    cdc_index_write(cdc_doc_chunk_rows(corpus), "cdc_gate_idx")
+
+    spool = tempfile.mkdtemp(prefix="stream_cdc_gate_")
+    in_dir = os.path.join(spool, "incoming")
+    os.makedirs(in_dir)
+    for i, pred in enumerate([1, 3]):
+        part = os.path.join(spool, f"b{i}")
+        docs.filter(F.col("doc_id") % 4 == pred).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        src = next(
+            os.path.join(part, f)
+            for f in os.listdir(part)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"batch{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (time.time() - 600 + 300 * i,) * 2)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(spool, "admitted")
+
+    def _admit_and_fold(batch_df: DataFrame, _batch_id: int) -> None:
+        session = batch_df.sparkSession
+        session.catalog.refreshTable("cdc_gate_idx")
+        idx = session.table("cdc_gate_idx").select("chash")
+        chunks = cdc_doc_chunk_rows(
+            _media_from_docs(batch_df.select("doc_id", "text"))
+        ).localCheckpoint(eager=True)
+        shared = (
+            chunks.join(idx, "chash", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.sum("clen").cast("bigint").alias("shared"))
+        )
+        stats = (
+            chunks.groupBy("doc_id", "media_type")
+            .agg(F.sum("clen").cast("bigint").alias("total"))
+            .join(shared, "doc_id", "left")
+            .select(
+                "doc_id",
+                "media_type",
+                "total",
+                F.coalesce("shared", F.lit(0)).alias("shared"),
+            )
+        )
+        admitted = (
+            stats.filter(F.col("shared") * 2 < F.col("total"))
+            .select(
+                "doc_id",
+                "media_type",
+                F.when(F.col("doc_id") % 4 == 1, F.lit(1))
+                .otherwise(F.lit(2))
+                .cast("bigint")
+                .alias("batch_idx"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        admitted.write.mode("append").parquet(out_dir)
+        new_chunks = (
+            chunks.join(
+                admitted.select("doc_id"), "doc_id", "left_semi"
+            )
+            .select("chash", "clen")
+            .join(idx, "chash", "left_anti")
+        )
+        cdc_index_write(new_chunks, "cdc_gate_idx", mode="append")
+
+    for q in spark.streams.active:
+        if q.name == "stream_cdc_gate":
+            q.stop()
+    query = (
+        stream.writeStream.foreachBatch(_admit_and_fold)
+        .queryName("stream_cdc_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)

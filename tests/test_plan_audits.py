@@ -168,6 +168,7 @@ CARTESIAN_OK = {
     "bpe_apply",  # same three 1-row merge-rule broadcasts, applied
     "perplexity_kn_bigram",  # broadcasts the 1-row (types, vocab) aggregate
     "similarity_index_persisted",  # broadcast stored-centroid routing NLJ
+    "similarity_index_appended",  # same stored-centroid routing NLJ probe
     "vindex_cell_stats",  # same broadcast-centroid assignment NLJ
     "token_pmi",  # broadcasts the two 1-row token/pair-total aggregates
 }
@@ -185,6 +186,7 @@ PLAN_SWEEP_SKIP = {
     "stream_anomaly_gate",  # drains the event stream when invoked
     "stream_ohlc",  # drains the event stream when invoked
     "stream_domain_mix_gate",  # drains the document stream when invoked
+    "stream_cdc_gate",  # drains + folds the payload chunk stream
     "dedup_cluster",  # runs a convergence loop when invoked
     "cc_star_components",  # runs the star-contraction loop when invoked
     "dedup_cluster_stats",  # rolls up dedup_cluster's converged labels

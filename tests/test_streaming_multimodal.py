@@ -384,3 +384,47 @@ def test_embdup_accum_gate_split_pair_admits_one(spark, tmp_path):
         ).collect()
     }
     assert 103 in static and 101 in static
+
+
+def test_cdc_gate_split_copy_stores_one_body(spark, tmp_path):
+    """stream_cdc_gate's fold contract at the BYTE tier: a payload copy
+    split across ingest batches stores exactly one body — batch 2's copy
+    (even with a prefix edit, thanks to CDC re-synchronization) rejects
+    against the chunks batch 1 just folded; a corpus copy rejects against
+    the initial store; novel payloads pass."""
+    import hashlib
+    import os
+
+    from mapreduce_spark.registry import get_queries
+
+    def blob(seed: str, blocks: int = 20) -> str:
+        return " ".join(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            for i in range(blocks)
+        )
+
+    a, b, c, d = blob("corpus"), blob("novel-b1"), blob("other-b1"), blob("novel-b2")
+    rows = [
+        (100, a),            # corpus (even)
+        (101, b),            # batch 1: novel -> admit
+        (105, c),            # batch 1: novel -> admit
+        (103, "EDITED " + b),  # batch 2: prefix-edited copy of 101 -> reject
+        (107, a),            # batch 2: corpus copy -> reject
+        (111, d),            # batch 2: novel -> admit
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/_docs_dir")
+    src = next(
+        f for f in os.listdir(f"{tmp_path}/_docs_dir") if f.endswith(".parquet")
+    )
+    os.rename(f"{tmp_path}/_docs_dir/{src}", f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.doc_id: r.batch_idx
+        for r in get_queries()["stream_cdc_gate"](spark, str(tmp_path)).collect()
+    }
+    assert got.get(101) == 1 and got.get(105) == 1
+    assert got.get(111) == 2
+    assert 103 not in got, "prefix-edited copy must reject against folded 101"
+    assert 107 not in got, "corpus copy must reject against the initial store"
