@@ -93,6 +93,11 @@ HEADLINE = [
     "bpe_token_count",
     "dedup_index_persisted",
     "similarity_index_persisted",
+    # round-6 continuation: log-round star-contraction components, the
+    # CDC storage-dedup card, and PMI collocation detection
+    "cc_star_components",
+    "cdc_chunk_stats",
+    "token_pmi",
 ]
 
 # Queries whose driver function does EAGER work (checkpointed training
@@ -101,6 +106,7 @@ HEADLINE = [
 # final cheap projection. Execution-only timing is kept for everything
 # else so r4/r5 comparisons stay apples-to-apples.
 EAGER_BUILD = {
+    "cc_star_components",
     "bpe_token_count",
     "dedup_index_persisted",
     "similarity_index_persisted",

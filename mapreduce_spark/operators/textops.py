@@ -2979,3 +2979,100 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(PMI_TOP_K)
+
+
+# --------------------------------------------------------------------------
+SPAN_EVERY = 14   # a span starts where md5(doc:pos) % SPAN_EVERY == 0
+SPAN_MAXL = 5     # span length 1..5 (mean 3, the T5 default)
+
+
+def _md5l_spark(e: str) -> str:
+    """Spark-SQL fragment equal to functions.hashing.md5_long(expr)."""
+    return f"cast(conv(substring(md5({e}), 1, 15), 16, 10) as bigint)"
+
+
+@register(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS t
+                 FROM documents),
+    base AS (
+      SELECT doc_id, len(t) AS n,
+        list_transform(range(1, len(t) + 1),
+          j -> CAST('0x' || substring(md5(doc_id || ':' || j), 1, 15) AS BIGINT)
+               % {SPAN_EVERY} = 0) AS starts,
+        list_transform(range(1, len(t) + 1),
+          j -> 1 + CAST('0x' || substring(md5(doc_id || ':' || j || ':L'), 1, 15) AS BIGINT)
+               % {SPAN_MAXL}) AS lens
+      FROM tok WHERE len(t) >= 1),
+    m AS (
+      SELECT doc_id, n,
+        list_transform(range(1, n + 1),
+          j -> len(list_filter(range(greatest(j - {SPAN_MAXL - 1}, 1), j + 1),
+                   s -> starts[s] AND lens[s] > j - s)) > 0) AS masked
+      FROM base)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(masked, x -> x)) AS BIGINT) AS n_masked,
+           CAST(len(list_filter(range(1, n + 1),
+                j -> masked[j] AND (j = 1 OR NOT masked[j - 1]))) AS BIGINT)
+             AS n_spans,
+           round(CAST(len(list_filter(masked, x -> x)) AS DOUBLE) / n, 6)
+             AS noise_frac
+    FROM m
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN (Raffel et al. 2020 sec 3.1.4): per
+    document, which token positions a denoising objective would mask —
+    deterministic md5 draws elect span starts (rate 1/{SPAN_EVERY}) and
+    lengths (1..{SPAN_MAXL}, mean 3), overlapping spans merge, and the
+    output card carries n_tokens / n_masked / merged n_spans /
+    noise_frac. Deterministic-by-hash rather than RNG-by-seed so the SAME
+    doc gets the SAME plan on any cluster, any partitioning, any retry —
+    the reproducibility a training pipeline actually needs; the masked
+    bitmap derivation is the data-gen side of pack_sequences' budget.
+
+    Plan shape: zero shuffles — three per-row array derivations (starts,
+    lens, merged mask) in one JVM pass; a span can only reach
+    {SPAN_MAXL - 1} positions back, so the mask test scans a constant
+    window, O(n·{SPAN_MAXL}) per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= 1
+    )
+    h_start = _md5l_spark("concat(doc_id, ':', j)")
+    h_len = _md5l_spark("concat(doc_id, ':', j, ':L')")
+    starts = (
+        f"transform(sequence(1, size(t)), "
+        f"j -> {h_start} % {SPAN_EVERY} = 0)"
+    )
+    lens = (
+        f"transform(sequence(1, size(t)), "
+        f"j -> 1 + {h_len} % {SPAN_MAXL})"
+    )
+    base = t.select(
+        "doc_id",
+        F.size("t").alias("n"),
+        F.expr(starts).alias("starts"),
+        F.expr(lens).alias("lens"),
+    )
+    masked = (
+        f"transform(sequence(1, n), "
+        f"j -> exists(sequence(greatest(j - {SPAN_MAXL - 1}, 1), j), "
+        f"s -> element_at(starts, s) AND element_at(lens, s) > j - s))"
+    )
+    m = base.select("doc_id", "n", F.expr(masked).alias("masked"))
+    return m.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.expr("cast(size(filter(masked, x -> x)) as bigint)").alias(
+            "n_masked"
+        ),
+        F.expr(
+            "cast(size(filter(sequence(1, n), "
+            "j -> element_at(masked, j) AND (j = 1 OR NOT element_at(masked, j - 1)))) as bigint)"
+        ).alias("n_spans"),
+        F.expr(
+            "round(cast(size(filter(masked, x -> x)) as double) / n, 6)"
+        ).alias("noise_frac"),
+    )

@@ -452,3 +452,64 @@ def test_token_pmi_planted_collocation(spark, tmp_path):
     assert (r.c_ab, r.c_w1, r.c_w2) == (6, 6, 6)
     # n_pairs = 10, n_tok = 20
     assert r.pmi == round(math.log((6 / 10) / ((6 / 20) * (6 / 20))), 6)
+
+
+def test_span_corruption_plan_matches_python_recompute(spark, tmp_path):
+    """The deterministic md5-drawn span plan matches an independent
+    Python recompute of the same draws (starts at rate 1/14, lengths
+    1..5, overlapping spans merged), and merged-span counts are
+    consistent with the masked bitmap."""
+    import hashlib
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from mapreduce_spark.operators.textops import SPAN_EVERY, SPAN_MAXL
+    from mapreduce_spark.registry import get_queries
+
+    def md5l(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = {
+        r.doc_id: r
+        for r in get_queries()["span_corruption_plan"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.lower().split() if t]
+        n = len(toks)
+        starts = [
+            md5l(f"{doc_id}:{j}") % SPAN_EVERY == 0 for j in range(1, n + 1)
+        ]
+        lens = [
+            1 + md5l(f"{doc_id}:{j}:L") % SPAN_MAXL for j in range(1, n + 1)
+        ]
+        masked = [
+            any(
+                starts[s - 1] and lens[s - 1] > j - s
+                for s in range(max(j - (SPAN_MAXL - 1), 1), j + 1)
+            )
+            for j in range(1, n + 1)
+        ]
+        n_masked = sum(masked)
+        n_spans = sum(
+            1
+            for j in range(n)
+            if masked[j] and (j == 0 or not masked[j - 1])
+        )
+        r = rows[doc_id]
+        assert r.n_tokens == n
+        assert r.n_masked == n_masked
+        assert r.n_spans == n_spans
+        assert r.noise_frac == round(n_masked / n, 6)
+        # the merged-span structure is internally consistent
+        assert r.n_spans <= r.n_masked <= r.n_spans * (2 * SPAN_MAXL - 1)
