@@ -559,6 +559,205 @@ def refined_centroids(emb: DataFrame, cent_mod: int, rem: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full k-means training: N checkpointed Lloyd rounds + convergence card
+KMEANS_ROUNDS = 6         # demo depth (K = |V|/IVF_CENT_MOD seeds)
+KMEANS_SCALED_ROUNDS = 8  # production depth at the scaled-IVF geometry
+
+
+def _kmeans_assign(embn: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid, score): every vector assigned to its nearest
+    centroid by 6dp-rounded cosine (ties to the lower cid) via an ARGMAX
+    AGGREGATE over the broadcast centroid frame — partially aggregates
+    map-side, so only |V| assignment rows shuffle, never the |V| x K
+    candidate rows."""
+    cand = embn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.struct(
+            F.round(
+                cosine_n(
+                    F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn")
+                ),
+                6,
+            ).alias("score"),
+            (-F.col("cid")).alias("negcid"),
+        ).alias("sc"),
+    )
+    best = cand.groupBy("vec_id").agg(F.max("sc").alias("b"))
+    return best.select(
+        "vec_id",
+        (-F.col("b.negcid")).alias("cid"),
+        F.col("b.score").alias("score"),
+    )
+
+
+def _kmeans_update(assign: DataFrame, embn: DataFrame) -> DataFrame:
+    """(cid, ce, cn): exact integer micro-unit mean centroids from an
+    assignment — _lloyd_c2's update step against an ARBITRARY assignment
+    frame. Components are exact BIGINT-sum ratios (s/n/1e6), one IEEE
+    division chain, bit-identical on both engines at any parallelism."""
+    ex = assign.join(embn.select("vec_id", "embedding"), "vec_id").select(
+        "cid", F.posexplode("embedding").alias("pos", "x")
+    )
+    q = ex.groupBy("cid", "pos").agg(
+        F.sum(F.floor(F.col("x").cast("double") * 1e6).cast("bigint")).alias(
+            "s"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c2 = q.select("cid", "pos", (F.col("s") / F.col("n") / 1e6).alias("c"))
+    carr = c2.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("ce")
+    )
+    return carr.select("cid", "ce", norm(F.col("ce")).alias("cn"))
+
+
+def _kmeans_train_frame(
+    spark: SparkSession, sf_dir: str, cent_mod: int, rounds: int
+) -> DataFrame:
+    """Per-round convergence card (round, n_clusters, n_changed,
+    mean_cosine) of ``rounds`` full Lloyd iterations from the
+    vec_id % cent_mod == IVF_CENT_REM seeds, under the checkpointed-loop
+    discipline (dedup_cluster / bpe_train_scaled): each round's centroid
+    table (K rows) and assignment (|V| rows) materialize eagerly via
+    localCheckpoint before the next round plans, so plan depth stays O(1)
+    per round and the same loop runs any depth on a 100 TB corpus —
+    per-round cost is one broadcast-argmax pass plus one (cid, pos)
+    partial-aggregated mean, nothing |V|^2.
+
+    This is spherical k-means (assign by cosine, update by mean — the
+    mean direction maximizes the summed cosine), so mean_cosine is
+    monotone non-decreasing round over round up to the 1e-6 centroid
+    quantization; tests/test_kmeans_train.py pins the law and full
+    convergence (n_changed -> 0) on a planted two-cluster corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    embn = emb.withColumn("nrm", norm(F.col("embedding"))).localCheckpoint(
+        eager=True
+    )
+    cent = embn.filter(F.col("vec_id") % cent_mod == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    prev = _kmeans_assign(embn, cent).localCheckpoint(eager=True)
+    stats = []
+    for r in range(1, rounds + 1):
+        cent = _kmeans_update(prev, embn).localCheckpoint(eager=True)
+        cur = _kmeans_assign(embn, cent).localCheckpoint(eager=True)
+        st = (
+            cur.alias("a")
+            .join(prev.alias("p"), "vec_id")
+            .agg(
+                F.countDistinct(F.col("a.cid"))
+                .cast("bigint")
+                .alias("n_clusters"),
+                F.sum(
+                    F.when(F.col("a.cid") != F.col("p.cid"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_changed"),
+                (
+                    F.sum(F.col("a.score").cast("decimal(18,6)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).alias("mean_cosine"),
+            )
+            .select(F.lit(r).cast("bigint").alias("round"), "*")
+        )
+        stats.append(st)
+        prev = cur
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
+
+
+def _sql_kmeans_train(cent_mod: int, rounds: int) -> str:
+    """DuckDB mirror of _kmeans_train_frame: rounds chained as
+    MATERIALIZED CTEs (re-inlining the assignment per downstream
+    reference is the 5x oracle blow-up the knn_graph_clusters_scaled
+    materialization fix closed), each round one argmax assignment + one
+    micro-unit mean, stats rows joined adjacent-round."""
+    cos = sql_cosine_pair("v.embedding", "c.ce")
+    ctes = [
+        f"c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce "
+        f"FROM embeddings WHERE vec_id % {cent_mod} = {IVF_CENT_REM})"
+    ]
+    for r in range(rounds + 1):
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT vec_id, cid, score FROM ("
+            f"SELECT vec_id, cid, score, row_number() OVER ("
+            f"PARTITION BY vec_id ORDER BY score DESC, cid) AS rn "
+            f"FROM (SELECT v.vec_id, c.cid, round({cos}, 6) AS score "
+            f"FROM embeddings v, c{r} c)) WHERE rn = 1)"
+        )
+        if r < rounds:
+            ctes.append(
+                f"c{r + 1} AS MATERIALIZED (SELECT cid, "
+                f"list(cc ORDER BY pos) AS ce FROM ("
+                f"SELECT cid, pos, "
+                f"SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+                f" / count(*) / 1000000.0 AS cc "
+                f"FROM (SELECT a.cid, t.i AS pos, v.embedding[t.i + 1] AS x "
+                f"FROM a{r} a JOIN embeddings v USING (vec_id), "
+                f"UNNEST(range(len(v.embedding))) AS t(i)) "
+                f"GROUP BY cid, pos) GROUP BY cid)"
+            )
+    stats = [
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"CAST(count(DISTINCT a.cid) AS BIGINT) AS n_clusters, "
+        f"CAST(sum(CASE WHEN a.cid <> p.cid THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_changed, "
+        f"CAST(SUM(CAST(a.score AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+        f" AS mean_cosine "
+        f"FROM a{r} a JOIN a{r - 1} p USING (vec_id)"
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(stats)
+        + ") ORDER BY round"
+    )
+
+
+@register(
+    "kmeans_train_iters",
+    oracle=_sql_kmeans_train(IVF_CENT_MOD, KMEANS_ROUNDS),
+)
+def kmeans_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means TRAINING at the demo IVF geometry: {KMEANS_ROUNDS}
+    chained Lloyd rounds (kmeans_refine is one step of exactly this loop)
+    with a per-round convergence card — n_clusters still receiving
+    members, n_changed reassignments vs the previous round, and the
+    spherical-k-means objective mean_cosine (exact decimal sum / count).
+    The quantizer-shopping record: read the card, pick the round where
+    n_changed flatlines, train the coarse quantizer that deep."""
+    return _kmeans_train_frame(spark, sf_dir, IVF_CENT_MOD, KMEANS_ROUNDS)
+
+
+@register(
+    "kmeans_train_scaled",
+    oracle=_sql_kmeans_train(SCALED_IVF_CENT_MOD, KMEANS_SCALED_ROUNDS),
+)
+def kmeans_train_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans_train_iters at the PRODUCTION scaled-IVF geometry
+    (K = |V|/{SCALED_IVF_CENT_MOD} seeds, {KMEANS_SCALED_ROUNDS} rounds)
+    — the training depth the scaled IVF/IVFADC tiers' coarse quantizer
+    would actually ship with; same checkpointed loop, so the unrolled
+    plan never deepens with rounds."""
+    return _kmeans_train_frame(
+        spark, sf_dir, SCALED_IVF_CENT_MOD, KMEANS_SCALED_ROUNDS
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-NN majority-vote classification over the exact top-k neighbors
 @register(
     "knn_label",
