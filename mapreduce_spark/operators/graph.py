@@ -142,6 +142,139 @@ def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PageRank to production depth: checkpointed loop + L1-delta convergence card
+
+PR_DEEP_ITERS = 12
+
+
+def _sql_pagerank_card(iters: int) -> str:
+    """DuckDB mirror of pagerank_iters: the same integer-exact iteration
+    chained ``iters`` times as MATERIALIZED CTEs, emitting per-iteration
+    (iter, l1_delta_units, sum_units) instead of the final ranks."""
+    ctes = [
+        """
+    seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    edges AS (
+        SELECT prev_type AS src, event_type AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+    e AS MATERIALIZED (SELECT edges.src, edges.dst, edges.w, outw.out_w
+          FROM edges JOIN outw USING (src)),
+    r0 AS MATERIALIZED (SELECT node, """
+        + f"{PR_SCALE} // n_nodes AS units FROM nodes CROSS JOIN nn)"
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""
+    c{i} AS (
+        SELECT e.dst, CAST(sum((r.units * e.w) // e.out_w) AS BIGINT) AS s
+        FROM e JOIN r{i - 1} r ON r.node = e.src GROUP BY e.dst),
+    r{i} AS MATERIALIZED (
+        SELECT node,
+               (15 * {PR_SCALE}) // (100 * n_nodes)
+               + (17 * coalesce(c{i}.s, 0)) // 20 AS units
+        FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.dst = node)"""
+        )
+    stats = [
+        f"SELECT CAST({i} AS BIGINT) AS iter, "
+        f"CAST(sum(abs(a.units - p.units)) AS BIGINT) AS l1_delta_units, "
+        f"CAST(sum(a.units) AS BIGINT) AS sum_units "
+        f"FROM r{i} a JOIN r{i - 1} p USING (node)"
+        for i in range(1, iters + 1)
+    ]
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(stats)
+        + ") ORDER BY iter"
+    )
+
+
+@register("pagerank_iters", oracle=_sql_pagerank_card(PR_DEEP_ITERS))
+def pagerank_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank run to PRODUCTION depth ({PR_DEEP_ITERS} iterations,
+    damping 0.85) over the event-transition graph, under the
+    checkpointed-loop discipline (dedup_cluster / kmeans_train_iters):
+    the |node|^2-bounded aggregated edge table materializes ONCE via
+    localCheckpoint and each iteration's |nodes|-row rank table
+    materializes before the next plans — the many-iteration regime
+    pagerank_transitions' docstring defers to, now registered.
+
+    Output is the CONVERGENCE CARD, not the ranks: per iteration the
+    exact integer L1 delta sum|r_i - r_{i-1}| in 1e-12 rank units and
+    the total rank mass. Power iteration under damping d is a
+    contraction with factor <= d in L1, so the delta column must shrink
+    ~0.85x per round (pinned by tests/test_graph_text_rank.py) — the
+    number that tells an operator when a 100 TB rank job may stop."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = edges.join(outw, "src").localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.expr(f"{PR_SCALE} div n_nodes").alias("units"))
+        .localCheckpoint(eager=True)
+    )
+    stats = []
+    for i in range(1, PR_DEEP_ITERS + 1):
+        contrib = e.join(ranks, e.src == ranks.node).select(
+            "dst", F.expr("(units * w) div out_w").alias("c")
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        cur = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(summed, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.expr(f"(15 * {PR_SCALE}) div (100 * n_nodes)")
+                    + F.expr("(17 * coalesce(s, CAST(0 AS BIGINT))) div 20")
+                ).alias("units"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        st = (
+            cur.alias("a")
+            .join(ranks.alias("p"), "node")
+            .agg(
+                F.sum(F.abs(F.col("a.units") - F.col("p.units")))
+                .cast("bigint")
+                .alias("l1_delta_units"),
+                F.sum(F.col("a.units")).cast("bigint").alias("sum_units"),
+            )
+            .select(F.lit(i).cast("bigint").alias("iter"), "*")
+        )
+        stats.append(st)
+        ranks = cur
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("iter")
+
+
+# --------------------------------------------------------------------------
 # Connected components via alternating large-star / small-star contractions.
 
 CC_STAR_MAX_ITERS = 12

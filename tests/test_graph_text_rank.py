@@ -500,3 +500,23 @@ def test_kn_bigram_branches_hand_computed(spark, tmp_path):
     assert rows[1]["avg_nll"] == seen / 1e6
     assert rows[3]["avg_nll"] == zero / 1e6
     assert rows[5]["avg_nll"] == unhist / 1e6
+
+
+def test_pagerank_iters_contracts_and_conserves(spark):
+    """Damped power iteration is an L1 contraction with factor <= 0.85:
+    each iteration's integer L1 delta must be at most 0.85x the previous
+    (plus an integer-truncation slack of one unit per node), and total
+    rank mass stays within truncation loss of PR_SCALE."""
+    from mapreduce_spark.operators.graph import PR_SCALE, pagerank_iters
+
+    card = pagerank_iters(spark, "/root/testdata/sf0.001").collect()
+    assert [r.iter for r in card] == list(range(1, 13))
+    n_nodes_bound = 64  # event types are a handful; slack bound only
+    for a, b in zip(card, card[1:]):
+        assert b.l1_delta_units <= int(0.85 * a.l1_delta_units) + n_nodes_bound
+    assert card[-1].l1_delta_units < card[0].l1_delta_units
+    for r in card:
+        # teleport mass is exact; link mass loses at most 1 unit per
+        # (edge endpoint) to integer div truncation
+        assert 0 < r.sum_units <= PR_SCALE + n_nodes_bound
+        assert r.sum_units > PR_SCALE // 2
