@@ -113,3 +113,21 @@ def test_incremental_index_scaled_profile_matches_one_shot(spark, sf_dir):
         elif b_new and not a_new:
             expect.add((r["doc_b"], r["doc_a"], r["jaccard"]))
     assert got == expect and len(expect) > 0
+
+
+def test_candidate_precision_consistent_with_pair_output(sh):
+    """The precision gauge's n_verified must equal the pair query's
+    output count for the same profile (one pipeline, one number), its
+    candidate count can only exceed it, and precision stays in [0, 1].
+    On the threshold-sweep corpus both profiles must also admit at least
+    one sub-threshold candidate (precision strictly < 1) — the waste the
+    gauge exists to measure."""
+    from mapreduce_spark.operators.dedup import _candidate_precision
+
+    for perms, bands in ((N_PERMS, N_BANDS), (SCALED_PERMS, SCALED_BANDS)):
+        row = _candidate_precision(sh, perms, bands).collect()[0]
+        n_pairs = minhash_lsh_pairs(sh, perms, bands).count()
+        assert row.n_verified == n_pairs
+        assert row.n_candidates >= row.n_verified
+        assert 0.0 <= row.precision <= 1.0
+        assert row.precision < 1.0  # sweep corpus has near-misses
