@@ -651,7 +651,19 @@ def _cdc_chunks_col() -> "F.Column":
     depend only on LOCAL bytes, and an insertion early in a payload
     shifts every byte offset yet re-synchronizes at the next unchanged
     window (the property fixed-size blocks lack, and the whole point of
-    CDC: Muthitacharoen et al., LBFS, SOSP 2001)."""
+    CDC: Muthitacharoen et al., LBFS, SOSP 2001).
+
+    Boundary-hash choice, MEASURED (r6): an 8-tap integer Gear/FIR
+    rolling hash (the "cheap" textbook alternative) was tried and is
+    ~1.8x SLOWER here (8.6 s vs 4.9 s, cdc_chunk_stats sf0.1): Catalyst
+    interprets higher-order-function lambdas node-by-node, so per-offset
+    cost tracks EXPRESSION NODE COUNT (FIR: 8 array probes + 18 arith
+    nodes) not arithmetic weight, and one native md5 over the 16-hex-char
+    window is fewer interpreted nodes. Same lesson as the LSH bucket
+    rewrite, opposite conclusion — there the fix moved work OFF the
+    lambda path entirely; here the per-row local shape is the right
+    100 TB posture (zero shuffle, embarrassingly parallel), so the
+    cheapest in-lambda form wins and that is the digest."""
     win = _spark_md5l(f"substring(hx, (i - 1) * 2 + 1, {CDC_W * 2})")
     cuts = (
         f"concat(array(1), "
