@@ -3076,3 +3076,83 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(cast(size(filter(masked, x -> x)) as double) / n, 6)"
         ).alias("noise_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "tokenizer_fertility",
+    oracle=_SQL_BPE_W0
+    + ",".join(_sql_bpe_iter(i) for i in range(BPE_SCALED_ITERS))
+    + f""",
+    nsym AS (SELECT word,
+                    len(list_filter(string_split(w, '|'), s -> s <> ''))
+                      AS n_sym
+             FROM w{BPE_SCALED_ITERS}),
+    lw AS (SELECT lang, tok AS word, CAST(count(*) AS BIGINT) AS lf
+           FROM (SELECT lang, unnest({SQL_TOKENS.format(col='text')}) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+    lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars
+           FROM documents GROUP BY lang),
+    lt AS (SELECT l.lang, CAST(sum(l.lf) AS BIGINT) AS n_words,
+                  CAST(sum(l.lf * s.n_sym) AS BIGINT) AS n_tokens
+           FROM lw l JOIN nsym s USING (word) GROUP BY l.lang)
+    SELECT lc.lang, lc.n_docs, lt.n_words, lt.n_tokens,
+           round(CAST(lt.n_tokens AS DOUBLE) / lt.n_words, 6) AS fertility,
+           round(CAST(lc.n_chars AS DOUBLE) / lt.n_tokens, 6)
+             AS chars_per_token
+    FROM lc JOIN lt USING (lang) ORDER BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility under the production-depth BPE
+    vocabulary ({BPE_SCALED_ITERS} merges): tokens-per-word and
+    chars-per-token by lang — THE cross-lingual tokenizer-equity number
+    (a vocab trained on one language's corpus quietly taxes the others
+    with 2-3x fertility; this card is how that gets caught before a
+    training run prices it in compute).
+
+    Plan shape: the trained vocabulary is |vocab| rows, so everything
+    past the (lang, word) wordcount shuffle joins lang-vocab-sized
+    frames — the corpus is scanned once for counts and never rewritten;
+    per-lang rollups partial-aggregate map-side."""
+    _, wf = _bpe_run(spark, sf_dir, BPE_SCALED_ITERS)
+    syms = "filter(split(w, '\\\\|'), s -> s <> '')"
+    nsym = wf.select("word", F.expr(f"size({syms})").alias("n_sym"))
+    docs = load_table(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("lf"))
+    )
+    lc = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    lt = (
+        lw.join(nsym, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("lf").cast("bigint").alias("n_words"),
+            F.sum(F.col("lf") * F.col("n_sym"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    return (
+        lc.join(lt, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

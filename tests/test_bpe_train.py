@@ -177,3 +177,19 @@ def test_token_count_monotone_nonincreasing_in_depth(spark, tmp_path):
         )
     assert counts == sorted(counts, reverse=True), counts
     assert counts[-1] < counts[0], "16 merges must actually shrink tokens"
+
+
+def test_tokenizer_fertility_partitions_the_corpus_token_count(spark):
+    """Per-lang token counts are a PARTITION of the corpus count: summing
+    the fertility card's n_tokens / n_words across langs must equal
+    bpe_token_count's corpus totals exactly (same trained vocabulary,
+    same word definition); fertility >= 1 since every word is at least
+    one symbol."""
+    from mapreduce_spark.registry import get_queries
+
+    sf = "/root/testdata/sf0.001"
+    card = get_queries()["tokenizer_fertility"](spark, sf).collect()
+    total = get_queries()["bpe_token_count"](spark, sf).collect()[0]
+    assert sum(r.n_tokens for r in card) == total.n_tokens
+    assert all(r.fertility >= 1.0 for r in card)
+    assert all(r.chars_per_token > 0 for r in card)
