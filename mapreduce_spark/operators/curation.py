@@ -82,8 +82,12 @@ _SQL_KEPT_CTES = f"""
 """
 
 
-def _kept(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curated corpus: scrubbed, quality-gated, exact-deduped docs."""
+def _kept(
+    spark: SparkSession, sf_dir: str, with_text: bool = False
+) -> DataFrame:
+    """The curated corpus: scrubbed, quality-gated, exact-deduped docs.
+    ``with_text=True`` keeps clean_text (the export path needs the
+    payload; the rollup paths must not drag it through their shuffles)."""
     docs = load_table(spark, sf_dir, "documents")
     clean = docs.select(
         "doc_id", "source", scrub_expr(F.col("text")).alias("clean_text")
@@ -118,9 +122,11 @@ def _kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long(F.col("clean_text")).alias("_fp"),
         md5_long2(F.col("clean_text")).alias("_fp2"),
     ).agg(F.min("doc_id").alias("doc_id"))
-    return (
-        gated.join(keeper.select("doc_id"), "doc_id", "left_semi")
-        .select("doc_id", "source", "n_tokens", "quality")
+    cols = ["doc_id", "source", "n_tokens", "quality"] + (
+        ["clean_text"] if with_text else []
+    )
+    return gated.join(keeper.select("doc_id"), "doc_id", "left_semi").select(
+        *cols
     )
 
 
@@ -671,4 +677,101 @@ def filter_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_quality"),
         )
         .orderBy("quality_keep", "gopher_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The last mile: the curated corpus exported as deterministic JSONL shards.
+
+EXPORT_SHARDS = 8
+_DIGEST_MOD = 1_000_000_007
+
+
+def _export_path(spark: SparkSession) -> str:
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return f"{warehouse}/jsonl_export"
+
+
+@register(
+    "export_jsonl_shards",
+    oracle=_SQL_KEPT_CTES
+    + f""",
+    keptx AS (
+        SELECT g.doc_id, g.source, g.n_tokens, g.clean_text
+        FROM gated g JOIN keeper k ON g.doc_id = k.doc_id),
+    sh AS (
+        SELECT {md5_long_sql("'shard:' || doc_id")} % {EXPORT_SHARDS}
+                 AS shard,
+               doc_id, n_tokens, clean_text
+        FROM keptx)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum({md5_long_sql("doc_id || ':' || md5(clean_text)")}
+                    % {_DIGEST_MOD}) AS BIGINT) AS content_digest
+    FROM sh GROUP BY shard ORDER BY shard
+    """,
+)
+def export_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's DELIVERABLE: the kept corpus written to
+    disk as {EXPORT_SHARDS} JSONL shards (the interchange format training
+    stacks actually ingest), then the shard MANIFEST recomputed FROM THE
+    FILES — so what this query grades is the round trip, not the plan:
+    doc counts, token totals and an order-independent content digest
+    (Σ md5(doc_id:md5(text)) mod {_DIGEST_MOD}) must survive
+    serialization bit-for-bit against the oracle's table-side recompute.
+
+    Shard assignment is md5(doc_id) mod {EXPORT_SHARDS} — CONTENT-stable,
+    so the same document lands in the same shard on any cluster, any
+    partitioning, any rerun (resumable exports diff by shard digest).
+    Write shape: one repartition onto the shard key, partitionBy(shard)
+    → exactly one file per shard per writer wave, no small-file spray;
+    at 100 TB raise EXPORT_SHARDS, the plan is unchanged. The JSON bytes
+    cross to disk once; the manifest read-back scans only what it wrote."""
+    kept = _kept(spark, sf_dir, with_text=True)
+    out = kept.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality",
+        F.col("clean_text").alias("text"),
+        (
+            md5_long(F.concat(F.lit("shard:"), F.col("doc_id")))
+            % EXPORT_SHARDS
+        ).alias("shard"),
+    )
+    path = _export_path(spark)
+    (
+        out.repartition("shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .json(path)
+    )
+    back = spark.read.schema(
+        "doc_id long, source string, n_tokens long, quality double, "
+        "text string"
+    ).option("basePath", path).json(path)
+    return (
+        back.withColumn(
+            "shard",
+            F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(
+                md5_long(
+                    F.concat_ws(":", F.col("doc_id"), F.md5("text"))
+                )
+                % _DIGEST_MOD
+            )
+            .cast("bigint")
+            .alias("content_digest"),
+        )
+        .orderBy("shard")
     )

@@ -175,3 +175,42 @@ def test_filter_agreement_cells_reconcile_with_both_gates(spark, sf_dir):
         expect[(qk, g_keep[d])] = expect.get((qk, g_keep[d]), 0) + 1
     assert cells == expect
     assert sum(cells.values()) == len(q_keep)
+
+
+def test_export_jsonl_shards_roundtrip_and_layout(spark):
+    """The manifest's totals must equal the in-memory kept corpus (the
+    files ARE the corpus), the layout must be one directory per shard
+    with real JSON lines, and a re-export is idempotent (content-stable
+    shard assignment -> identical digests)."""
+    import glob
+    import json
+
+    from mapreduce_spark.operators.curation import (
+        EXPORT_SHARDS,
+        _export_path,
+        _kept,
+    )
+    from mapreduce_spark.registry import get_queries
+
+    sf = "/root/testdata/sf0.001"
+    q = get_queries()["export_jsonl_shards"]
+    m1 = {r.shard: r for r in q(spark, sf).collect()}
+    kept = _kept(spark, sf).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    assert sum(r.n_docs for r in m1.values()) == kept.n
+    assert sum(r.total_tokens for r in m1.values()) == kept.t
+    assert set(m1) <= set(range(EXPORT_SHARDS))
+    path = _export_path(spark)
+    dirs = sorted(glob.glob(f"{path}/shard=*"))
+    assert len(dirs) == len(m1)
+    files = glob.glob(f"{dirs[0]}/part-*.json")
+    assert files
+    with open(files[0]) as fh:
+        line = json.loads(fh.readline())
+    assert {"doc_id", "source", "n_tokens", "quality", "text"} <= set(line)
+    # idempotent: same corpus -> same manifest, digests included
+    m2 = {r.shard: r for r in q(spark, sf).collect()}
+    assert {k: (v.n_docs, v.content_digest) for k, v in m1.items()} == {
+        k: (v.n_docs, v.content_digest) for k, v in m2.items()
+    }
