@@ -82,13 +82,12 @@ _SQL_KEPT_CTES = f"""
 """
 
 
-def _kept(
-    spark: SparkSession, sf_dir: str, with_text: bool = False
-) -> DataFrame:
-    """The curated corpus: scrubbed, quality-gated, exact-deduped docs.
-    ``with_text=True`` keeps clean_text (the export path needs the
-    payload; the rollup paths must not drag it through their shuffles)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _gated_frame(docs: DataFrame) -> DataFrame:
+    """Scrubbed + scored + quality-gated rows (doc_id, source,
+    clean_text, n_tokens, quality) for an arbitrary documents-shaped
+    frame — the per-row stage of the curation pipeline, shared by the
+    batch _kept path and the streaming export gate (one fragment, so
+    batch and stream can never diverge on what passes the gate)."""
     clean = docs.select(
         "doc_id", "source", scrub_expr(F.col("text")).alias("clean_text")
     )
@@ -109,7 +108,16 @@ def _kept(
             6,
         ).alias("quality"),
     ).filter(F.size(toks) >= MIN_TOKENS)
-    gated = scored.filter(F.col("quality") >= QUALITY_THRESHOLD)
+    return scored.filter(F.col("quality") >= QUALITY_THRESHOLD)
+
+
+def _kept(
+    spark: SparkSession, sf_dir: str, with_text: bool = False
+) -> DataFrame:
+    """The curated corpus: scrubbed, quality-gated, exact-deduped docs.
+    ``with_text=True`` keeps clean_text (the export path needs the
+    payload; the rollup paths must not drag it through their shuffles)."""
+    gated = _gated_frame(load_table(spark, sf_dir, "documents"))
     # Keeper groups on the content DIGEST, not the text: the dedup
     # shuffle moves 16-byte keys instead of full documents (dedup_exact's
     # form — at 100 TB this is the difference between shuffling keys and
@@ -775,3 +783,164 @@ def export_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming export: ingest -> curation gate -> JSONL shard sink, where the
+# SINK IS THE DEDUP STATE (admitted digests are read back from the files).
+
+_SQL_STREAM_EXPORT = f"""
+    WITH scrubbed AS (
+        SELECT doc_id, source, {sql_scrub('text')} AS clean_text
+        FROM documents WHERE doc_id % 2 = 1),
+    t AS (
+        SELECT doc_id, source, clean_text,
+               {SQL_TOKENS.format(col='clean_text')} AS toks
+        FROM scrubbed),
+    scored AS (
+        SELECT doc_id, source, clean_text,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(0.4 * least(len(toks) / 100.0, 1.0)
+                     + 0.4 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                     + 0.2 * (1.0 - CAST({_sql_hits(STOPWORDS['en'])} AS DOUBLE)
+                                    / len(toks)), 6) AS quality
+        FROM t WHERE len(toks) >= {MIN_TOKENS}),
+    gated AS (
+        SELECT doc_id, source, n_tokens, clean_text,
+               {md5_long_sql('clean_text')} AS fp,
+               {md5_long2_sql('clean_text')} AS fp2
+        FROM scored WHERE quality >= {QUALITY_THRESHOLD}),
+    b1 AS (SELECT * FROM gated WHERE doc_id % 4 = 1),
+    k1 AS (SELECT min(doc_id) AS doc_id FROM b1 GROUP BY fp, fp2),
+    adm1 AS (SELECT b1.* FROM b1 JOIN k1 USING (doc_id)),
+    b2 AS (SELECT * FROM gated WHERE doc_id % 4 = 3),
+    b2f AS (SELECT * FROM b2 WHERE NOT EXISTS (
+                SELECT 1 FROM adm1 a
+                WHERE a.fp = b2.fp AND a.fp2 = b2.fp2)),
+    k2 AS (SELECT min(doc_id) AS doc_id FROM b2f GROUP BY fp, fp2),
+    adm2 AS (SELECT b2f.* FROM b2f JOIN k2 USING (doc_id))
+    SELECT doc_id, source, n_tokens,
+           {md5_long_sql("'shard:' || doc_id")} % {EXPORT_SHARDS} AS shard,
+           CAST(1 AS BIGINT) AS batch_idx
+    FROM adm1
+    UNION ALL
+    SELECT doc_id, source, n_tokens,
+           {md5_long_sql("'shard:' || doc_id")} % {EXPORT_SHARDS} AS shard,
+           CAST(2 AS BIGINT) AS batch_idx
+    FROM adm2
+"""
+
+
+@register("stream_export_gate", oracle=_SQL_STREAM_EXPORT)
+def stream_export_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming END of the pipeline: incoming documents (odd
+    doc_ids, two pinned micro-batches) run the IDENTICAL per-row curation
+    gate as the batch pipeline (_gated_frame — one fragment, batch and
+    stream cannot diverge), are exact-deduped against EVERYTHING ALREADY
+    EXPORTED, and the survivors append as content-stable JSONL shards —
+    ingest -> gate -> training-ready files, continuously.
+
+    The dedup state is the SINK itself: each batch's probe index is the
+    (fp, fp2) digest pair read back from the exported files, so there is
+    no separate state store to drift, crash-recovery is "re-read the
+    directory", and a duplicate arriving in a later batch is dropped by
+    the very artifact its original landed in (120-bit digest discipline,
+    r4 review). Per-batch cost: one gate pass over the batch + one
+    digest anti-join against digest COLUMNS of the export (never the
+    text), + one partitioned append — |batch|-sized, corpus-free."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _export_path(spark) + "_stream"
+    shutil.rmtree(path, ignore_errors=True)
+
+    spool = tempfile.mkdtemp(prefix="stream_export_gate_")
+    in_dir = os.path.join(spool, "incoming")
+    os.makedirs(in_dir)
+    for i, pred in enumerate([1, 3]):
+        part = os.path.join(spool, f"b{i}")
+        docs.filter(F.col("doc_id") % 4 == pred).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        src = next(
+            os.path.join(part, f)
+            for f in os.listdir(part)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"batch{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (time.time() - 600 + 300 * i,) * 2)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out_dir = os.path.join(spool, "admitted")
+    json_schema = (
+        "doc_id long, source string, n_tokens long, quality double, "
+        "text string, fp long, fp2 long"
+    )
+
+    def _gate_and_append(batch_df: DataFrame, _batch_id: int) -> None:
+        session = batch_df.sparkSession
+        g = _gated_frame(batch_df).select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "quality",
+            F.col("clean_text").alias("text"),
+            md5_long(F.col("clean_text")).alias("fp"),
+            md5_long2(F.col("clean_text")).alias("fp2"),
+        )
+        if os.path.isdir(path):
+            idx = (
+                session.read.schema(json_schema)
+                .option("basePath", path)
+                .json(path)
+                .select("fp", "fp2")
+            )
+            g = g.join(idx, ["fp", "fp2"], "left_anti")
+        keeper = g.groupBy("fp", "fp2").agg(F.min("doc_id").alias("doc_id"))
+        admitted = g.join(
+            keeper.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        out = admitted.select(
+            "*",
+            (
+                md5_long(F.concat(F.lit("shard:"), F.col("doc_id")))
+                % EXPORT_SHARDS
+            ).alias("shard"),
+        )
+        (
+            out.repartition("shard")
+            .write.partitionBy("shard")
+            .mode("append")
+            .json(path)
+        )
+        out.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "shard",
+            F.when(F.col("doc_id") % 4 == 1, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("bigint")
+            .alias("batch_idx"),
+        ).write.mode("append").parquet(out_dir)
+
+    for q in spark.streams.active:
+        if q.name == "stream_export_gate":
+            q.stop()
+    query = (
+        stream.writeStream.foreachBatch(_gate_and_append)
+        .queryName("stream_export_gate")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -214,3 +214,32 @@ def test_export_jsonl_shards_roundtrip_and_layout(spark):
     assert {k: (v.n_docs, v.content_digest) for k, v in m1.items()} == {
         k: (v.n_docs, v.content_digest) for k, v in m2.items()
     }
+
+
+def test_stream_export_gate_dedups_across_batches_via_the_sink(spark, tmp_path, monkeypatch):
+    """A duplicate pair SPLIT ACROSS micro-batches (doc 1 in batch 1,
+    its identical copy doc 3 in batch 2) admits exactly the first: the
+    second batch's probe finds the digest in the files batch 1 wrote.
+    Within-batch duplicates elect one keeper. The planted corpus makes
+    every doc pass the quality gate."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    rows = [
+        (1, "src", base),                      # batch 1 (doc_id % 4 == 1)
+        (5, "src", base + " unique five"),     # batch 1, distinct
+        (3, "src", base),                      # batch 2: exact copy of 1
+        (7, "src", base + " unique seven"),    # batch 2, distinct
+        (11, "src", base + " unique seven"),   # batch 2: in-batch dup of 7
+    ]
+    df = spark.createDataFrame(
+        [(i, t, s, len(t)) for i, s, t in rows],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from mapreduce_spark.registry import get_queries
+
+    out = get_queries()["stream_export_gate"](spark, str(tmp_path)).collect()
+    got = {(r.doc_id, r.batch_idx) for r in out}
+    assert got == {(1, 1), (5, 1), (7, 2)}
