@@ -3696,3 +3696,85 @@ def triangle_census(ed: DataFrame) -> DataFrame:
         F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
         coeff.alias("clustering_coeff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-health card: per-dimension moments. The pre-flight check every
+# vector tier above assumes silently: a dead dimension (all zeros / all one
+# value) wastes PQ sub-space capacity, a scale-drifted dimension dominates
+# every unnormalized distance, and both are invisible until recall craters.
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH ex AS (
+        SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    q AS (
+        SELECT pos,
+               CAST(count(*) AS BIGINT) AS n,
+               SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS s,
+               SUM(CAST(floor(x * 1000000.0) AS BIGINT)
+                   * CAST(floor(x * 1000000.0) AS BIGINT)) AS ss,
+               min(x) AS vmin, max(x) AS vmax,
+               CAST(sum(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero
+        FROM ex GROUP BY pos)
+    SELECT CAST(pos AS BIGINT) AS pos, n,
+           round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS mean,
+           round(sqrt(greatest(
+               CAST(ss AS DOUBLE) / n
+               - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+               0.0)) / 1000000.0, 6) AS std,
+           round(vmin, 6) AS vmin, round(vmax, 6) AS vmax, n_zero
+    FROM q ORDER BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION moments of the embedding table: mean, std, min/max
+    and exact-zero count for each of the {EMB_DIM} coordinates — the
+    embedding-health card run before building any index (dead dims waste
+    PQ sub-spaces; scale drift breaks unnormalized metrics; a std near 0
+    flags a collapsed encoder). Mean and std derive from exact integer
+    micro-unit sums (s, ss are BIGINT — order-independent at any
+    parallelism), finished by one deterministic IEEE chain both engines
+    share; min/max are exact float comparisons.
+
+    Plan shape: one posexplode pass, {EMB_DIM} groups, every aggregate
+    partial-combines map-side — at 100 TB the shuffle carries
+    {EMB_DIM} x n_partitions partial rows, nothing vector-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        "pos", F.col("xf").cast("double").alias("x")
+    )
+    u = F.floor(F.col("x") * 1e6).cast("bigint")
+    q = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(u).alias("s"),
+        F.sum(u * u).alias("ss"),
+        F.min("x").alias("vmin"),
+        F.max("x").alias("vmax"),
+        F.sum(F.when(F.col("x") == 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    mean_d = F.col("s").cast("double") / F.col("n")
+    return q.select(
+        F.col("pos").cast("bigint").alias("pos"),
+        "n",
+        F.round(mean_d / 1e6, 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("ss").cast("double") / F.col("n") - mean_d * mean_d,
+                    F.lit(0.0),
+                )
+            )
+            / 1e6,
+            6,
+        ).alias("std"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        "n_zero",
+    ).orderBy("pos")

@@ -763,3 +763,32 @@ def test_pq_recall_report_reconciles_with_adc_and_exact_l2(spark, sf_dir, qs):
         assert r["n_exact"] == TOP_K
         assert r["n_hits"] == len(exact_topk & adc.get(qid, set()))
         assert r["recall"] == round(r["n_hits"] / TOP_K, 6)
+
+
+def test_ngram_novelty_duplicate_scores_zero_original_full(spark, tmp_path):
+    """The first doc owns every shingle (novelty 1.0); its exact copy
+    owns none (0.0); a half-overlapping doc scores the novel fraction
+    of ITS OWN distinct shingles."""
+    a = "one two three four five six seven eight"
+    rows = [
+        (0, a),
+        (1, a),                                  # exact copy
+        (2, a + " nine ten eleven twelve"),      # extends a
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    from mapreduce_spark.registry import get_queries
+
+    got = {
+        r.doc_id: r
+        for r in get_queries()["ngram_novelty"](spark, str(tmp_path)).collect()
+    }
+    assert got[0].novelty == 1.0
+    assert got[1].novelty == 0.0
+    # doc 2: shingles of a 12-token doc = 10; the 6 containing a token
+    # past "eight" are new (shingles at positions 7..10 plus ...); exact:
+    # shared with doc 0 = shingles fully inside the first 8 tokens = 6
+    assert got[2].n_shingles == 10
+    assert got[2].n_novel == 4
+    assert got[2].novelty == 0.4
