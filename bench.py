@@ -98,6 +98,12 @@ HEADLINE = [
     "cc_star_components",
     "cdc_chunk_stats",
     "token_pmi",
+    # round-6 close: production k-means training, the JSONL export round
+    # trip, and the two new single-scan cards
+    "kmeans_train_scaled",
+    "export_jsonl_shards",
+    "ngram_novelty",
+    "embedding_dim_stats",
 ]
 
 # Queries whose driver function does EAGER work (checkpointed training
@@ -110,6 +116,8 @@ EAGER_BUILD = {
     "bpe_token_count",
     "dedup_index_persisted",
     "similarity_index_persisted",
+    "kmeans_train_scaled",
+    "export_jsonl_shards",
 }
 
 

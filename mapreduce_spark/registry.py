@@ -66,6 +66,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # every LLM-pipeline family (dedup, similarity/ANN, text analysis,
 # curation, graph, multimodal, TPC-H composites, streaming). Everything
 # else follows in module-registration order.
+#
+# r6 rotation: four settled slots (both approx sketches, TPC-H Q9/Q18 —
+# each pinned by in-plan accuracy audits / the full-registry sweep) made
+# room for the round-6 lifecycle flagships, so the on-disk index round
+# trips, the production BPE token count and the JSONL export round trip
+# carry OFFICIAL driver rows rather than only builder-sweep evidence.
 GRADING_PRIORITY = [
     # --- SURVEY §2C core checklist (Q1-Q19; Q13 = semi+anti, Q15 = intersect+except)
     "scan_project", "filter_grep", "filter_predicate", "map_transform",
@@ -87,10 +93,11 @@ GRADING_PRIORITY = [
     # --- graph / multimodal / streaming flagships
     "pagerank_transitions", "multimodal_dedup", "multimodal_decode",
     "stream_window_counts",
-    # --- TPC-H composites + distinctive joins + sketches
-    "tpch_q5_local_volume", "tpch_q9_profit", "tpch_q18_large_orders",
-    "asof_join", "range_join",
-    "agg_approx_distinct", "quantile_approx",
+    # --- TPC-H composite + distinctive joins
+    "tpch_q5_local_volume", "asof_join", "range_join",
+    # --- r6 lifecycle flagships (see rotation note above)
+    "dedup_index_persisted", "similarity_index_persisted",
+    "bpe_token_count", "export_jsonl_shards",
 ]
 
 
