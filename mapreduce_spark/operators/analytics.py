@@ -1879,3 +1879,106 @@ def moments_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         *[F.expr(e).alias(a) for a, e in _MOMENT_EXPRS],
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) data-layout card: multi-dimensional clustering quality
+ZORDER_BITS = 8          # quantization bits per dimension
+ZORDER_BUCKET_SHIFT = 8  # z >> shift: 256 aligned 16x16 Morton blocks
+
+
+def _morton_sum(xe: str, ye: str, bits: int, spark: bool) -> str:
+    """Bit-interleave expression (x in odd positions, y in even) as a sum
+    of disjoint-position terms — '+' equals '|' here and parses identically
+    on both engines. Only the shift spelling differs: Spark exposes
+    shiftleft/shiftright functions, DuckDB the << / >> operators."""
+    terms = []
+    for i in range(bits):
+        if spark:
+            terms.append(f"shiftleft(shiftright({xe}, {i}) & 1, {2 * i + 1})")
+            terms.append(f"shiftleft(shiftright({ye}, {i}) & 1, {2 * i})")
+        else:
+            terms.append(f"((({xe} >> {i}) & 1) << {2 * i + 1})")
+            terms.append(f"((({ye} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_ZQ_MAX = (1 << ZORDER_BITS) - 1  # 255
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    WITH mm AS (SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+                       min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+                FROM lineitem),
+    q AS (SELECT l.l_partkey, l.l_suppkey,
+                 ((l.l_partkey - mm.xmin) * {_ZQ_MAX}) // (mm.xmax - mm.xmin) AS xq,
+                 ((l.l_suppkey - mm.ymin) * {_ZQ_MAX}) // (mm.ymax - mm.ymin) AS yq
+          FROM lineitem l CROSS JOIN mm),
+    z AS (SELECT l_partkey, l_suppkey,
+                 {_morton_sum('xq', 'yq', ZORDER_BITS, spark=False)} AS zval
+          FROM q)
+    SELECT CAST(zval >> {ZORDER_BUCKET_SHIFT} AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_partkey) AS part_lo, max(l_partkey) AS part_hi,
+           min(l_suppkey) AS supp_lo, max(l_suppkey) AS supp_hi
+    FROM z GROUP BY zbucket
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering card — the data-LAYOUT primitive
+    behind lakehouse `OPTIMIZE ZORDER BY (a, b)`: quantize two filter
+    dimensions to 8 bits each, bit-interleave them into a
+    Morton code, and report each aligned Morton block's row count and
+    per-dimension min/max bounding box. Those boxes ARE the file-level
+    stats a 100 TB table stores: writing the table range-partitioned by
+    zval makes BOTH `l_partkey = ?` and `l_suppkey = ?` predicates prune
+    to ~1/16 of the blocks per equality predicate (each block spans 1/16 of each
+    dimension), where a single-column sort prunes only its own column —
+    tests/test_analytics.py asserts exactly that narrowness. The
+    reference can only hash-partition on one key (md5 mod R,
+    /root/reference/mapreduce/worker/__main__.py:105-111), which makes
+    every block span the FULL range of both dimensions.
+
+    Exactness: quantization and interleave are pure integer ops (the
+    min/max frame is a 1-row broadcast); '+' over disjoint bit positions
+    replaces '|' so both engines parse one spelling of the sum. Plan:
+    one scan + map-side-combined rollup to 256 block rows; at
+    100 TB only block aggregates move, and the production write path is
+    one repartitionByRange(zval) — the sort_global machinery."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mm = li.agg(
+        F.min("l_partkey").alias("xmin"),
+        F.max("l_partkey").alias("xmax"),
+        F.min("l_suppkey").alias("ymin"),
+        F.max("l_suppkey").alias("ymax"),
+    )
+    q = li.crossJoin(F.broadcast(mm)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(f"((l_partkey - xmin) * {_ZQ_MAX}) DIV (xmax - xmin)").alias("xq"),
+        F.expr(f"((l_suppkey - ymin) * {_ZQ_MAX}) DIV (ymax - ymin)").alias("yq"),
+    )
+    z = q.select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_morton_sum("xq", "yq", ZORDER_BITS, spark=True)).alias("zval"),
+    )
+    return (
+        z.select(
+            F.shiftright(F.col("zval"), ZORDER_BUCKET_SHIFT)
+            .cast("bigint")
+            .alias("zbucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_partkey").alias("part_lo"),
+            F.max("l_partkey").alias("part_hi"),
+            F.min("l_suppkey").alias("supp_lo"),
+            F.max("l_suppkey").alias("supp_hi"),
+        )
+    )

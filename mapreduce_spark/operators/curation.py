@@ -277,6 +277,103 @@ def mix_gate(docs: DataFrame, rates: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature sweep: the alpha-selection card for the mixing stage
+MIX_SWEEP_ALPHAS = [25, 50, 75, 100]  # alpha in percent; all sqrt-composable
+
+# n_tokens^alpha in integer micro-units, built ONLY from IEEE-exact ops
+# (sqrt is correctly rounded; products/floors are single identical ops on
+# both engines) — no pow(), whose libm rounding differs across engines.
+_SWEEP_W_SQL = """
+    CASE alpha_pct
+         WHEN 100 THEN n_tokens * 1000000
+         WHEN 75 THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                            * sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+                            * 1000000.0) AS BIGINT)
+         WHEN 50 THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                            * 1000000.0) AS BIGINT)
+         ELSE CAST(floor(sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+                            * 1000000.0) AS BIGINT)
+    END
+"""
+
+
+@register(
+    "mix_temperature_sweep",
+    oracle=f"""
+    WITH t AS (SELECT source,
+                      CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_toks
+               FROM documents),
+    g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS n_tokens
+          FROM t GROUP BY source),
+    a AS (SELECT g.*, alpha_pct, {_SWEEP_W_SQL} AS w
+          FROM g CROSS JOIN (VALUES (25), (50), (75), (100)) AS al(alpha_pct)),
+    tot AS (SELECT alpha_pct, CAST(sum(w) AS BIGINT) AS w_tot,
+                   CAST(sum(n_tokens) AS BIGINT) AS tok_tot
+            FROM a GROUP BY alpha_pct),
+    s AS (SELECT a.source, a.alpha_pct, a.n_docs, a.n_tokens,
+                 round(CAST(a.w AS DOUBLE) / tot.w_tot, 6) AS share,
+                 tot.tok_tot
+          FROM a JOIN tot USING (alpha_pct))
+    SELECT source, alpha_pct, n_docs, n_tokens, share,
+           round(share * CAST(tok_tot AS DOUBLE) / n_tokens, 6) AS epochs
+    FROM s
+    """,
+)
+def mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The alpha-selection card a mixing recipe is chosen FROM: for each
+    source and temperature alpha in {0.25, 0.5, 0.75, 1.0}, the target
+    token share (weight n_tokens^alpha, renormalized) and the EFFECTIVE
+    EPOCHS that share implies for the source (share x total_tokens /
+    own_tokens) — the number a recipe review reads to see how many times
+    a rare source would be repeated before picking alpha (the repetition
+    cap that drives temperature choice in multilingual/multi-domain
+    sampling). mix_weighted_sample/domain_mix_report EXECUTE one chosen
+    alpha; this card is the sweep that justifies it.
+
+    Exactness: every alpha here is a dyadic rational, so n_tokens^alpha
+    composes from sqrt()s — each correctly rounded by IEEE-754, hence
+    bit-identical across engines (the pow() libm would not be). Weights
+    floor to integer micro-units and sum as BIGINT; shares divide exact
+    integers once; epochs multiplies the ALREADY-ROUNDED share in one
+    left-to-right double expression.
+
+    Shape: one map-side-combined scan to |sources| rows, a 4x fan-out of
+    that tiny frame, a 4-row total broadcast back — at 100 TB the corpus
+    is read once and only source aggregates move."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("source", F.size(tokens("text")).cast("bigint").alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    a = g.withColumn(
+        "alpha_pct", F.explode(F.array(*[F.lit(p) for p in MIX_SWEEP_ALPHAS]))
+    ).withColumn("w", F.expr(_SWEEP_W_SQL))
+    tot = a.groupBy("alpha_pct").agg(
+        F.sum("w").cast("bigint").alias("w_tot"),
+        F.sum("n_tokens").cast("bigint").alias("tok_tot"),
+    )
+    s = a.join(F.broadcast(tot), "alpha_pct").withColumn(
+        "share", F.round(F.col("w").cast("double") / F.col("w_tot"), 6)
+    )
+    return s.select(
+        "source",
+        "alpha_pct",
+        "n_docs",
+        "n_tokens",
+        "share",
+        F.round(
+            F.col("share") * F.col("tok_tot").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Training-order shuffle: deterministic sharded permutation of the corpus
 @register(
     "global_shuffle",

@@ -827,6 +827,75 @@ def knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+HARD_NEG_K = 5
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS query_label
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, q.query_label, v.vec_id,
+               v.label AS neg_label,
+               round({sql_cosine_pair('q.qe', 'v.embedding')}, 6) AS cosine
+        FROM q JOIN embeddings v ON v.label <> q.query_label)
+    SELECT query_id, query_label, vec_id, neg_label, cosine, rank FROM (
+        SELECT query_id, query_label, vec_id, neg_label, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= {HARD_NEG_K}
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each query vector, the top-k most
+    COSINE-SIMILAR vectors carrying a DIFFERENT label — the examples a
+    contrastive/embedding trainer wants as in-batch negatives, and the
+    dual of knn_label (which scores same-label neighborhood purity).
+    The reference's only notion of 'grouping unlike things' is the
+    reduce-side key partition (/root/reference/mapreduce/worker/
+    __main__.py:105); this is the trainer-facing generalization.
+
+    Shape: identical to the exact top-k baseline — the |Q|-row query
+    side (with its labels) broadcasts against one stationary pass over
+    V; the label-mismatch predicate rides the broadcast join, so
+    mismatching rows are dropped at the scan with no extra exchange,
+    then one per-query window keeps k rows. At 1e9 vectors the exact
+    pass swaps out for any registered ANN shortlist (LSH / IVFADC /
+    Hamming tiers) feeding the same label-filtered rerank — the
+    candidate generator is the pluggable part, exactly as in
+    similarity_hamming_rerank."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        F.round(
+            cosine_n(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("query_id", "query_label", "vec_id", "neg_label", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mean-pooled class centroids: the vector-aggregation primitive
 @register(
     "embedding_centroid",

@@ -1,0 +1,123 @@
+"""Invariants of the round-6 close additions: hard-negative mining, the
+temperature-sweep mixing card, and the z-order layout card.
+
+Oracle parity (tools/check_correctness.py, driver gate) pins cross-engine
+exactness; these pin the semantic CLAIMS each docstring makes: negatives
+never share the query's label, temperature flattens shares monotonically,
+and Morton blocks bound BOTH dimensions at once — the property a hash or
+single-column layout cannot have.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from mapreduce_spark.registry import get_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hard_negatives_exclude_query_label(spark):
+    """Every mined negative must carry a label != its query's label, with
+    exactly HARD_NEG_K rows per query, rank-dense and cosine-sorted."""
+    from mapreduce_spark.operators.similarity import HARD_NEG_K, N_QUERIES
+
+    rows = get_queries()["hard_negatives"](spark, SF_DIR).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r["neg_label"] != r["query_label"], r
+        per_q[r["query_id"]].append(r)
+    assert len(per_q) == N_QUERIES
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, HARD_NEG_K + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True), q
+
+
+def test_hard_negatives_are_the_closest_wrong_label(spark):
+    """The mined set must dominate every unmined wrong-label vector: the
+    rank-k cosine is >= the best cosine among wrong-label vectors left
+    out (checked exhaustively against the raw table)."""
+    import duckdb
+
+    from mapreduce_spark.operators.similarity import HARD_NEG_K
+
+    rows = get_queries()["hard_negatives"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    emb = {
+        v: (e, l)
+        for v, e, l in con.execute(
+            f"SELECT vec_id, embedding, label FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchall()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb)
+
+    per_q = defaultdict(dict)
+    for r in rows:
+        per_q[r["query_id"]][r["vec_id"]] = r
+    for qid, mined in per_q.items():
+        qe, qlabel = emb[qid]
+        floor = min(r["cosine"] for r in mined.values())
+        best_unmined = max(
+            (cos(qe, e) for v, (e, l) in emb.items() if l != qlabel and v not in mined),
+            default=-1.0,
+        )
+        # 6dp rounding on the mined side vs raw float here: allow 1e-6.
+        assert floor >= best_unmined - 1e-6, (qid, floor, best_unmined)
+    assert all(len(m) == HARD_NEG_K for m in per_q.values())
+
+
+def test_mix_temperature_sweep_flattens_and_normalizes(spark):
+    """Per alpha: shares sum to 1 (within 6dp rounding per source);
+    alpha=100 reproduces raw token shares with epochs == 1 everywhere;
+    lowering alpha monotonically raises the smallest source's share and
+    epochs (the up-weighting direction that motivates temperature)."""
+    rows = get_queries()["mix_temperature_sweep"](spark, SF_DIR).collect()
+    by_alpha = defaultdict(dict)
+    for r in rows:
+        by_alpha[r["alpha_pct"]][r["source"]] = r
+    assert sorted(by_alpha) == [25, 50, 75, 100]
+    n_src = len(by_alpha[100])
+    for alpha, cells in by_alpha.items():
+        assert len(cells) == n_src
+        assert abs(sum(c["share"] for c in cells.values()) - 1.0) <= 2e-6 * n_src
+    for c in by_alpha[100].values():
+        assert abs(c["epochs"] - 1.0) <= 1e-4, c
+    smallest = min(by_alpha[100].values(), key=lambda c: c["n_tokens"])["source"]
+    largest = max(by_alpha[100].values(), key=lambda c: c["n_tokens"])["source"]
+    if smallest != largest:
+        sm = [by_alpha[a][smallest] for a in (100, 75, 50, 25)]
+        assert all(a["share"] <= b["share"] + 1e-9 for a, b in zip(sm, sm[1:])), sm
+        assert all(a["epochs"] <= b["epochs"] + 1e-9 for a, b in zip(sm, sm[1:]))
+        lg = [by_alpha[a][largest] for a in (100, 75, 50, 25)]
+        assert all(a["share"] >= b["share"] - 1e-9 for a, b in zip(lg, lg[1:])), lg
+
+
+def test_zorder_blocks_bound_both_dimensions(spark):
+    """Every Morton block's bounding box must be narrow in BOTH
+    dimensions at once: span <= range * 16/255 + one quantization cell —
+    the multi-dim pruning property. Row counts must conserve."""
+    import duckdb
+
+    rows = get_queries()["zorder_layout"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    xmin, xmax, ymin, ymax, total = con.execute(
+        "SELECT min(l_partkey), max(l_partkey), min(l_suppkey), max(l_suppkey),"
+        f" count(*) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()
+    assert sum(r["n_rows"] for r in rows) == total
+    assert len(rows) <= 256 and len({r["zbucket"] for r in rows}) == len(rows)
+    # 16 of 256 quantized cells per dim per block, plus one cell of
+    # boundary slop from the integer quantization.
+    x_bound = (xmax - xmin) * 16 / 255 + (xmax - xmin) / 255 + 2
+    y_bound = (ymax - ymin) * 16 / 255 + (ymax - ymin) / 255 + 2
+    for r in rows:
+        assert 0 <= r["zbucket"] < 256
+        assert r["part_hi"] - r["part_lo"] <= x_bound, r
+        assert r["supp_hi"] - r["supp_lo"] <= y_bound, r
