@@ -1982,3 +1982,118 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("supp_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance: merge-on-read rollup state
+_MV_SUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+_MV_SUM_PRICE = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))"
+)
+MV_STATE_BUCKETS = 8
+MV_STATE_TABLE = "rollup_mv_state"
+
+
+def rollup_state(li: DataFrame) -> DataFrame:
+    """Mergeable partial-aggregate STATE of the pricing rollup for any
+    lineitem slice: exact DECIMAL sums + row count per (returnflag,
+    linestatus). Sums and counts are associative, so
+    state(A) ++ state(B) re-aggregated == state(A ∪ B) exactly — the
+    algebraic property incremental view maintenance rests on."""
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(_MV_SUM_QTY).alias("s_qty"),
+        F.expr(_MV_SUM_PRICE).alias("s_price"),
+    )
+
+
+def rollup_state_write(li: DataFrame, name: str, mode: str = "overwrite") -> None:
+    """Persist (or with mode='append', fold a delta into) the on-disk
+    rollup state: partial aggregates bucketed on the group keys, so the
+    merge-on-read final aggregation needs NO Exchange — each reader task
+    already holds whole key groups (the dedup/vector index discipline
+    applied to aggregate state)."""
+    spark = li.sparkSession
+    if mode == "overwrite":
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    (
+        rollup_state(li)
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(MV_STATE_BUCKETS, "l_returnflag", "l_linestatus")
+        .sortBy("l_returnflag", "l_linestatus")
+        .saveAsTable(name)
+    )
+
+
+def rollup_view_read(spark: SparkSession, name: str) -> DataFrame:
+    """The served VIEW: merge the accumulated state partials (exact
+    decimal re-aggregation — bucketed scan, no Exchange) and derive the
+    final columns; averages divide the exact merged sums once."""
+    merged = (
+        spark.table(name)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("count_order"),
+            F.sum("s_qty").alias("_sq"),
+            F.sum("s_price").alias("_sp"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+@register(
+    "rollup_incremental_view",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rollup_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW maintenance of the TPC-H-Q1-shape
+    pricing rollup, graded end-to-end: the even-orderkey half of
+    lineitem is aggregated into on-disk partial state, the odd half
+    arrives later as a DELTA whose partials APPEND (never touching the
+    base state or re-reading the base data), and the served view is the
+    merge-on-read final aggregation — equal to a from-scratch rollup of
+    the whole table (the oracle) because decimal sums and counts merge
+    associatively. This is the maintenance loop of every 100 TB
+    reporting rollup: a daily delta costs one pass over the DELTA plus
+    a |keys|-row merge, not a re-read of the corpus (insert-only here;
+    retractions would carry signed counts). The reference re-runs the
+    whole job per update (/root/reference/mapreduce/manager/
+    __main__.py:257-300 re-globs the full input directory).
+
+    Plan: state is BUCKETED on the group keys, so the view's final
+    aggregation plans no Exchange (asserted in
+    tests/test_layout_mining.py); appends preserve the bucket spec.
+    Exactness: state carries DECIMAL(38,2) sums; the view divides the
+    exact merged sums once, in the same spelling as the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rollup_state_write(li.filter(F.col("l_orderkey") % 2 == 0), MV_STATE_TABLE)
+    rollup_state_write(
+        li.filter(F.col("l_orderkey") % 2 == 1), MV_STATE_TABLE, mode="append"
+    )
+    return rollup_view_read(spark, MV_STATE_TABLE)
