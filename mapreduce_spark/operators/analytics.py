@@ -2055,9 +2055,10 @@ def rollup_view_read(spark: SparkSession, name: str) -> DataFrame:
     )
 
 
-@register(
-    "rollup_incremental_view",
-    oracle="""
+# The served view recomputed from scratch — shared by the batch lifecycle
+# query and its streaming sibling (streaming/events.py), since ANY split
+# of the table into deltas serves the identical view by associativity.
+_MV_VIEW_SQL = """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -2069,8 +2070,10 @@ def rollup_view_read(spark: SparkSession, name: str) -> DataFrame:
            COUNT(*) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
-    """,
-)
+"""
+
+
+@register("rollup_incremental_view", oracle=_MV_VIEW_SQL)
 def rollup_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL MATERIALIZED-VIEW maintenance of the TPC-H-Q1-shape
     pricing rollup, graded end-to-end: the even-orderkey half of

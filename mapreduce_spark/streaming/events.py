@@ -1168,3 +1168,88 @@ def stream_embdup_gate_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+from mapreduce_spark.operators.analytics import _MV_VIEW_SQL as _SQL_MV_VIEW
+
+
+@register("stream_rollup_view", oracle=_SQL_MV_VIEW)
+def stream_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING side of incremental materialized-view maintenance
+    (rollup_incremental_view's sibling): the even-orderkey half of
+    lineitem seeds the on-disk bucketed partial-aggregate state; the odd
+    half then arrives as micro-batches, and each batch folds ONLY its own
+    partials into the state (one bucketed append of |keys| rows — the
+    batch data is never re-read, the state never rewritten). The served
+    view after ingest equals the from-scratch rollup of the whole table
+    (the shared oracle): unlike the dedup gates, NO batch-boundary
+    protocol is needed, because decimal-sum/count partials merge
+    associatively under ANY split — the algebraic reason incremental
+    view maintenance is the cheap path for 100 TB reporting rollups.
+
+    Replay: two spooled mtime-ordered files (l_orderkey%4==1, %4==3)
+    streamed with maxFilesPerTrigger=1; the spool projects only the five
+    columns the state needs, so the stream ships no dead columns."""
+    import os
+    import tempfile
+    import time
+
+    from mapreduce_spark.operators.analytics import (
+        rollup_state,
+        rollup_state_write,
+        rollup_view_read,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+    ]
+    rollup_state_write(li.filter(F.col("l_orderkey") % 2 == 0), "mv_stream_state")
+
+    spool = tempfile.mkdtemp(prefix="stream_rollup_view_")
+    in_dir = os.path.join(spool, "incoming")
+    os.makedirs(in_dir)
+    for i, pred in enumerate([1, 3]):
+        part = os.path.join(spool, f"b{i}")
+        li.filter(F.col("l_orderkey") % 4 == pred).select(*cols).coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        src = next(
+            os.path.join(part, f)
+            for f in os.listdir(part)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"batch{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (time.time() - 600 + 300 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(li.select(*cols).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    def _fold_partials(batch_df: DataFrame, _batch_id: int) -> None:
+        # foreachBatch runs under a CLONED session; saveAsTable(append)
+        # resolves the table through that clone's catalog, which shares
+        # the warehouse — only the partials of THIS batch are computed
+        # and appended.
+        rollup_state_write(batch_df, "mv_stream_state", mode="append")
+
+    for q in spark.streams.active:
+        if q.name == "stream_rollup_view":
+            q.stop()
+    query = (
+        stream.writeStream.foreachBatch(_fold_partials)
+        .queryName("stream_rollup_view")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark.catalog.refreshTable("mv_stream_state")
+    return rollup_view_read(spark, "mv_stream_state")

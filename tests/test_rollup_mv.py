@@ -61,3 +61,15 @@ def test_view_read_plans_no_exchange(spark):
     plan = view._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 0, plan
     assert view.count() > 0
+
+
+def test_stream_view_equals_batch_view(spark):
+    """The streaming fold (per-micro-batch partial appends) must serve
+    the identical view as the batch lifecycle query — associativity
+    makes batch boundaries invisible, and both share one oracle."""
+    from mapreduce_spark.registry import get_queries
+
+    qs = get_queries()
+    batch = qs["rollup_incremental_view"](spark, SF_DIR)
+    stream = qs["stream_rollup_view"](spark, SF_DIR)
+    assert _canon(batch) == _canon(stream)
