@@ -3156,3 +3156,168 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Model-based quality filtering, discriminative tier: logistic regression
+# trained IN-PLAN by full-batch gradient descent (quality_nb_classifier is
+# the generative sibling). Weights live in integer MICRO-UNITS and
+# features in integer MILLI-UNITS, so every model state is a BIGINT
+# 4-vector both engines agree on bit-for-bit; the only floats are the
+# per-row sigmoid (rounded 6dp before quantizing, the dsir_resample
+# libm discipline) and the floor()ed update step — each ONE identical
+# IEEE expression on both engines.
+LOGREG_ROUNDS = 8
+LOGREG_LR = "5.0"
+LOGREG_TEACHER_THRESHOLD = 0.6  # = curation.QUALITY_THRESHOLD (no circular import)
+
+# Shared Spark/DuckDB fragments — unqualified names resolve against the
+# (features x weights) cross join on both engines.
+_LR_ZINT = "(w0 * 1000 + w1 * x1 + w2 * x2 + w3 * x3)"
+_LR_P = f"round(1.0 / (1.0 + exp(-({_LR_ZINT} / 1000000000.0))), 6)"
+_LR_ERRM = f"CAST(floor((y - {_LR_P}) * 1000000.0) AS BIGINT)"
+_LR_GRADS = [
+    f"CAST(SUM({_LR_ERRM} * 1000) AS BIGINT) AS g0",
+    f"CAST(SUM({_LR_ERRM} * x1) AS BIGINT) AS g1",
+    f"CAST(SUM({_LR_ERRM} * x2) AS BIGINT) AS g2",
+    f"CAST(SUM({_LR_ERRM} * x3) AS BIGINT) AS g3",
+    "COUNT(*) AS n",
+]
+_LR_UPDATES = [
+    f"CAST(w{j} + floor({LOGREG_LR} * g{j} / (n * 1000.0)) AS BIGINT) AS w{j}"
+    for j in range(4)
+]
+_LR_ACC = (
+    f"round(CAST(SUM(CASE WHEN ({_LR_ZINT} > 0) = (y > 0.5) "
+    "THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)"
+)
+
+
+def _logreg_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_train, x1..x3 milli-unit features, teacher label y):
+    saturated length, distinct ratio, stopword ratio — the quality_frame
+    signals quantized to integers — with the heuristic quality gate
+    (quality >= 0.6, quality_score's exact spelling) as teacher: the
+    FineWeb-style distillation of a rule gate into a calibrated model."""
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("_dr"),
+        (_hits(toks, STOPWORDS["en"]).cast("double") / F.size(toks)).alias("_sr"),
+    ).filter(F.col("n_tokens") > 0)
+    q = F.round(
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.4 * F.col("_dr")
+        + 0.2 * (1.0 - F.col("_sr")),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        (F.least(F.col("n_tokens"), F.lit(100)) * 10).cast("bigint").alias("x1"),
+        F.floor(F.round(F.col("_dr"), 6) * 1000).cast("bigint").alias("x2"),
+        F.floor(F.round(F.col("_sr"), 6) * 1000).cast("bigint").alias("x3"),
+        F.when(q >= LOGREG_TEACHER_THRESHOLD, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def _logreg_oracle(rounds: int) -> str:
+    """The training loop as `rounds` MATERIALIZED CTE stages (the
+    bpe_train_scaled / kmeans oracle discipline), card row per round."""
+    hits = _sql_hits(STOPWORDS["en"])
+    dr = "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)"
+    sr = f"CAST({hits} AS DOUBLE) / len(toks)"
+    sql = f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    f AS MATERIALIZED (
+        SELECT doc_id, doc_id % 2 = 0 AS is_train,
+               CAST(least(len(toks), 100) * 10 AS BIGINT) AS x1,
+               CAST(floor(round({dr}, 6) * 1000) AS BIGINT) AS x2,
+               CAST(floor(round({sr}, 6) * 1000) AS BIGINT) AS x3,
+               CASE WHEN round(0.4 * least(len(toks) / 100.0, 1.0)
+                              + 0.4 * ({dr}) + 0.2 * (1.0 - ({sr})), 6)
+                         >= {LOGREG_TEACHER_THRESHOLD}
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM t WHERE len(toks) > 0),
+    w_0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    g_{r} AS (SELECT {', '.join(_LR_GRADS)} FROM f, w_{r - 1} WHERE is_train),
+    w_{r} AS MATERIALIZED (SELECT {', '.join(_LR_UPDATES)} FROM w_{r - 1}, g_{r}),
+    a_{r} AS (SELECT CAST({r} AS BIGINT) AS round,
+                     w0 AS w_bias, w1 AS w_len, w2 AS w_distinct, w3 AS w_stop,
+                     {_LR_ACC} AS holdout_acc
+              FROM f, w_{r} WHERE NOT is_train
+              GROUP BY w0, w1, w2, w3)"""
+    sql += "\n    " + "\n    UNION ALL ".join(
+        f"SELECT * FROM a_{r}" for r in range(1, rounds + 1)
+    )
+    return sql
+
+
+@register("quality_logreg_train", oracle=_logreg_oracle(LOGREG_ROUNDS))
+def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, DISCRIMINATIVE tier: a logistic-
+    regression quality classifier trained inside the engine by
+    full-batch gradient descent — the distillation step that turns the
+    heuristic quality gate into a calibrated probability (the pattern
+    behind classifier-filtered corpora a la GPT-3/CCNet/FineWeb-edu;
+    quality_nb_classifier is the generative sibling on token features).
+    Trains on the even-doc_id half against the quality >= 0.6 teacher,
+    and the card reports per round the BIGINT micro-unit weight vector
+    plus HELD-OUT (odd-half) accuracy.
+
+    Exactness: model state is an integer 4-vector at every round —
+    features quantize to milli-units, the sigmoid is rounded 6dp then
+    floored to an integer error term per row (dsir_resample's libm
+    discipline), gradients are exact BIGINT sums, and the update step is
+    one floor()ed IEEE expression — so both engines walk the identical
+    weight trajectory (at ~1e11-row training sets the BIGINT gradient
+    sums would move to DECIMAL(38,0), same discipline as the moment
+    sketches). Training is the checkpointed-loop discipline
+    (dedup_cluster / kmeans_train): each round's 1-row weight frame
+    localCheckpoints eagerly, so plan depth is O(1) per round; per round
+    the corpus sees exactly two aggregations (train gradient, holdout
+    accuracy), each one map-side-combined scan of the checkpointed
+    integer feature frame — nothing pairwise, nothing iterative inside
+    a plan."""
+    f = _logreg_features(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    train = f.filter(F.col("is_train"))
+    hold = f.filter(~F.col("is_train"))
+    w = spark.createDataFrame(
+        [(0, 0, 0, 0)], "w0 long, w1 long, w2 long, w3 long"
+    ).localCheckpoint(eager=True)
+    cards = []
+    for r in range(1, LOGREG_ROUNDS + 1):
+        g = train.crossJoin(F.broadcast(w)).agg(
+            *[F.expr(e) for e in _LR_GRADS]
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .selectExpr(*_LR_UPDATES)
+            .localCheckpoint(eager=True)
+        )
+        acc = (
+            hold.crossJoin(F.broadcast(w))
+            .agg(F.expr(_LR_ACC).alias("holdout_acc"))
+        )
+        cards.append(
+            w.crossJoin(acc).selectExpr(
+                f"CAST({r} AS BIGINT) AS round",
+                "w0 AS w_bias",
+                "w1 AS w_len",
+                "w2 AS w_distinct",
+                "w3 AS w_stop",
+                "holdout_acc",
+            )
+        )
+    out = cards[0]
+    for c in cards[1:]:
+        out = out.unionAll(c)
+    return out
