@@ -359,3 +359,78 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("merge_action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-located (bucketed) fact-fact join: the layout that deletes the shuffle
+JOIN_BUCKETS = 8
+
+
+def _bucketed_write(df: DataFrame, name: str, key: str, buckets: int) -> None:
+    """(Re)write ``df`` as a bucketed+sorted table on ``key``, one file
+    per bucket (repartition aligns write tasks to whole buckets — the
+    index-compaction discipline), so scans report both the hash
+    distribution AND the sort order to the planner."""
+    spark = df.sparkSession
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    (
+        df.repartition(buckets, key)
+        .write.format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )
+
+
+@register(
+    "join_colocated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           count(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FACT-FACT join at 100 TB: when both tables are too big to
+    broadcast, a plain equi-join shuffles BOTH sides on the key every
+    single run — the dominant recurring cost of a production join
+    pipeline. Pre-bucketing both tables on the join key (here orders and
+    lineitem on orderkey, one file per bucket, sorted within) makes
+    Spark's scan report hash distribution and order, so the sort-merge
+    join plans with ZERO Exchange and ZERO Sort — the shuffle is paid
+    once at layout time and amortized over every subsequent join, the
+    same economics as dedup_index_persisted's probe side. The follow-up
+    per-order aggregation reuses the join's clustering too. Plan
+    asserted Exchange-free in tests/test_layout_mining.py. (The
+    reference's only co-location tool is its md5-mod-R partition rule,
+    /root/reference/mapreduce/worker/__main__.py:105-111, recomputed
+    from scratch every job.)"""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    _bucketed_write(o, "colo_orders", "o_orderkey", JOIN_BUCKETS)
+    _bucketed_write(li, "colo_lineitem", "l_orderkey", JOIN_BUCKETS)
+    # MERGE hint: at fixture scale the planner would broadcast the toy
+    # orders side, hiding exactly the shape this query exists to pin; a
+    # 100 TB fact-fact join is SMJ regardless, so the hint encodes the
+    # production decision instead of the fixture's.
+    ob = spark.table("colo_orders").hint("merge")
+    lb = spark.table("colo_lineitem")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey, "inner")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity", "sum_qty"),
+        )
+    )

@@ -35,6 +35,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # Broadcast threshold: dimension tables (region/nation/supplier/part)
     # stay far below this even at sf100.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Expose sortBy order from bucketed-table scans (one file per bucket —
+    # all bucketed writers in this repo repartition onto the bucket key
+    # first), so co-located sort-merge joins plan with zero Sort as well
+    # as zero Exchange (join_colocated; the dedup/vector/rollup state
+    # tables get sorted probes for free).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
 }
 
 

@@ -121,3 +121,17 @@ def test_zorder_blocks_bound_both_dimensions(spark):
         assert 0 <= r["zbucket"] < 256
         assert r["part_hi"] - r["part_lo"] <= x_bound, r
         assert r["supp_hi"] - r["supp_lo"] <= y_bound, r
+
+
+def test_colocated_join_plans_no_exchange_no_sort(spark):
+    """The co-located fact-fact join: both sides bucketed+sorted on the
+    key, one file per bucket => the sort-merge join must plan with ZERO
+    Exchange and ZERO Sort — the layout-amortized shuffle."""
+    import re
+
+    df = get_queries()["join_colocated"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    assert len(re.findall(r"\bSort \[", plan)) == 0, plan
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert df.count() > 0
