@@ -98,9 +98,12 @@ HEADLINE = [
     "cc_star_components",
     "cdc_chunk_stats",
     "token_pmi",
-    # round-6 close: production k-means training, the JSONL export round
-    # trip, and the two new single-scan cards
-    "kmeans_train_scaled",
+    # round-6 close: the JSONL export round trip and the two new
+    # single-scan cards. (kmeans_train_scaled is deliberately NOT here:
+    # it is a TRAINING JOB — 8 eager checkpointed Lloyd rounds, ~16 s at
+    # sf0.1 — and re-running the same training 6x would be 40% of the
+    # bench wall; its measured cost is recorded once in BENCH_NOTES_r06
+    # instead. Correctness stays gated by the driver window + tests.)
     "export_jsonl_shards",
     "ngram_novelty",
     "embedding_dim_stats",
@@ -116,7 +119,6 @@ EAGER_BUILD = {
     "bpe_token_count",
     "dedup_index_persisted",
     "similarity_index_persisted",
-    "kmeans_train_scaled",
     "export_jsonl_shards",
 }
 

@@ -3209,6 +3209,65 @@ def similarity_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vector_index_compact(spark: SparkSession, name: str) -> None:
+    """OPTIMIZE-style maintenance rewrite for the vector index's
+    cid-partitioned code layout (minhash_index_compact's sibling): every
+    vector_index_append leaves new files in each touched cell's
+    directory, so after K ingests a probe of a cell opens up to K+1
+    files. Compaction spools the codes to a temporary plain copy
+    (severing the read from the directory about to be overwritten) and
+    rewrites them repartitioned ON cid — each write task holds whole
+    cells, so every cell directory collapses back to one file. Same
+    rows, same partition layout, so probe plans (dynamic partition
+    pruning off the broadcast route) and results are untouched. Pure
+    maintenance, never required for correctness; the stored quantizer
+    and book are not touched."""
+    import shutil
+    import tempfile
+
+    path = _vindex_codes_path(spark, name)
+    spool = tempfile.mkdtemp(prefix=f"vcompact_{name}_")
+    try:
+        spark.read.parquet(path).write.mode("overwrite").parquet(
+            f"{spool}/codes"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            spark.read.parquet(f"{spool}/codes")
+            .repartition("cid")
+            .write.partitionBy("cid")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)
+
+
+@register("similarity_index_compacted", oracle=_IVFPQ_ADC_SQL)
+def similarity_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector index's FULL maintenance lifecycle in one graded query
+    (dedup_index_compacted's vector-side mirror): write the even-vec_id
+    half as the initial index, APPEND the odd half under the stored
+    artifacts, COMPACT the two-files-per-cell append debris back to one
+    file per cell, then probe — identical rows to the one-shot in-memory
+    IVFADC query (same oracle), proving appends AND compaction are both
+    invisible to serving. One-file-per-cell after compaction is pinned
+    by tests/test_vector_index.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vector_index_write(
+        emb.filter(F.col("vec_id") % 2 == 0), "vindex_cpt", train=emb
+    )
+    vector_index_append(emb.filter(F.col("vec_id") % 2 == 1), "vindex_cpt")
+    vector_index_compact(spark, "vindex_cpt")
+    return vector_index_probe(
+        spark,
+        "vindex_cpt",
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        SCALED_IVF_NPROBE,
+        TOP_K,
+    )
+
+
 @register("similarity_index_appended", oracle=_IVFPQ_ADC_SQL)
 def similarity_index_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vector index's INGEST lifecycle, graded: the quantizer and

@@ -121,3 +121,47 @@ def test_append_preserves_pruning_and_matches_bulk(spark, sf_dir):
     assert staged == bulk and len(bulk) == N_QUERIES * TOP_K
     plan = staged_probe._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_compaction_collapses_cells_and_preserves_probe(spark, sf_dir):
+    """After write + append every touched cell holds >= 2 files;
+    compaction must collapse EVERY cell directory to exactly one file
+    while changing no probed row."""
+    import os
+
+    from mapreduce_spark.operators.similarity import (
+        _vindex_codes_path,
+        vector_index_append,
+        vector_index_compact,
+    )
+
+    emb = _emb(spark, sf_dir)
+    vector_index_write(
+        emb.filter(F.col("vec_id") % 2 == 0), "t_vindex_cpt", train=emb
+    )
+    vector_index_append(emb.filter(F.col("vec_id") % 2 == 1), "t_vindex_cpt")
+    path = _vindex_codes_path(spark, "t_vindex_cpt")
+
+    def files_per_cell():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("cid="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+                )
+        return out
+
+    before = files_per_cell()
+    assert max(before.values()) >= 2, before
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    rows_before = sorted(
+        map(tuple, vector_index_probe(spark, "t_vindex_cpt", q).collect())
+    )
+    vector_index_compact(spark, "t_vindex_cpt")
+    after = files_per_cell()
+    assert set(after) == set(before)
+    assert max(after.values()) == 1, after
+    rows_after = sorted(
+        map(tuple, vector_index_probe(spark, "t_vindex_cpt", q).collect())
+    )
+    assert rows_before == rows_after and len(rows_after) == N_QUERIES * TOP_K
