@@ -1446,21 +1446,24 @@ def dedup_span_remove_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def span_remove_frame(docs: DataFrame, span_n: int) -> DataFrame:
-    """Exact-substring keep-first removal over a (doc_id, text) frame at
-    an arbitrary span length — the one implementation both profiles
-    share (docstring of dedup_span_remove describes the plan)."""
-    d = docs.select("doc_id", tokens("text").alias("toks")).filter(
-        F.size("toks") > 0
-    )
-    sp = (
+def hashed_spans(d: DataFrame, span_n: int) -> DataFrame:
+    """(doc_id, st, h, h2) for every span_n-token window of a
+    (doc_id, toks) frame, pinned behind one (h, h2)-keyed exchange: the
+    frequency groupBy reads it shuffle-free and the probe join REUSES
+    it, so the corpus text is scanned+shingled ONCE and what shuffles is
+    fixed-width ints — at 100 TB a narrow int shuffle beats a second
+    full text scan+md5 pass. Span identity is the 120-bit (h, h2) pair —
+    both 60-bit halves of ONE md5 (a projection boundary pins the single
+    evaluation) — because a single 60-bit key collides thousands of
+    times at 1e11 spans and a collision here EXCISES unique text with no
+    exact re-check downstream (unlike the LSH/bloom paths, where a
+    collision only adds verification work)."""
+    return (
         d.filter(F.size("toks") >= span_n)
         .select(
             "doc_id",
             F.posexplode(shingles(F.col("toks"), span_n)).alias("st", "s"),
         )
-        # one md5 per span, both 60-bit halves sliced from the same digest
-        # (a projection boundary pins the single evaluation)
         .select("doc_id", "st", F.md5(F.col("s")).alias("md"))
         .select(
             "doc_id",
@@ -1468,40 +1471,19 @@ def span_remove_frame(docs: DataFrame, span_n: int) -> DataFrame:
             F.conv(F.substring("md", 1, 15), 16, 10).cast("bigint").alias("h"),
             F.conv(F.substring("md", 16, 15), 16, 10).cast("bigint").alias("h2"),
         )
-        # pin the hashed-span rows behind one h-keyed exchange: the
-        # frequency groupBy reads it shuffle-free and the semi-join probe
-        # REUSES it, so the corpus text is scanned+shingled ONCE and what
-        # shuffles is fixed-width ints — at 100 TB a narrow int shuffle
-        # beats a second full text scan+md5 pass. Span identity is the
-        # 120-bit (h, h2) pair — both halves of ONE md5 — because a
-        # single 60-bit key collides thousands of times at 1e11 spans
-        # and a collision here EXCISES unique text with no exact
-        # re-check downstream (unlike the LSH/bloom paths, where a
-        # collision only adds verification work).
         .repartition("h", "h2")
     )
-    occ_key = F.col("doc_id") * F.lit(SPAN_POS_CAP) + F.col("st")
-    dup_h = (
-        sp.groupBy("h", "h2")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.min(occ_key).alias("keeper"),
-        )
-        .filter(F.col("c") >= 2)
-        .select("h", "h2", "keeper")
-    )
-    starts = (
-        sp.join(dup_h, ["h", "h2"])
-        .filter(occ_key != F.col("keeper"))
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("st")).alias("sts"))
-    )
+
+
+def excise_spans(d: DataFrame, starts: DataFrame, span_n: int) -> DataFrame:
+    """Row-local excision: drop every token of ``d`` (doc_id, toks)
+    covered by a span_n window starting at any position in ``starts``
+    (doc_id, sts sorted int array); survivors re-join as clean_text.
+    Zero shuffles past the starts aggregation — text never moves."""
     j = d.join(starts, "doc_id", "left").select(
         "doc_id",
         "toks",
-        F.coalesce(
-            "sts", F.array().cast("array<int>")
-        ).alias("sts"),
+        F.coalesce("sts", F.array().cast("array<int>")).alias("sts"),
     )
     kept = F.filter(
         "toks",
@@ -1520,6 +1502,33 @@ def span_remove_frame(docs: DataFrame, span_n: int) -> DataFrame:
         F.size("kept").cast("bigint").alias("n_kept"),
         (F.col("n_toks") - F.size("kept")).cast("bigint").alias("n_removed"),
     )
+
+
+def span_remove_frame(docs: DataFrame, span_n: int) -> DataFrame:
+    """Exact-substring keep-first removal over a (doc_id, text) frame at
+    an arbitrary span length — the one implementation both profiles
+    share (docstring of dedup_span_remove describes the plan)."""
+    d = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    sp = hashed_spans(d, span_n)
+    occ_key = F.col("doc_id") * F.lit(SPAN_POS_CAP) + F.col("st")
+    dup_h = (
+        sp.groupBy("h", "h2")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(occ_key).alias("keeper"),
+        )
+        .filter(F.col("c") >= 2)
+        .select("h", "h2", "keeper")
+    )
+    starts = (
+        sp.join(dup_h, ["h", "h2"])
+        .filter(occ_key != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("st")).alias("sts"))
+    )
+    return excise_spans(d, starts, span_n)
 
 
 # --------------------------------------------------------------------------

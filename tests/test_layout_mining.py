@@ -135,3 +135,67 @@ def test_colocated_join_plans_no_exchange_no_sort(spark):
     assert len(re.findall(r"\bSort \[", plan)) == 0, plan
     assert plan.count("SortMergeJoin") == 1, plan
     assert df.count() > 0
+
+
+def test_decontaminate_spans_removes_all_benchmark_text(spark):
+    """After decontamination NO benchmark 5-gram may survive anywhere in
+    the cleaned training text (checked exhaustively), and a planted
+    train doc quoting a benchmark item loses exactly the quoted window
+    while its other tokens survive."""
+    import os
+    import tempfile
+
+    from mapreduce_spark.operators.dedup import (
+        BENCH_SOURCE,
+        DECON_SPAN_N,
+        decontaminate_spans,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, bench_text, "en", BENCH_SOURCE, len(bench_text)),
+        # quotes the full benchmark item inside other text
+        (1, "intro words " + bench_text + " closing words", "en", "srcA", 0),
+        # clean doc sharing no 5-gram with the benchmark
+        (2, "one two three four five six seven", "en", "srcA", 0),
+    ]
+    spool = tempfile.mkdtemp(prefix="decon_planted_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(spool, "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in decontaminate_spans(spark, spool).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["n_removed"] == 0
+    assert out[2]["clean_text"] == "one two three four five six seven"
+    assert out[1]["n_removed"] == 5, out[1]
+    assert out[1]["clean_text"] == "intro words closing words"
+
+    # Exhaustive survival check on the real fixture corpus.
+    import duckdb
+
+    cleaned = {
+        r["doc_id"]: r["clean_text"]
+        for r in decontaminate_spans(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    bench_docs = con.execute(
+        "SELECT text FROM read_parquet(?) WHERE source = ?",
+        [f"{SF_DIR}/documents.parquet", BENCH_SOURCE],
+    ).fetchall()
+
+    def grams(s):
+        toks = [t for t in s.lower().split() if t]
+        return {
+            tuple(toks[i : i + DECON_SPAN_N])
+            for i in range(len(toks) - DECON_SPAN_N + 1)
+        }
+
+    bench_grams = set()
+    for (t,) in bench_docs:
+        bench_grams |= grams(t)
+    survivors = sum(
+        len(grams(c) & bench_grams) for c in cleaned.values()
+    )
+    assert survivors == 0, survivors
