@@ -3438,6 +3438,95 @@ def similarity_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negatives_scaled",
+    oracle=f"""
+    WITH {_SQL_SIGN_CTES},
+    lab AS (SELECT s.vec_id, s.w0, s.w1, e.label
+            FROM sgn s JOIN embeddings e USING (vec_id)),
+    hq AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1,
+                  label AS query_label
+           FROM lab WHERE vec_id < {N_QUERIES}),
+    hscored AS (
+        SELECT hq.query_id, hq.query_label, s.vec_id, s.label AS neg_label,
+               CAST(bit_count(xor(s.w0, hq.q0))
+                    + bit_count(xor(s.w1, hq.q1)) AS BIGINT) AS hamming
+        FROM hq JOIN lab s ON s.label <> hq.query_label),
+    hshort AS (
+        SELECT query_id, query_label, vec_id, neg_label FROM (
+            SELECT query_id, query_label, vec_id, neg_label,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, vec_id) AS rank
+            FROM hscored)
+        WHERE rank <= {HARD_NEG_K * HAMMING_RERANK_FACTOR}),
+    scored AS (
+        SELECT c.query_id, c.query_label, c.vec_id, c.neg_label,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6) AS cosine
+        FROM hshort c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id)
+    SELECT query_id, query_label, vec_id, neg_label, cosine, rank FROM (
+        SELECT query_id, query_label, vec_id, neg_label, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+        FROM scored)
+    WHERE rank <= {HARD_NEG_K}
+    """,
+)
+def hard_negatives_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hard_negatives on the PRODUCTION candidate path its demo
+    docstring promises: the wrong-label scan runs over the 1-bit sign
+    codes (two xor+popcount BIGINT ops per candidate — the 256x-
+    compressed index, so at 1e9 vectors the shortlist stage never
+    touches a float), shortlists 4x k per query, and only the shortlist
+    pays exact cosine + final ranking — similarity_hamming_rerank's
+    two-stage economics with the label-mismatch predicate pushed into
+    the CHEAP stage, where it also shrinks the candidate stream.
+    Deterministic end-to-end (integer Hamming ranking with vec_id
+    tie-break), so the oracle replays the exact shortlist."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    lab = sign_codes_frame(emb.select("vec_id", "embedding")).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    q = lab.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+        F.col("label").alias("query_label"),
+    )
+    hscored = lab.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        (
+            F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+            + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    short = (
+        hscored.withColumn("_rn", F.row_number().over(wh))
+        .filter(F.col("_rn") <= HARD_NEG_K * HAMMING_RERANK_FACTOR)
+        .select("query_id", "query_label", "vec_id", "neg_label")
+    )
+    rer = _score_pairs(emb.select("vec_id", "embedding"), short.select("query_id", "vec_id"))
+    scored = rer.join(short, ["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("query_id", "query_label", "vec_id", "neg_label", "cosine", "rank")
+    )
+
+
+
+@register(
     "hamming_recall_report",
     oracle=f"""
     WITH {_SQL_EXACT_TOPK_CTE},

@@ -199,3 +199,29 @@ def test_decontaminate_spans_removes_all_benchmark_text(spark):
         len(grams(c) & bench_grams) for c in cleaned.values()
     )
     assert survivors == 0, survivors
+
+
+def test_hard_negatives_scaled_structure_and_recall(spark):
+    """The Hamming-shortlisted production path must keep the structural
+    contract (k wrong-label rows per query, cosine-ranked) and recall a
+    reasonable share of the exact mined set — 1-bit codes on the
+    near-random fixture corpus are the worst case (hamming_recall_report
+    measures ~0.6 for plain rerank), so the floor is deliberately loose;
+    for contrastive training any sufficiently-hard negative serves."""
+    from mapreduce_spark.operators.similarity import HARD_NEG_K, N_QUERIES
+
+    exact = get_queries()["hard_negatives"](spark, SF_DIR).collect()
+    scaled = get_queries()["hard_negatives_scaled"](spark, SF_DIR).collect()
+    per_q = defaultdict(list)
+    for r in scaled:
+        assert r["neg_label"] != r["query_label"], r
+        per_q[r["query_id"]].append(r)
+    assert len(per_q) == N_QUERIES
+    for rs in per_q.values():
+        assert len(rs) == HARD_NEG_K
+        rs.sort(key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact}
+    sc = {(r["query_id"], r["vec_id"]) for r in scaled}
+    assert len(ex & sc) / len(ex) >= 0.3, len(ex & sc) / len(ex)
