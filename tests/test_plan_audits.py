@@ -139,6 +139,11 @@ CARTESIAN_OK = {
     "ann_recall_report_scaled",  # embeds similarity_topk + centroid NLJs
     "knn_graph_recall_report",  # exact side broadcasts the sampled query set
     "semdedup_clusters",  # same broadcast-centroid assignment NLJ
+    "hard_negatives",  # similarity_topk's broadcast-NLJ with a label filter
+    "hard_negatives_scaled",  # 5-row sign-code broadcast NLJ + rerank
+    "zorder_layout",  # broadcasts the 1-row min/max quantization frame
+    "quality_logreg_train",  # broadcasts the 1-row weight vector per round
+    "similarity_index_compacted",  # embeds the broadcast-centroid routing NLJ
     "scalar_subquery",
     "tfidf_top_terms",  # broadcasts the 1-row corpus-size aggregate
     "tpch_q22_dormant",  # broadcasts the 1-row average-balance aggregate
