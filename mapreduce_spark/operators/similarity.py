@@ -3787,6 +3787,132 @@ def knn_graph_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Label propagation over the k-NN graph: semi-supervised labeling — the
+# third graph consumer (min-label finds CONNECTIVITY, this finds weighted
+# CONSENSUS: a node between two clusters takes the majority side, where
+# min-label would collapse both to one id).
+LP_SEED_MOD = 5   # vec_id % 5 == 0 are the labeled seeds (20%)
+LP_ITERS = 3
+
+
+def _sql_label_prop(graph: str = "graph_g") -> str:
+    ctes = [
+        f"""
+    lp_sym AS MATERIALIZED (
+        SELECT src, dst FROM {graph}
+        UNION SELECT dst AS src, src AS dst FROM {graph}),
+    lp_l0 AS (SELECT vec_id,
+                     CASE WHEN vec_id % {LP_SEED_MOD} = 0 THEN label END AS lab,
+                     label AS tl
+              FROM embeddings)"""
+    ]
+    for i in range(1, LP_ITERS + 1):
+        ctes.append(f"""
+    lp_v{i} AS (
+        SELECT s.src, l.lab AS nl, CAST(count(*) AS BIGINT) AS c
+        FROM lp_sym s JOIN lp_l{i - 1} l ON l.vec_id = s.dst
+        WHERE l.lab IS NOT NULL
+        GROUP BY s.src, l.lab),
+    lp_b{i} AS (
+        SELECT src, nl FROM (
+            SELECT src, nl,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, nl) AS rn
+            FROM lp_v{i})
+        WHERE rn = 1),
+    lp_l{i} AS MATERIALIZED (
+        SELECT l.vec_id,
+               CASE WHEN l.vec_id % {LP_SEED_MOD} = 0 THEN l.lab
+                    ELSE coalesce(b.nl, l.lab) END AS lab,
+               l.tl
+        FROM lp_l{i - 1} l LEFT JOIN lp_b{i} b ON b.src = l.vec_id)""")
+    return ",".join(ctes)
+
+
+@register(
+    "knn_label_propagation",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('', KNN_GRAPH_K)},
+    {_sql_label_prop()}
+    SELECT vec_id,
+           (vec_id % {LP_SEED_MOD} = 0) AS seeded,
+           CAST(lab AS INT) AS label_prop,
+           tl AS label_true,
+           (lab = tl) AS is_correct
+    FROM lp_l{LP_ITERS}
+    """,
+)
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over the k-NN graph (Zhu &
+    Ghahramani 2002 / Raghavan et al. 2007, synchronous variant): 20% of
+    vectors keep their true label as clamped seeds; for {LP_ITERS}
+    unrolled rounds every other vector takes the MAJORITY label among
+    its labeled neighbors (ties to the smallest label — integer-
+    deterministic), keeping its previous state when no neighbor is
+    labeled yet. The curation use: propagate expensive labels (human
+    quality ratings, audited domains) from a small labeled slice across
+    the whole corpus via embedding neighborhoods. Distinct from
+    knn_graph_clusters (min-label = pure connectivity: one bridge edge
+    merges two clusters; majority vote does not) and knn_label (direct
+    vote among exact neighbors of 5 queries; this propagates
+    transitively corpus-wide over the LSH-built graph).
+
+    Card carries seeded / propagated label / true label / is_correct,
+    so the output doubles as the accuracy report of the propagation.
+    Shape per round: one |edges|-row join + a (src,label) map-side-
+    combined vote count + an argmax struct-max + a label join — same
+    fixed-depth budget discipline as knn_graph_clusters; labels are
+    integers end to end, oracle rounds MATERIALIZED."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    edges = knn_graph_edges(
+        emb.select("vec_id", "embedding"), LSH_PLANES, LSH_TABLES, KNN_GRAPH_K
+    )
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    seeded = F.col("vec_id") % LP_SEED_MOD == 0
+    labels = emb.select(
+        "vec_id",
+        F.when(seeded, F.col("label")).alias("lab"),
+        F.col("label").alias("tl"),
+    )
+    for _ in range(LP_ITERS):
+        votes = (
+            sym.join(
+                labels.filter(F.col("lab").isNotNull()).select(
+                    F.col("vec_id").alias("dst"), F.col("lab").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src", "nl")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        best = votes.groupBy("src").agg(
+            F.max(F.struct(F.col("c"), (-F.col("nl")).alias("neg"))).alias("b")
+        ).select("src", (-F.col("b.neg")).cast("int").alias("bl"))
+        labels = labels.join(
+            best, labels.vec_id == best.src, "left"
+        ).select(
+            "vec_id",
+            F.when(seeded, F.col("lab"))
+            .otherwise(F.coalesce(F.col("bl"), F.col("lab")))
+            .alias("lab"),
+            "tl",
+        )
+    return labels.select(
+        "vec_id",
+        seeded.alias("seeded"),
+        F.col("lab").cast("int").alias("label_prop"),
+        F.col("tl").alias("label_true"),
+        (F.col("lab") == F.col("tl")).alias("is_correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Triangle census of the mutual k-NN graph: transitivity is the standard
 # density probe of a neighbor graph (a vector whose neighbors are also
 # neighbors of EACH OTHER sits inside a tight semantic clump — redundancy

@@ -116,3 +116,39 @@ def test_triangle_census_on_planted_clique_and_path(spark):
     assert rows[3].clustering_coeff == round(2 * 3 / (4 * 3), 6)
     assert rows[4].degree == 1 and rows[4].n_triangles == 0
     assert rows[4].clustering_coeff == 0.0
+
+
+def test_label_propagation_planted_two_clusters(spark):
+    """On two well-separated embedding clusters with 20% seeds in each,
+    label propagation must label EVERY vector correctly — the planted
+    complement of the testdata card (where near-random embeddings give
+    chance accuracy and the card honestly reports it)."""
+    import os
+    import tempfile
+
+    from mapreduce_spark.operators.similarity import (
+        EMB_DIM,
+        LP_SEED_MOD,
+        knn_label_propagation,
+    )
+
+    rows = []
+    for j in range(60):
+        cluster = j % 2  # even ids cluster 0, odd ids cluster 1
+        vec = [0.0] * EMB_DIM
+        vec[0] = 10.0 if cluster == 0 else -10.0
+        vec[1 + (j % (EMB_DIM - 1))] = 0.1  # make vectors distinct
+        rows.append((j, [float(x) for x in vec], cluster))
+    spool = tempfile.mkdtemp(prefix="lp_planted_")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(spool, "embeddings.parquet")
+    )
+    out = knn_label_propagation(spark, spool).collect()
+    assert len(out) == 60
+    n_seed = sum(1 for r in out if r["seeded"])
+    assert n_seed == len([j for j in range(60) if j % LP_SEED_MOD == 0])
+    for r in out:
+        assert r["label_prop"] is not None, r
+        assert r["is_correct"] is True, r
