@@ -3233,9 +3233,10 @@ def _logreg_features(docs: DataFrame) -> DataFrame:
     )
 
 
-def _logreg_oracle(rounds: int) -> str:
-    """The training loop as `rounds` MATERIALIZED CTE stages (the
-    bpe_train_scaled / kmeans oracle discipline), card row per round."""
+def _logreg_cte_prefix(rounds: int) -> str:
+    """Shared CTE chain — features + the full training trajectory up to
+    w_{rounds} — used by both the training card and the applied gate, so
+    the gate provably scores under the SAME trained weights."""
     hits = _sql_hits(STOPWORDS["en"])
     dr = "CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)"
     sr = f"CAST({hits} AS DOUBLE) / len(toks)"
@@ -3256,7 +3257,16 @@ def _logreg_oracle(rounds: int) -> str:
     for r in range(1, rounds + 1):
         sql += f""",
     g_{r} AS (SELECT {', '.join(_LR_GRADS)} FROM f, w_{r - 1} WHERE is_train),
-    w_{r} AS MATERIALIZED (SELECT {', '.join(_LR_UPDATES)} FROM w_{r - 1}, g_{r}),
+    w_{r} AS MATERIALIZED (SELECT {', '.join(_LR_UPDATES)} FROM w_{r - 1}, g_{r})"""
+    return sql
+
+
+def _logreg_oracle(rounds: int) -> str:
+    """The training loop as `rounds` MATERIALIZED CTE stages (the
+    bpe_train_scaled / kmeans oracle discipline), card row per round."""
+    sql = _logreg_cte_prefix(rounds)
+    for r in range(1, rounds + 1):
+        sql += f""",
     a_{r} AS (SELECT CAST({r} AS BIGINT) AS round,
                      w0 AS w_bias, w1 AS w_len, w2 AS w_distinct, w3 AS w_stop,
                      {_LR_ACC} AS holdout_acc
@@ -3294,24 +3304,10 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy), each one map-side-combined scan of the checkpointed
     integer feature frame — nothing pairwise, nothing iterative inside
     a plan."""
-    f = _logreg_features(load_table(spark, sf_dir, "documents")).localCheckpoint(
-        eager=True
-    )
-    train = f.filter(F.col("is_train"))
+    f, weights = _logreg_fit(spark, sf_dir)
     hold = f.filter(~F.col("is_train"))
-    w = spark.createDataFrame(
-        [(0, 0, 0, 0)], "w0 long, w1 long, w2 long, w3 long"
-    ).localCheckpoint(eager=True)
     cards = []
-    for r in range(1, LOGREG_ROUNDS + 1):
-        g = train.crossJoin(F.broadcast(w)).agg(
-            *[F.expr(e) for e in _LR_GRADS]
-        )
-        w = (
-            w.crossJoin(F.broadcast(g))
-            .selectExpr(*_LR_UPDATES)
-            .localCheckpoint(eager=True)
-        )
+    for r, w in enumerate(weights, start=1):
         acc = (
             hold.crossJoin(F.broadcast(w))
             .agg(F.expr(_LR_ACC).alias("holdout_acc"))
@@ -3330,3 +3326,59 @@ def quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cards[1:]:
         out = out.unionAll(c)
     return out
+
+
+def _logreg_fit(spark: SparkSession, sf_dir: str):
+    """(checkpointed feature frame, [w_1..w_N checkpointed weight
+    frames]) — the training loop shared by the per-round card and the
+    applied gate, so both provably use the same trajectory."""
+    f = _logreg_features(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+    train = f.filter(F.col("is_train"))
+    w = spark.createDataFrame(
+        [(0, 0, 0, 0)], "w0 long, w1 long, w2 long, w3 long"
+    ).localCheckpoint(eager=True)
+    weights = []
+    for _ in range(LOGREG_ROUNDS):
+        g = train.crossJoin(F.broadcast(w)).agg(
+            *[F.expr(e) for e in _LR_GRADS]
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .selectExpr(*_LR_UPDATES)
+            .localCheckpoint(eager=True)
+        )
+        weights.append(w)
+    return f, weights
+
+
+@register(
+    "quality_logreg_gate",
+    oracle=_logreg_cte_prefix(LOGREG_ROUNDS)
+    + f"""
+    SELECT doc_id,
+           {_LR_P} AS p_keep,
+           ({_LR_ZINT} > 0) AS kept,
+           (y > 0.5) AS teacher_keep
+    FROM f, w_{LOGREG_ROUNDS}
+    """,
+)
+def quality_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained filter APPLIED — quality_logreg_train's purpose (the
+    bpe_train -> bpe_apply pairing): train the same 8-round trajectory,
+    then score EVERY document under the final weight vector, emitting
+    the calibrated keep-probability (6dp sigmoid), the gate decision
+    (integer dot product > 0, so the cut is bit-deterministic), and the
+    teacher's verdict for disagreement triage. At 100 TB the gate is one
+    broadcast of 32 bytes of weights onto the feature scan — the
+    cheapest possible model-based filter. Shares _logreg_fit /
+    _logreg_cte_prefix with the training card, so the gate provably
+    scores under the identical trajectory the card reports."""
+    f, weights = _logreg_fit(spark, sf_dir)
+    return f.crossJoin(F.broadcast(weights[-1])).selectExpr(
+        "doc_id",
+        f"{_LR_P} AS p_keep",
+        f"({_LR_ZINT} > 0) AS kept",
+        "(y > 0.5) AS teacher_keep",
+    )
