@@ -1041,3 +1041,117 @@ def stream_export_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Epoch-capped budget allocation: UniMax-style water-filling
+MIX_EPOCH_CAP = 4          # no source repeats more than 4 epochs
+MIX_BUDGET_FRACTION = 2    # budget B = total_tokens DIV 2
+
+_WF_SQL_NOTE = """
+    Water-filling boundary is INTEGER-exact: source k (sources sorted by
+    token count ascending) is capped iff cap*n_k*(N-k+1) <= B - prefix_{k-1},
+    all BIGINTs; the uniform level for uncapped sources is one
+    floor(double-division) of exact integers — identical on both engines.
+"""
+
+
+@register(
+    "mix_epoch_capped",
+    oracle=f"""
+    WITH t AS (SELECT source,
+                      CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_toks
+               FROM documents),
+    g AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+          FROM t GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_src,
+                   CAST(sum(n_tokens) // {MIX_BUDGET_FRACTION} AS BIGINT) AS b
+            FROM g),
+    r AS (SELECT g.source, g.n_tokens, tot.n_src, tot.b,
+                 CAST(row_number() OVER (ORDER BY g.n_tokens, g.source) AS BIGINT) AS k,
+                 CAST(sum(g.n_tokens * {MIX_EPOCH_CAP})
+                      OVER (ORDER BY g.n_tokens, g.source) AS BIGINT) AS prefix_cap
+          FROM g CROSS JOIN tot),
+    flagged AS (SELECT *,
+                 (n_tokens * {MIX_EPOCH_CAP} * (n_src - k + 1)
+                  <= b - (prefix_cap - n_tokens * {MIX_EPOCH_CAP})) AS cap_flag
+                FROM r),
+    kstar AS (SELECT coalesce(max(CASE WHEN cap_flag THEN k END), 0) AS ks,
+                     coalesce(max(CASE WHEN cap_flag THEN prefix_cap END), 0)
+                       AS prefix_ks
+              FROM flagged)
+    SELECT f.source, f.n_tokens,
+           CASE WHEN f.k <= ks.ks THEN f.n_tokens * {MIX_EPOCH_CAP}
+                ELSE CAST(floor(CAST(f.b - ks.prefix_ks AS DOUBLE)
+                                / (f.n_src - ks.ks)) AS BIGINT) END AS alloc_tokens,
+           round(CAST(CASE WHEN f.k <= ks.ks THEN f.n_tokens * {MIX_EPOCH_CAP}
+                ELSE CAST(floor(CAST(f.b - ks.prefix_ks AS DOUBLE)
+                                / (f.n_src - ks.ks)) AS BIGINT) END AS DOUBLE)
+                 / f.n_tokens, 6) AS epochs,
+           (f.k <= ks.ks) AS capped
+    FROM flagged f CROSS JOIN kstar ks
+    """,
+)
+def mix_epoch_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped token-budget allocation (the UniMax posture, Chung
+    et al. 2023: maximize uniformity across sources subject to 'no
+    source repeats more than C epochs') solved in CLOSED FORM as
+    water-filling: sort sources by token count ascending; small sources
+    hit the C-epoch cap and take cap*n_tokens; everything past the
+    boundary shares the remaining budget uniformly. The boundary test is
+    pure BIGINT arithmetic (cap*n_k*(N-k+1) <= remaining budget) so both
+    engines elect the identical capped set, and the uniform level is one
+    floor()ed division of exact integers. mix_temperature_sweep prices
+    temperature smoothing; this is the BUDGETED allocation a capped
+    recipe actually ships (alloc_tokens per source, epochs, capped flag).
+
+    Shape: one map-side-combined scan to |sources| rows; the window
+    sort, boundary election (1-row agg) and final projection all run on
+    that tiny frame — at 100 TB only source aggregates move."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("source", F.size(tokens("text")).cast("bigint").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("bigint").alias("n_tokens"))
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+        F.expr(f"CAST(sum(n_tokens) DIV {MIX_BUDGET_FRACTION} AS BIGINT)").alias("b"),
+    )
+    w = Window.orderBy("n_tokens", "source")
+    r = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("k", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "prefix_cap",
+            F.sum(F.col("n_tokens") * MIX_EPOCH_CAP).over(w).cast("bigint"),
+        )
+    )
+    flagged = r.withColumn(
+        "cap_flag",
+        F.col("n_tokens") * MIX_EPOCH_CAP * (F.col("n_src") - F.col("k") + 1)
+        <= F.col("b") - (F.col("prefix_cap") - F.col("n_tokens") * MIX_EPOCH_CAP),
+    )
+    kstar = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("cap_flag"), F.col("k"))), F.lit(0).cast("bigint")
+        ).alias("ks"),
+        F.coalesce(
+            F.max(F.when(F.col("cap_flag"), F.col("prefix_cap"))),
+            F.lit(0).cast("bigint"),
+        ).alias("prefix_ks"),
+    )
+    level = F.floor(
+        (F.col("b") - F.col("prefix_ks")).cast("double")
+        / (F.col("n_src") - F.col("ks"))
+    ).cast("bigint")
+    alloc = F.when(
+        F.col("k") <= F.col("ks"), F.col("n_tokens") * MIX_EPOCH_CAP
+    ).otherwise(level)
+    return flagged.crossJoin(F.broadcast(kstar)).select(
+        "source",
+        "n_tokens",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
+        (F.col("k") <= F.col("ks")).alias("capped"),
+    )

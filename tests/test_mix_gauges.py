@@ -76,3 +76,63 @@ def test_minhash_band_stats_conserve_docs(spark):
         assert r["max_bucket"] <= r["n_docs"]
         assert r["sum_sq"] >= r["n_docs"]
         assert 0 <= r["cand_pairs"] <= r["sum_sq"] // 2
+
+
+def test_epoch_capped_waterfill_planted(spark):
+    """Planted skew: a tiny and a small source must hit the 4-epoch cap
+    exactly while the huge source absorbs the remaining budget uniformly,
+    and the allocation exhausts the budget (floor rounding aside)."""
+    import os
+    import tempfile
+
+    from mapreduce_spark.operators.curation import (
+        MIX_BUDGET_FRACTION,
+        MIX_EPOCH_CAP,
+        mix_epoch_capped,
+    )
+
+    rows, did = [], 0
+    for source, n_docs, toks_per_doc in [
+        ("tiny", 1, 10),
+        ("small", 5, 10),
+        ("huge", 100, 100),
+    ]:
+        for _ in range(n_docs):
+            text = " ".join(f"t{did}x{j}" for j in range(toks_per_doc))
+            rows.append((did, text, "en", source, len(text)))
+            did += 1
+    spool = tempfile.mkdtemp(prefix="waterfill_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(spool, "documents.parquet")
+    )
+    out = {r["source"]: r for r in mix_epoch_capped(spark, spool).collect()}
+    total = sum(r["n_tokens"] for r in out.values())
+    budget = total // MIX_BUDGET_FRACTION
+    assert out["tiny"]["capped"] and out["small"]["capped"]
+    assert not out["huge"]["capped"]
+    for s in ("tiny", "small"):
+        assert out[s]["alloc_tokens"] == out[s]["n_tokens"] * MIX_EPOCH_CAP
+        assert abs(out[s]["epochs"] - MIX_EPOCH_CAP) < 1e-9
+    assert out["huge"]["epochs"] < MIX_EPOCH_CAP
+    allocated = sum(r["alloc_tokens"] for r in out.values())
+    # one floor per uncapped source of slack, never over budget
+    assert budget - 1 <= allocated <= budget
+
+
+def test_epoch_capped_never_exceeds_budget_or_cap(spark):
+    """On the fixture corpus: every source's epochs <= cap and the total
+    allocation never exceeds the budget."""
+    from mapreduce_spark.operators.curation import (
+        MIX_BUDGET_FRACTION,
+        MIX_EPOCH_CAP,
+    )
+    from mapreduce_spark.registry import get_queries
+
+    rows = get_queries()["mix_epoch_capped"](spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) <= total // MIX_BUDGET_FRACTION
+    for r in rows:
+        assert r["epochs"] <= MIX_EPOCH_CAP + 1e-9
+        assert r["capped"] == (r["alloc_tokens"] == r["n_tokens"] * MIX_EPOCH_CAP) or r["capped"] is False
