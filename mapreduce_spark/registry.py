@@ -93,11 +93,16 @@ GRADING_PRIORITY = [
     # --- graph / multimodal / streaming flagships
     "pagerank_transitions", "multimodal_dedup", "multimodal_decode",
     "stream_window_counts",
-    # --- TPC-H composite + distinctive joins
-    "tpch_q5_local_volume", "asof_join", "range_join",
-    # --- r6 lifecycle flagships (see rotation note above)
+    # --- TPC-H composite
+    "tpch_q5_local_volume",
+    # --- r6 lifecycle flagships (see rotation note above; asof_join and
+    # range_join rotated out at close — both hold official r5 PASS rows
+    # (CORRECTNESS_r05.json) and stay pinned by the full-registry sweep —
+    # so the materialized-view lifecycle and the trained logreg filter
+    # carry official rows too)
     "dedup_index_persisted", "similarity_index_persisted",
     "bpe_token_count", "export_jsonl_shards",
+    "rollup_incremental_view", "quality_logreg_train",
 ]
 
 
