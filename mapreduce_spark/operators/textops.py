@@ -2399,6 +2399,29 @@ def bpe_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _bpe_word_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, w delimited-symbol string, f) — the word-frequency table
+    every BPE round works on; the corpus's single wordcount shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return wc.select(
+        "word",
+        F.concat(
+            F.lit("|"),
+            F.expr(
+                "array_join(transform(sequence(1, length(word)), "
+                "j -> substring(word, j, 1)), '|')"
+            ),
+            F.lit("|"),
+        ).alias("w"),
+        "f",
+    )
+
+
 def _bpe_run(
     spark: SparkSession,
     sf_dir: str,
@@ -2421,24 +2444,7 @@ def _bpe_run(
     byte-identical to r5's)."""
     if checkpoint is None:
         checkpoint = n_iters > BPE_TRAIN_ITERS
-    docs = load_table(spark, sf_dir, "documents")
-    wc = (
-        docs.select(F.explode(tokens("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
-    wf = wc.select(
-        "word",
-        F.concat(
-            F.lit("|"),
-            F.expr(
-                "array_join(transform(sequence(1, length(word)), "
-                "j -> substring(word, j, 1)), '|')"
-            ),
-            F.lit("|"),
-        ).alias("w"),
-        "f",
-    )
+    wf = _bpe_word_frame(spark, sf_dir)
     if checkpoint:
         wf = wf.localCheckpoint(eager=True)
     rules = []
@@ -2580,6 +2586,70 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the wordcount shuffle runs on the |vocab|-sized frame, so the
     measurement costs no more than the training loop that produced it."""
     _, wf = _bpe_run(spark, sf_dir, BPE_SCALED_ITERS)
+    syms = "filter(split(w, '\\\\|'), s -> s <> '')"
+    return wf.agg(
+        F.lit(BPE_SCALED_ITERS).cast("bigint").alias("n_merges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.expr(f"f * size({syms})")).cast("bigint").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Persisted tokenizer artifact: the trained merge table round-tripped
+# through disk and APPLIED from the files alone.
+BPE_RULES_TABLE = "bpe_rules_store"
+
+
+@register(
+    "bpe_vocab_persisted",
+    oracle=_SQL_BPE_W0
+    + ",".join(_sql_bpe_iter(i) for i in range(BPE_SCALED_ITERS))
+    + f"""
+    SELECT CAST({BPE_SCALED_ITERS} AS BIGINT) AS n_merges,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(f * len(list_filter(string_split(w, '|'),
+                                        s -> s <> ''))) AS BIGINT)
+             AS n_tokens
+    FROM w{BPE_SCALED_ITERS}
+    """,
+)
+def bpe_vocab_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOKENIZER-ARTIFACT lifecycle (the dedup/vector/rollup
+    persistence discipline applied to training outputs): train the
+    production-depth merge table, persist it as the on-disk rules table
+    — the artifact a tokenizer IS, what a serving system ships — then
+    re-tokenize the corpus FROM THE STORED RULES ALONE: a fresh
+    word-frequency table rewritten by the rules read back from disk, no
+    in-session training state reused. The card is bpe_token_count's
+    (same oracle), so the round trip is graded to reproduce the
+    in-session tokenization exactly — the property that lets training
+    and serving clusters share nothing but the artifact. Apply cost per
+    rule is one broadcast 1-row join + a per-row greedy fold over the
+    |vocab|-sized frame, checkpointed per round (O(1) plan depth)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    rules, _ = _bpe_run(spark, sf_dir, BPE_SCALED_ITERS)
+    allr = rules[0]
+    for r in rules[1:]:
+        allr = allr.unionByName(r)
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {BPE_RULES_TABLE}")
+    shutil.rmtree(f"{warehouse}/{BPE_RULES_TABLE}", ignore_errors=True)
+    allr.write.mode("overwrite").format("parquet").saveAsTable(BPE_RULES_TABLE)
+
+    stored = spark.table(BPE_RULES_TABLE)
+    wf = _bpe_word_frame(spark, sf_dir).localCheckpoint(eager=True)
+    for i in range(BPE_SCALED_ITERS):
+        best = (
+            stored.filter(F.col("iter") == i)
+            .select(
+                F.split(F.col("pair"), " ").getItem(0).alias("a"),
+                F.split(F.col("pair"), " ").getItem(1).alias("b"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        wf = _bpe_merge_frame(wf, best).localCheckpoint(eager=True)
     syms = "filter(split(w, '\\\\|'), s -> s <> '')"
     return wf.agg(
         F.lit(BPE_SCALED_ITERS).cast("bigint").alias("n_merges"),

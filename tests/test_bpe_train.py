@@ -193,3 +193,16 @@ def test_tokenizer_fertility_partitions_the_corpus_token_count(spark):
     assert sum(r.n_tokens for r in card) == total.n_tokens
     assert all(r.fertility >= 1.0 for r in card)
     assert all(r.chars_per_token > 0 for r in card)
+
+
+def test_persisted_vocab_reproduces_in_session_tokenization(spark, sf_dir):
+    """The artifact lifecycle law: tokenizing from the STORED rules table
+    alone must reproduce the in-session trained tokenization exactly."""
+    from mapreduce_spark.operators.textops import (
+        bpe_token_count,
+        bpe_vocab_persisted,
+    )
+
+    persisted = bpe_vocab_persisted(spark, sf_dir).collect()
+    in_session = bpe_token_count(spark, sf_dir).collect()
+    assert [tuple(r) for r in persisted] == [tuple(r) for r in in_session]
