@@ -143,6 +143,8 @@ CARTESIAN_OK = {
     "hard_negatives_scaled",  # 5-row sign-code broadcast NLJ + rerank
     "zorder_layout",  # broadcasts the 1-row min/max quantization frame
     "quality_logreg_train",  # broadcasts the 1-row weight vector per round
+    "quality_logreg_gate",  # broadcasts the final 1-row weight vector
+    "mix_epoch_capped",  # broadcasts the 1-row budget/boundary aggregates
     "similarity_index_compacted",  # embeds the broadcast-centroid routing NLJ
     "scalar_subquery",
     "tfidf_top_terms",  # broadcasts the 1-row corpus-size aggregate
