@@ -225,3 +225,24 @@ def test_hard_negatives_scaled_structure_and_recall(spark):
     ex = {(r["query_id"], r["vec_id"]) for r in exact}
     sc = {(r["query_id"], r["vec_id"]) for r in scaled}
     assert len(ex & sc) / len(ex) >= 0.3, len(ex & sc) / len(ex)
+
+
+def test_decontaminate_scaled_is_strictly_more_conservative(spark):
+    """The production 13-gram window must never excise MORE than the
+    5-gram demo from any document (every 13-gram match contains 5-gram
+    matches), and on the fixture corpus the demo flags a short-idiom
+    overlap the scaled profile correctly spares."""
+    demo = {
+        r["doc_id"]: r["n_removed"]
+        for r in get_queries()["decontaminate_spans"](spark, SF_DIR).collect()
+    }
+    scaled = {
+        r["doc_id"]: r["n_removed"]
+        for r in get_queries()["decontaminate_spans_scaled"](spark, SF_DIR).collect()
+    }
+    assert set(demo) == set(scaled)
+    for d, n in scaled.items():
+        assert n <= demo[d], (d, n, demo[d])
+    assert sum(1 for v in scaled.values() if v > 0) < sum(
+        1 for v in demo.values() if v > 0
+    )
