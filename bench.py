@@ -165,21 +165,33 @@ def main() -> int:
         bests[name] = round(min(samples), 3)
 
     total = round(sum(medians.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": medians,
-                "queries_best": bests,
-                "value_best": round(sum(bests.values()), 3),
-                "reps": REPS,
-                "stat": "median",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    summary = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "value_best": round(sum(bests.values()), 3),
+        "reps": REPS,
+        "stat": "median",
+        "n_queries": len(names),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries_file": "BENCH_QUERIES.json",
+    }
+    # The driver's record keeps only the TAIL of stdout (~2000 chars): the
+    # per-query dicts overflowed it in r6 and the official median was lost
+    # (VERDICT r6 #1). So the per-query medians/bests go to a sidecar file
+    # on disk, and the LAST stdout line is a compact scalar summary that is
+    # guaranteed to fit the capture window.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
     )
+    with open(sidecar, "w") as f:
+        json.dump(
+            {**summary, "queries": medians, "queries_best": bests}, f, indent=1
+        )
+        f.write("\n")
+    line = json.dumps(summary)
+    assert len(line) < 1900, f"summary line must fit the driver capture: {len(line)}"
+    print(line)
     return 0
 
 

@@ -2015,12 +2015,10 @@ def rollup_state_write(li: DataFrame, name: str, mode: str = "overwrite") -> Non
     applied to aggregate state)."""
     spark = li.sparkSession
     if mode == "overwrite":
-        import shutil
-        from urllib.parse import urlparse
+        from mapreduce_spark.sources.fs import fs_delete, warehouse_uri
 
-        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        fs_delete(spark, f"{warehouse_uri(spark)}/{name}")
     (
         rollup_state(li)
         .write.mode(mode)

@@ -793,10 +793,9 @@ _DIGEST_MOD = 1_000_000_007
 
 
 def _export_path(spark: SparkSession) -> str:
-    from urllib.parse import urlparse
+    from mapreduce_spark.sources.fs import warehouse_uri
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    return f"{warehouse}/jsonl_export"
+    return f"{warehouse_uri(spark)}/jsonl_export"
 
 
 @register(
@@ -946,13 +945,14 @@ def stream_export_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest anti-join against digest COLUMNS of the export (never the
     text), + one partitioned append — |batch|-sized, corpus-free."""
     import os
-    import shutil
     import tempfile
     import time
 
+    from mapreduce_spark.sources.fs import fs_delete, fs_exists
+
     docs = load_table(spark, sf_dir, "documents")
     path = _export_path(spark) + "_stream"
-    shutil.rmtree(path, ignore_errors=True)
+    fs_delete(spark, path)
 
     spool = tempfile.mkdtemp(prefix="stream_export_gate_")
     in_dir = os.path.join(spool, "incoming")
@@ -994,7 +994,7 @@ def stream_export_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             md5_long(F.col("clean_text")).alias("fp"),
             md5_long2(F.col("clean_text")).alias("fp2"),
         )
-        if os.path.isdir(path):
+        if fs_exists(session, path):
             idx = (
                 session.read.schema(json_schema)
                 .option("basePath", path)

@@ -372,12 +372,10 @@ def _bucketed_write(df: DataFrame, name: str, key: str, buckets: int) -> None:
     index-compaction discipline), so scans report both the hash
     distribution AND the sort order to the planner."""
     spark = df.sparkSession
-    import shutil
-    from urllib.parse import urlparse
+    from mapreduce_spark.sources.fs import fs_delete, warehouse_uri
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    fs_delete(spark, f"{warehouse_uri(spark)}/{name}")
     (
         df.repartition(buckets, key)
         .write.format("parquet")

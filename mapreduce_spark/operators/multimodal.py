@@ -806,12 +806,10 @@ def cdc_index_write(
     dedup_index_persisted's shape for the byte-dedup tier."""
     spark = chunks.sparkSession
     if mode == "overwrite":
-        import shutil
-        from urllib.parse import urlparse
+        from mapreduce_spark.sources.fs import fs_delete, warehouse_uri
 
-        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        fs_delete(spark, f"{warehouse_uri(spark)}/{name}")
     (
         chunks.select("chash", "clen")
         .distinct()

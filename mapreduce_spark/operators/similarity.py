@@ -2997,10 +2997,9 @@ def _nearest_cells(
 
 
 def _vindex_codes_path(spark: SparkSession, name: str) -> str:
-    from urllib.parse import urlparse
+    from mapreduce_spark.sources.fs import warehouse_uri
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    return f"{warehouse}/{name}_codes"
+    return f"{warehouse_uri(spark)}/{name}_codes"
 
 
 def vector_index_write(
@@ -3022,14 +3021,14 @@ def vector_index_write(
     similarity_index_appended grades exactly that split). One data
     pass; raw embeddings are never stored."""
     spark = emb.sparkSession
-    import shutil
+    from mapreduce_spark.sources.fs import fs_delete
 
     train = emb if train is None else train
     for suffix in ("centroids", "book"):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
-        shutil.rmtree(
+        fs_delete(
+            spark,
             f"{_vindex_codes_path(spark, name).removesuffix('_codes')}_{suffix}",
-            ignore_errors=True,
         )
     cent = refined_centroids(train, cent_mod, rem)
     cent.write.mode("overwrite").format("parquet").saveAsTable(
@@ -3044,7 +3043,7 @@ def vector_index_write(
         ).alias("sqa")
     )
     book.write.mode("overwrite").format("parquet").saveAsTable(f"{name}_book")
-    shutil.rmtree(_vindex_codes_path(spark, name), ignore_errors=True)
+    fs_delete(spark, _vindex_codes_path(spark, name))
     vector_index_append(emb, name)
 
 
@@ -3222,16 +3221,15 @@ def vector_index_compact(spark: SparkSession, name: str) -> None:
     pruning off the broadcast route) and results are untouched. Pure
     maintenance, never required for correctness; the stored quantizer
     and book are not touched."""
-    import shutil
-    import tempfile
+    from mapreduce_spark.sources.fs import fs_delete, fs_mkdtemp
 
     path = _vindex_codes_path(spark, name)
-    spool = tempfile.mkdtemp(prefix=f"vcompact_{name}_")
+    spool = fs_mkdtemp(spark, f"vcompact_{name}")
     try:
         spark.read.parquet(path).write.mode("overwrite").parquet(
             f"{spool}/codes"
         )
-        shutil.rmtree(path, ignore_errors=True)
+        fs_delete(spark, path)
         (
             spark.read.parquet(f"{spool}/codes")
             .repartition("cid")
@@ -3240,7 +3238,7 @@ def vector_index_compact(spark: SparkSession, name: str) -> None:
             .parquet(path)
         )
     finally:
-        shutil.rmtree(spool, ignore_errors=True)
+        fs_delete(spark, spool)
 
 
 @register("similarity_index_compacted", oracle=_IVFPQ_ADC_SQL)

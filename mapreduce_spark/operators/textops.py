@@ -2626,16 +2626,14 @@ def bpe_vocab_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     and serving clusters share nothing but the artifact. Apply cost per
     rule is one broadcast 1-row join + a per-row greedy fold over the
     |vocab|-sized frame, checkpointed per round (O(1) plan depth)."""
-    import shutil
-    from urllib.parse import urlparse
+    from mapreduce_spark.sources.fs import fs_delete, warehouse_uri
 
     rules, _ = _bpe_run(spark, sf_dir, BPE_SCALED_ITERS)
     allr = rules[0]
     for r in rules[1:]:
         allr = allr.unionByName(r)
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     spark.sql(f"DROP TABLE IF EXISTS {BPE_RULES_TABLE}")
-    shutil.rmtree(f"{warehouse}/{BPE_RULES_TABLE}", ignore_errors=True)
+    fs_delete(spark, f"{warehouse_uri(spark)}/{BPE_RULES_TABLE}")
     allr.write.mode("overwrite").format("parquet").saveAsTable(BPE_RULES_TABLE)
 
     stored = spark.table(BPE_RULES_TABLE)

@@ -108,6 +108,115 @@ def broadcast_subtrees(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def _simple_name(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _node_children(node) -> list:
+    """Physical children, unwrapping AQE query stages and reused
+    exchanges (both print as leaves but wrap a real subtree)."""
+    name = _simple_name(node)
+    if name.endswith("QueryStageExec"):
+        return [node.plan()]
+    if name == "ReusedExchangeExec":
+        return [node.child()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _walk(node):
+    """Breadth-first traversal of the executed JVM plan tree."""
+    from collections import deque
+
+    q = deque([node])
+    while q:
+        n = q.popleft()
+        yield n
+        q.extend(_node_children(n))
+
+
+def _metric_rows(node) -> int | None:
+    # numOutputRows where the operator defines it; shuffle exchanges
+    # instead expose their row flow as records written/read (a limit(5)
+    # that AQE plans as LocalLimit -> single-partition exchange has its
+    # true row count ONLY on the exchange metrics).
+    metrics = node.metrics()
+    for key in ("numOutputRows", "shuffleRecordsWritten", "recordsRead"):
+        opt = metrics.get(key)
+        if opt.isDefined():
+            return int(opt.get().value())
+    return None
+
+
+def _subtree_output_rows(node) -> int | None:
+    """Runtime output rows of a subtree: the TOPMOST node carrying a
+    numOutputRows SQLMetric (BFS order guarantees topmost-first)."""
+    for n in _walk(node):
+        rows = _metric_rows(n)
+        if rows is not None:
+            return rows
+    return None
+
+
+def _executed_tree(df: DataFrame):
+    plan = df._jdf.queryExecution().executedPlan()
+    if _simple_name(plan) == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    return plan
+
+
+def nlj_build_rows(df: DataFrame, execute: bool = True) -> list[int]:
+    """Runtime row count of the BUILD side of every nested-loop join (and
+    the smaller side of every cartesian product) in the executed plan.
+
+    This is the structural teeth behind the CARTESIAN_OK allowlist
+    (VERDICT r6 #2): an allowlisted query's NLJ is only acceptable while
+    its build side stays provably tiny (a 1-row aggregate, a <=5-row
+    query set, a k-row centroid list). Reading the executed plan's own
+    SQLMetrics turns that from a comment into a measured bound — a
+    refactor that lets an unbounded frame reach an NLJ build side now
+    fails the audit instead of silently OOMing at scale. -1 means the
+    build side carried no measurable metric (treated as a failure by
+    callers)."""
+    if execute:
+        df.collect()
+    out: list[int] = []
+    for n in _walk(_executed_tree(df)):
+        name = _simple_name(n)
+        if name == "BroadcastNestedLoopJoinExec":
+            ch = _node_children(n)
+            build = ch[0] if "BuildLeft" in n.buildSide().toString() else ch[1]
+            rows = _subtree_output_rows(build)
+            out.append(-1 if rows is None else rows)
+        elif name == "CartesianProductExec":
+            sides = [_subtree_output_rows(c) for c in _node_children(n)]
+            known = [s for s in sides if s is not None]
+            out.append(min(known) if known else -1)
+    return out
+
+
+def partitionless_window_input_rows(
+    df: DataFrame, execute: bool = True
+) -> list[int]:
+    """Runtime input row count of every Window operator that has an EMPTY
+    partitionBy (single-partition execution). Such windows are only
+    acceptable above a LIMIT/aggregate producing a bounded frame
+    (VERDICT r6 #8); this measures the actual frame size so the
+    `WindowExec: No Partition Defined` warning can never silently attach
+    to an unbounded input. -1 = no measurable child metric."""
+    if execute:
+        df.collect()
+    out: list[int] = []
+    for n in _walk(_executed_tree(df)):
+        if _simple_name(n) not in ("WindowExec", "WindowInPandasExec"):
+            continue
+        if n.partitionSpec().size() != 0:
+            continue
+        rows = _subtree_output_rows(_node_children(n)[0])
+        out.append(-1 if rows is None else rows)
+    return out
+
+
 def fact_is_stationary(df: DataFrame, fact: str = "lineitem") -> bool:
     """True if no BroadcastExchange subtree streams RAW fact rows — i.e.
     the unaggregated fact is always the streamed/probe side of its joins.

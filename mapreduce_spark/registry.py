@@ -67,18 +67,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # curation, graph, multimodal, TPC-H composites, streaming). Everything
 # else follows in module-registration order.
 #
-# r6 rotation: four settled slots (both approx sketches, TPC-H Q9/Q18 —
-# each pinned by in-plan accuracy audits / the full-registry sweep) made
-# room for the round-6 lifecycle flagships, so the on-disk index round
-# trips, the production BPE token count and the JSONL export round trip
-# carry OFFICIAL driver rows rather than only builder-sweep evidence.
+# r7 rotation (VERDICT r6 #3): nine settled §2C slots rotated out —
+# map_transform, groupby_multikey, distinct_rows, sort_global, join_anti,
+# union_all, set_intersect, set_except, window_rank — every one holds an
+# official PASS row in CORRECTNESS r1-r6 and stays pinned by the
+# full-registry sweep + tests/test_exact_rows.py. In their place the six
+# never-officially-graded r6 closers (span decontamination, colocated
+# join, logreg gate, label propagation, streaming export gate,
+# epoch-capped mixing) plus the round-7 additions (residual IVFPQ,
+# z-order pruned scan, OPQ-rotated codes) carry official driver rows.
 GRADING_PRIORITY = [
-    # --- SURVEY §2C core checklist (Q1-Q19; Q13 = semi+anti, Q15 = intersect+except)
-    "scan_project", "filter_grep", "filter_predicate", "map_transform",
-    "wordcount", "groupby_agg", "groupby_multikey", "distinct_rows",
-    "sort_global", "topk", "join_equi", "join_broadcast", "join_semi",
-    "join_anti", "union_all", "set_intersect", "set_except",
-    "partition_by_hash", "window_rank", "agg_distinct", "pipe_exec",
+    # --- SURVEY §2C core checklist heads (rotated members keep their
+    # r1-r6 official rows; see rotation note above)
+    "scan_project", "filter_grep", "filter_predicate",
+    "wordcount", "groupby_agg",
+    "topk", "join_equi", "join_broadcast", "join_semi",
+    "partition_by_hash", "agg_distinct", "pipe_exec",
     # --- deduplication family
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
     "dedup_embedding", "dedup_cluster",
@@ -103,6 +107,12 @@ GRADING_PRIORITY = [
     "dedup_index_persisted", "similarity_index_persisted",
     "bpe_token_count", "export_jsonl_shards",
     "rollup_incremental_view", "quality_logreg_train",
+    # --- r7 rotation: the six r6 closers that never held official rows
+    "decontaminate_spans_scaled", "join_colocated", "quality_logreg_gate",
+    "knn_label_propagation", "stream_export_gate", "mix_epoch_capped",
+    # --- round-7 additions (registered this round)
+    "similarity_ivfpq_adc_residual", "zorder_pruned_scan",
+    "embedding_pq_codes_opq",
 ]
 
 

@@ -897,18 +897,17 @@ def stream_embdup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket derivation runs only on the batch's vectors, candidates come
     from the bucket equi-join, survivors pay one exact cosine, and a
     left-anti join admits the clean rows. ZERO streaming state."""
-    import shutil
     import tempfile
-    from urllib.parse import urlparse
+
+    from mapreduce_spark.sources.fs import fs_delete, warehouse_uri
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for suffix in ("buckets", "vectors"):
         spark.sql(f"DROP TABLE IF EXISTS embdup_idx_{suffix}")
-        shutil.rmtree(f"{warehouse}/embdup_idx_{suffix}", ignore_errors=True)
+        fs_delete(spark, f"{warehouse_uri(spark)}/embdup_idx_{suffix}")
     (
         _eg_lsh_buckets(
             corpus.select("vec_id", "embedding"), _EG_PLANES, _EG_TABLES
@@ -1041,19 +1040,18 @@ def stream_embdup_gate_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket derivation + true collisions + two bucketed appends; the
     corpus is never rescanned or rewritten."""
     import os
-    import shutil
     import tempfile
     import time
-    from urllib.parse import urlparse
+
+    from mapreduce_spark.sources.fs import fs_delete, warehouse_uri
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for suffix in ("buckets", "vectors"):
         spark.sql(f"DROP TABLE IF EXISTS embacc_idx_{suffix}")
-        shutil.rmtree(f"{warehouse}/embacc_idx_{suffix}", ignore_errors=True)
+        fs_delete(spark, f"{warehouse_uri(spark)}/embacc_idx_{suffix}")
 
     def _append_index(vecs: DataFrame, mode: str) -> None:
         (

@@ -53,6 +53,29 @@ def test_every_public_function_documented():
     assert not undocumented, undocumented
 
 
+def test_no_local_fs_calls_in_operator_paths():
+    """Index/table maintenance must go through the Hadoop FileSystem API
+    (sources/fs.py) so the same code works on file://, hdfs:// and
+    s3a:// — driver-side shutil against a urlparse'd local path only
+    works while the warehouse happens to be the driver's disk (VERDICT
+    r6 #7). compat.py is exempt: the reference-parity task farm spools
+    to the local disk BY DESIGN (mirroring the reference's tmpdir
+    intermediates); streaming/curation spool SOURCES (tempfile + os.*)
+    simulate arriving files and stay local by design — this gate bans
+    shutil/urlparse, the warehouse-manipulation primitives."""
+    bad = []
+    for p in _py_files():
+        rel = str(p.relative_to(SRC))
+        if rel == "compat.py":
+            continue
+        text = p.read_text()
+        if re.search(
+            r"^\s*(import shutil\b|from urllib\.parse import)", text, re.M
+        ):
+            bad.append(rel)
+    assert not bad, f"local-FS warehouse manipulation in: {bad}"
+
+
 def test_no_rand_in_correctness_critical_paths():
     # rand() is allowed only where the ANSWER is salt-independent
     # (wordcount_salted documents this); deterministic md5 elsewhere

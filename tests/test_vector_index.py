@@ -140,7 +140,11 @@ def test_compaction_collapses_cells_and_preserves_probe(spark, sf_dir):
         emb.filter(F.col("vec_id") % 2 == 0), "t_vindex_cpt", train=emb
     )
     vector_index_append(emb.filter(F.col("vec_id") % 2 == 1), "t_vindex_cpt")
-    path = _vindex_codes_path(spark, "t_vindex_cpt")
+    # operators hand out warehouse URIs (Hadoop-FS-safe); this test's
+    # file-count inspection is deliberately local, so strip the scheme
+    from urllib.parse import urlparse
+
+    path = urlparse(_vindex_codes_path(spark, "t_vindex_cpt")).path
 
     def files_per_cell():
         out = {}
