@@ -1164,7 +1164,11 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     of distinct micro scores (cardinality = distinct scores, orders of
     magnitude below row count), then one conditional-min aggregate. The
     ntile() window a naive translation would use needs every row through
-    ONE partition — this shape scales with splits instead.
+    ONE partition — this shape scales with splits instead. The prefix
+    sum itself is two-phase (range-bucketed intra-cell windows + a
+    <=256-row cell-total offset), so even the histogram never
+    single-partitions — the r6 window audit measured the old one-window
+    form at |histogram| rows, unbounded in the score domain.
 
     The scored table feeds BOTH the cutoff aggregate and the output
     projection; the explicit repartition pins an identical Exchange atop
@@ -1180,10 +1184,45 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.round(F.col("avg_nll") * 1000000).cast("bigint")
     )
     hist = pm.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy("m").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Distributed prefix sum over the histogram (two-phase): a naive
+    # Window.orderBy("m") cumsum funnels the WHOLE histogram through one
+    # partition — its size is bounded by the micro-score domain, not the
+    # corpus, but that can still be 10^7 rows. Instead: range-bucket the
+    # scores into NB=256 coarse cells off a broadcast 1-row (mn, mx)
+    # aggregate, cumsum WITHIN each cell (partitioned window, parallel),
+    # and add each cell's prior-cells offset — the only partitionless
+    # window left runs over the <=256 cell totals, bounded by the
+    # constant NB regardless of scale (audited in test_plan_audits.py).
+    nb = 256
+    rng = hist.agg(
+        F.min("m").alias("_mn"), F.max("m").alias("_mx")
     )
-    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    bucketed = hist.crossJoin(F.broadcast(rng)).withColumn(
+        "_coarse",
+        (
+            (F.col("m") - F.col("_mn"))
+            * nb
+            / (F.col("_mx") - F.col("_mn") + 1)
+        ).cast("bigint"),
+    )
+    w_in = (
+        Window.partitionBy("_coarse")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = bucketed.withColumn("_cum_in", F.sum("c").over(w_in))
+    totals = bucketed.groupBy("_coarse").agg(F.sum("c").alias("_ct"))
+    w_prior = Window.orderBy("_coarse").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = totals.withColumn(
+        "_prior", F.coalesce(F.sum("_ct").over(w_prior), F.lit(0))
+    ).select("_coarse", "_prior")
+    cum = (
+        intra.join(F.broadcast(prior), "_coarse")
+        .withColumn("cum", F.col("_cum_in") + F.col("_prior"))
+        .select("m", "c", "cum")
+    )
     ncnt = pm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     # x[i] = smallest value whose cumulative count exceeds i (0-based).
     x = lambda pos: F.min(F.when(F.col("cum") >= pos + 1, F.col("m")))

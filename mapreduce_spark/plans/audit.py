@@ -195,6 +195,17 @@ def nlj_build_rows(df: DataFrame, execute: bool = True) -> list[int]:
     return out
 
 
+def has_partitionless_window(df: DataFrame) -> bool:
+    """Plan-only probe (no execution): does the tree contain a Window
+    with an empty partitionBy? Used to pre-filter which queries the
+    runtime window audit must actually execute."""
+    for n in _walk(_executed_tree(df)):
+        if _simple_name(n) in ("WindowExec", "WindowInPandasExec"):
+            if n.partitionSpec().size() == 0:
+                return True
+    return False
+
+
 def partitionless_window_input_rows(
     df: DataFrame, execute: bool = True
 ) -> list[int]:

@@ -212,6 +212,85 @@ def test_no_query_degenerates_to_cartesian(spark, sf_dir, qs):
     assert not offenders, f"unexpected cartesian/nested-loop plans: {offenders}"
 
 
+# The CARTESIAN_OK allowlist is only as good as the claim each entry
+# makes — "my NLJ build side is a 1-row aggregate / a <=5-row query set /
+# a k-row centroid list". This cap makes the claim STRUCTURAL (VERDICT r6
+# #2): every allowlisted query that actually plans an NLJ is executed and
+# the build side's own SQLMetrics must report at most this many rows. A
+# refactor that lets an unbounded frame reach an NLJ build side now fails
+# here instead of OOMing a 100 TB run.
+NLJ_BUILD_CAP = 64
+
+
+def test_allowlisted_nlj_build_sides_are_bounded(spark, sf_dir, qs):
+    offenders = []
+    for name in sorted(CARTESIAN_OK):
+        if name not in qs or name in PLAN_SWEEP_SKIP:
+            continue
+        df = qs[name](spark, sf_dir)
+        if not audit.has_cartesian(df):
+            continue
+        rows = audit.nlj_build_rows(df)
+        if any(r < 0 or r > NLJ_BUILD_CAP for r in rows):
+            offenders.append((name, rows))
+    assert not offenders, f"unbounded NLJ build sides: {offenders}"
+
+
+def test_nlj_audit_flags_unbounded_build_side(spark, sf_dir):
+    # a deliberately broken shape — the whole documents table broadcast
+    # as an NLJ build side — must FAIL the bound the sweep above enforces
+    from mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    planted = spark.range(1).crossJoin(F.broadcast(docs))
+    rows = audit.nlj_build_rows(planted)
+    assert rows and max(rows) > NLJ_BUILD_CAP, rows
+
+
+# Partitionless windows execute on ONE partition — acceptable only above
+# a provably bounded frame. Default bound: 64 rows (1-row aggregates,
+# |sources|-row mixing tables, post-limit top-k fusions). Entries here
+# carry a documented larger-but-still-constant bound; window_ntile is the
+# single documented exception (global ntile/percent_rank API parity — its
+# own docstring routes 100 TB users to quantile_exact's distribution
+# method instead).
+PARTITIONLESS_WINDOW_CAPS = {
+    # two-phase prefix sum: the only partitionless window runs over the
+    # <=256 coarse-cell totals (constant NB, not data-driven)
+    "ccnet_buckets": 256,
+    # fusion of the two post-limit rank lists (2 retrievers x top-100)
+    "hybrid_rrf": 256,
+}
+WINDOW_GLOBAL_BY_DESIGN = {"window_ntile"}
+
+
+def test_partitionless_windows_have_bounded_input(spark, sf_dir, qs):
+    offenders = []
+    for name, fn in sorted(qs.items()):
+        if name in PLAN_SWEEP_SKIP or name in WINDOW_GLOBAL_BY_DESIGN:
+            continue
+        df = fn(spark, sf_dir)
+        if not audit.has_partitionless_window(df):  # plan-only, no exec
+            continue
+        rows = audit.partitionless_window_input_rows(df)
+        cap = PARTITIONLESS_WINDOW_CAPS.get(name, 64)
+        if any(r < 0 or r > cap for r in rows):
+            offenders.append((name, rows, cap))
+    assert not offenders, f"unbounded partitionless windows: {offenders}"
+
+
+def test_window_audit_flags_unbounded_partitionless_window(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    planted = docs.withColumn("rn", F.row_number().over(W.orderBy("doc_id")))
+    assert audit.has_partitionless_window(planted)
+    rows = audit.partitionless_window_input_rows(planted)
+    assert rows and max(rows) > 64, rows
+
+
 def test_operators_are_codegened(spark, sf_dir, qs):
     # hot relational paths must stay inside whole-stage codegen
     for name in ("groupby_agg", "join_equi", "window_running"):
