@@ -2797,12 +2797,12 @@ def pq_recall_report_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # This is the architecture billion-scale ANN systems actually ship
 # (FAISS IndexIVFPQ): routing bounds the candidate set to the probed
 # lists (~nprobe/|lists| of the corpus), PQ bounds per-candidate cost to
-# {PQ_SUBS} table lookups and the index to codes (~32x smaller). We
-# encode raw vectors, not residuals (FAISS's by_residual=False mode):
-# the trained book is fit on raw sub-vectors, so reusing it for
-# residuals would be the wrong geometry — a residual book would need
-# its own Lloyd pass keyed by list, which quadruples the pipeline for
-# the same plan shape.
+# {PQ_SUBS} table lookups and the index to codes (~32x smaller). This
+# tier encodes raw vectors (FAISS's by_residual=False mode); the
+# residual-encoded production default (ONE shared book trained on
+# residuals, per-(query, cell) lookup tables) is the
+# similarity_ivfpq_adc_residual tier below, and
+# ivfpq_residual_recall_report prices the difference.
 
 _SQL_IVFPQ_ADC_CTE = f"""
     adc_ip AS (
@@ -2959,6 +2959,404 @@ def ivfpq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = similarity_ivfpq_adc(spark, sf_dir).select("query_id", "vec_id")
     return _tier_recall(exact, "ivfpq", adc)
+
+
+# ===========================================================================
+# Residual-encoded IVFPQ (Jegou et al. 2011 Sec. V-A; FAISS IndexIVFPQ's
+# by_residual=True DEFAULT): instead of PQ-coding raw vectors, each
+# vector is coded as the residual to its own coarse centroid — residuals
+# concentrate near the origin regardless of which cell a vector lives
+# in, so ONE shared codebook (trained on residuals) spends its 256
+# entries per sub-space on a much tighter distribution and recall rises
+# at the SAME code budget. The price is query-side: the ADC lookup
+# table becomes per (query, probed cell) — (q - c_cell) changes with the
+# cell — i.e. nprobe tables instead of one, still broadcast trivia.
+RQ_CAP = 30_000  # |residual| micro-unit bound that keeps per-sub d2 within
+#                  the packed-argmin headroom (d2 * PQ_PACK + id < 2^63):
+#                  diff <= 2*RQ_CAP -> d2 <= 8 * 3.6e9 = 2.9e10 << 9.2e10
+
+
+def _cent_micro(cent: DataFrame) -> DataFrame:
+    """(cid, pos, cq): centroid components at the PQ 1e4 micro scale.
+    Centroid doubles are exact integer ratios (s/n/1e6) bit-identical on
+    both engines, so floor(c * 1e4) is a deterministic BIGINT twin."""
+    return cent.select("cid", F.posexplode("ce").alias("pos", "c")).select(
+        "cid",
+        "pos",
+        F.floor(F.col("c") * 10_000).cast("bigint").alias("cq"),
+    )
+
+
+def _residual_ex(ex: DataFrame, cells: DataFrame, cex: DataFrame, id_col: str) -> DataFrame:
+    """(id_col[, cid], sub_idx, pos, xq): PQ micro components re-expressed
+    as residuals to the given (id, cid) cell assignment. Guarded: a
+    residual beyond +-RQ_CAP would corrupt the packed argmin, so it
+    raises instead of silently mis-coding."""
+    rq = F.col("xq") - F.col("cq")
+    guarded = F.when(F.abs(rq) <= RQ_CAP, rq).otherwise(
+        F.raise_error(
+            f"residual exceeds +-{RQ_CAP} micro-units: packed-argmin "
+            "headroom broken — renormalize the corpus or raise PQ_PACK"
+        )
+    )
+    return (
+        ex.join(cells, id_col)
+        .join(F.broadcast(cex), ["cid", "pos"])
+        .select(id_col, "cid", "sub_idx", "pos", guarded.alias("xq"))
+    )
+
+
+def _book_arrays(book: DataFrame) -> DataFrame:
+    """(sub_idx, seed_id, sqa): a (sub_idx, seed_id, pos, cq) book
+    reassembled to pos-ordered arrays for the unrolled integer fold."""
+    return book.groupBy("sub_idx", "seed_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+            lambda e: e["cq"],
+        ).alias("sqa")
+    )
+
+
+def ivfpq_adc_residual_topk(
+    emb: DataFrame,
+    cent: DataFrame,
+    nprobe: int,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Residual-encoded IVFADC over a (vec_id, embedding) frame and a
+    (cid, ce, cn) centroid frame. Stages: (1) coarse-assign every vector
+    (broadcast argmax — ivf_candidates' routing); (2) train ONE PQ book
+    on the corpus RESIDUALS (same Lloyd refinement as the raw tier);
+    (3) code each vector's residual; (4) per (query, probed cell), build
+    the ADC table from the QUERY residual to that cell; (5) sum code
+    lookups per candidate, top-k. All distances exact micro-unit
+    BIGINTs — ranking is integer-deterministic across engines. Plan
+    shape matches ivfpq_adc_topk: the book, centroid table and per-query
+    tables broadcast; candidates join codes on vec_id; the ADC sum
+    partial-aggregates map-side. Cites FAISS IndexIVFPQ by_residual
+    (public) as the production default this mirrors."""
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    assign = _nearest_cells(embn, cent, "vec_id", 1)
+    cex = _cent_micro(cent)
+    ex = _pq_ex_frame(emb)
+    res_ex = _residual_ex(ex, assign, cex, "vec_id").select(
+        "vec_id", "sub_idx", "pos", "xq"
+    )
+    book_arr = _book_arrays(_pq_refined_book_frame(res_ex))
+    corpus_pairs = _pq_sub_arrays(res_ex).join(
+        F.broadcast(book_arr), "sub_idx"
+    ).select("vec_id", "sub_idx", "seed_id", F.expr(_PQ_D2).alias("d2"))
+    codes = corpus_pairs.groupBy("vec_id", "sub_idx").agg(
+        (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
+            "code"
+        )
+    )
+    probe = _nearest_cells(
+        embn.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), "embedding", "nrm"
+        ),
+        cent,
+        "query_id",
+        nprobe,
+    )
+    q_res = _residual_ex(
+        ex.filter(F.col("vec_id") < n_queries).withColumnRenamed(
+            "vec_id", "query_id"
+        ),
+        probe,
+        cex,
+        "query_id",
+    )
+    q_arr = q_res.groupBy("query_id", "cid", "sub_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "xq"))),
+            lambda e: e["xq"],
+        ).alias("xqa")
+    )
+    qtab = q_arr.join(F.broadcast(book_arr), "sub_idx").select(
+        "query_id",
+        "cid",
+        "sub_idx",
+        F.col("seed_id").alias("code"),
+        F.expr(_PQ_D2).alias("d2"),
+    )
+    cand = (
+        probe.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cid")
+        .distinct()
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(qtab), ["query_id", "cid", "sub_idx", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+# The residual CTE chain: rcent -> assignment/probe -> residual ex ->
+# seed book -> Lloyd-refined book -> codes -> per-(query, cell) tables ->
+# ADC. Mirrors _SQL_PQT_CTES stage for stage, sourced from residuals.
+_SQL_RSD_CTES = f"""
+    {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
+    rsd_assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({sql_cosine_pair('v.embedding', 'c.ce')}, 6) DESC,
+                                c.cid) AS rn
+            FROM embeddings v, rcent c)
+        WHERE rn = 1),
+    rsd_probe AS (
+        SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({sql_cosine_pair('q.embedding', 'c.ce')}, 6) DESC,
+                                c.cid) AS rn
+            FROM embeddings q, rcent c WHERE q.vec_id < {N_QUERIES})
+        WHERE rn <= {SCALED_IVF_NPROBE}),
+    rsd_cex AS (
+        SELECT cid, i AS pos,
+               CAST(floor(CAST(ce[i + 1] AS DOUBLE) * 10000) AS BIGINT) AS cq
+        FROM rcent, UNNEST(range(len(ce))) AS t(i)),
+    rsd_ex0 AS (
+        SELECT vec_id,
+               (generate_subscripts(embedding, 1) - 1) // {EMB_DIM // PQ_SUBS}
+                 AS sub_idx,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    rsd_ex AS (
+        SELECT e.vec_id, e.sub_idx, e.pos, e.xq - c.cq AS xq
+        FROM rsd_ex0 e
+        JOIN rsd_assign a ON a.vec_id = e.vec_id
+        JOIN rsd_cex c ON c.cid = a.cid AND c.pos = e.pos),
+    rsd_seeds AS (SELECT vec_id AS seed_id, sub_idx, pos, xq FROM rsd_ex
+                  WHERE vec_id % {PQ_SEED_MOD} = {PQ_SEED_REM}),
+    rsd_pairs0 AS (
+        SELECT e.vec_id, e.sub_idx, s.seed_id,
+               CAST(sum((e.xq - s.xq) * (e.xq - s.xq)) AS BIGINT) AS d2
+        FROM rsd_ex e JOIN rsd_seeds s
+          ON s.sub_idx = e.sub_idx AND s.pos = e.pos
+        GROUP BY 1, 2, 3),
+    rsd_codes0 AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) % {PQ_PACK} AS code
+        FROM rsd_pairs0 GROUP BY vec_id, sub_idx),
+    rsd_members AS (
+        SELECT e.sub_idx, c.code AS seed_id, e.pos,
+               CAST(CASE WHEN sum(e.xq) < 0
+                         THEN -((-sum(e.xq)) // count(*))
+                         ELSE sum(e.xq) // count(*) END AS BIGINT) AS mq
+        FROM rsd_ex e JOIN rsd_codes0 c
+          ON c.vec_id = e.vec_id AND c.sub_idx = e.sub_idx
+        GROUP BY e.sub_idx, c.code, e.pos),
+    rsd_book AS (
+        SELECT s.sub_idx, s.seed_id, s.pos, COALESCE(m.mq, s.xq) AS cq
+        FROM rsd_seeds s LEFT JOIN rsd_members m
+          ON m.sub_idx = s.sub_idx AND m.seed_id = s.seed_id
+         AND m.pos = s.pos),
+    rsd_pairs AS (
+        SELECT e.vec_id, e.sub_idx, b.seed_id,
+               CAST(sum((e.xq - b.cq) * (e.xq - b.cq)) AS BIGINT) AS d2
+        FROM rsd_ex e JOIN rsd_book b
+          ON b.sub_idx = e.sub_idx AND b.pos = e.pos
+        GROUP BY 1, 2, 3),
+    rsd_codes AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) % {PQ_PACK} AS code
+        FROM rsd_pairs GROUP BY vec_id, sub_idx),
+    rsd_qex AS (
+        SELECT e.vec_id AS query_id, p.cid, e.sub_idx, e.pos,
+               e.xq - c.cq AS xq
+        FROM rsd_ex0 e
+        JOIN rsd_probe p ON p.query_id = e.vec_id
+        JOIN rsd_cex c ON c.cid = p.cid AND c.pos = e.pos
+        WHERE e.vec_id < {N_QUERIES}),
+    rsd_qtab AS (
+        SELECT q.query_id, q.cid, q.sub_idx, b.seed_id,
+               CAST(sum((q.xq - b.cq) * (q.xq - b.cq)) AS BIGINT) AS d2
+        FROM rsd_qex q JOIN rsd_book b
+          ON b.sub_idx = q.sub_idx AND b.pos = q.pos
+        GROUP BY 1, 2, 3, 4),
+    rsd_cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id, a.cid
+        FROM rsd_probe p JOIN rsd_assign a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id),
+    rsd_adc AS (
+        SELECT c.query_id, c.vec_id, CAST(sum(q.d2) AS BIGINT) AS adc_d2
+        FROM rsd_cand c
+        JOIN rsd_codes rc ON rc.vec_id = c.vec_id
+        JOIN rsd_qtab q ON q.query_id = c.query_id AND q.cid = c.cid
+                       AND q.sub_idx = rc.sub_idx AND q.seed_id = rc.code
+        GROUP BY 1, 2)"""
+
+
+@register(
+    "embedding_pq_codes_residual",
+    oracle=f"""
+    WITH {_SQL_RSD_CTES},
+    best_r AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) AS packed
+        FROM rsd_pairs GROUP BY vec_id, sub_idx)
+    SELECT vec_id,
+           list(packed % {PQ_PACK} ORDER BY sub_idx) AS pq_code,
+           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
+                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
+    FROM best_r GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_pq_codes_trained with RESIDUAL encoding (FAISS
+    by_residual): each vector's code quantizes (x - c_cell), not x.
+    Residuals from every cell share one origin-centered distribution, so
+    the same {PQ_SUBS}-byte budget buys a finer quantization — the
+    quant_mse column is directly comparable to the trained tier's and
+    tests/test_ivfpq_residual.py asserts the mean strictly drops; the
+    recall gain is priced by ivfpq_residual_recall_report."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = refined_centroids(emb, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    assign = _nearest_cells(embn, cent, "vec_id", 1)
+    res_ex = _residual_ex(
+        _pq_ex_frame(emb), assign, _cent_micro(cent), "vec_id"
+    ).select("vec_id", "sub_idx", "pos", "xq")
+    book_arr = _book_arrays(_pq_refined_book_frame(res_ex))
+    pairs = _pq_sub_arrays(res_ex).join(
+        F.broadcast(book_arr), "sub_idx"
+    ).select("vec_id", "sub_idx", "seed_id", F.expr(_PQ_D2).alias("d2"))
+    best = pairs.groupBy("vec_id", "sub_idx").agg(
+        F.min(F.col("d2") * PQ_PACK + F.col("seed_id")).alias("packed")
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
+                lambda e: e["packed"] % PQ_PACK,
+            ).alias("pq_code"),
+            F.round(
+                F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
+                / (EMB_DIM * 100_000_000),
+                6,
+            ).alias("quant_mse"),
+        )
+    )
+
+
+_IVFPQ_RSD_SQL = f"""
+    WITH {_SQL_RSD_CTES}
+    SELECT query_id, vec_id, adc_d2, rank FROM (
+        SELECT query_id, vec_id, adc_d2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, vec_id) AS BIGINT)
+                 AS rank
+        FROM rsd_adc)
+    WHERE rank <= {TOP_K}
+    """
+
+
+@register("similarity_ivfpq_adc_residual", oracle=_IVFPQ_RSD_SQL)
+def similarity_ivfpq_adc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_ivfpq_adc with RESIDUAL encoding — the FAISS
+    IndexIVFPQ production default (by_residual=True). Same routing, same
+    code budget, same plan shape; what changes is WHAT the codes
+    quantize (x - c_cell, one shared residual-trained book) and that the
+    broadcast ADC lookup table is keyed by (query, probed cell) instead
+    of query alone — nprobe x {PQ_SUBS} x |book| integer rows per query,
+    still trivia. ivfpq_residual_recall_report measures what the
+    re-centering buys at the same bytes."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = refined_centroids(emb, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    return ivfpq_adc_residual_topk(emb, cent, SCALED_IVF_NPROBE)
+
+
+@register(
+    "ivfpq_residual_recall_report",
+    oracle=f"""
+    WITH {_SQL_RSD_CTES},
+    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
+    {_SQL_PQT_CTES},
+    {_SQL_IVFPQ_ADC_CTE},
+    l2 AS (
+        SELECT q.vec_id AS query_id, v.vec_id,
+               CAST(sum((q.xq - v.xq) * (q.xq - v.xq)) AS BIGINT) AS d2
+        FROM rsd_ex0 q JOIN rsd_ex0 v
+          ON v.sub_idx = q.sub_idx AND v.pos = q.pos
+         AND v.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2),
+    topk_e AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, vec_id) AS rank
+            FROM l2)
+        WHERE rank <= {TOP_K}),
+    topk_raw AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, vec_id) AS rank
+            FROM adc_ip)
+        WHERE rank <= {TOP_K}),
+    topk_rsd AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, vec_id) AS rank
+            FROM rsd_adc)
+        WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('ivfpq_raw', 'topk_raw')}
+    UNION ALL
+    {_sql_tier_recall('ivfpq_residual', 'topk_rsd')}
+    """,
+)
+def ivfpq_residual_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the raw-encoded AND residual-encoded IVFADC
+    tiers against the same exact-L2 baseline, side by side — the report
+    that prices what residual re-centering buys at the identical
+    routing + code budget (VERDICT r6 #4). Same trivia-sized rollups as
+    ann_recall_report; the expensive inputs are exactly the two tier
+    plans being compared."""
+    exq = _pq_quantized(spark, sf_dir).select("vec_id", "pos", "xq")
+    qside = exq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("xq").alias("qq")
+    )
+    l2 = (
+        exq.join(F.broadcast(qside), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum((F.col("qq") - F.col("xq")) * (F.col("qq") - F.col("xq")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        l2.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    raw = similarity_ivfpq_adc(spark, sf_dir).select("query_id", "vec_id")
+    rsd = similarity_ivfpq_adc_residual(spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    return _tier_recall(exact, "ivfpq_raw", raw).unionByName(
+        _tier_recall(exact, "ivfpq_residual", rsd)
+    )
 
 
 # ===========================================================================

@@ -112,7 +112,7 @@ GRADING_PRIORITY = [
     "knn_label_propagation", "stream_export_gate", "mix_epoch_capped",
     # --- round-7 additions (registered this round)
     "similarity_ivfpq_adc_residual", "zorder_pruned_scan",
-    "embedding_pq_codes_opq",
+    "ivfpq_residual_recall_report",
 ]
 
 

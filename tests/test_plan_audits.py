@@ -142,6 +142,7 @@ CARTESIAN_OK = {
     "hard_negatives",  # similarity_topk's broadcast-NLJ with a label filter
     "hard_negatives_scaled",  # 5-row sign-code broadcast NLJ + rerank
     "zorder_layout",  # broadcasts the 1-row min/max quantization frame
+    "zorder_pruned_scan",  # same 1-row min/max broadcast, write + read side
     "quality_logreg_train",  # broadcasts the 1-row weight vector per round
     "quality_logreg_gate",  # broadcasts the final 1-row weight vector
     "mix_epoch_capped",  # broadcasts the 1-row budget/boundary aggregates
@@ -168,6 +169,9 @@ CARTESIAN_OK = {
     "hamming_recall_report",  # embeds similarity_topk + the hamming NLJs
     "similarity_ivfpq_adc",  # broadcast trained-centroid assignment NLJ
     "ivfpq_recall_report",  # embeds the centroid NLJ + exact-L2 baseline
+    "embedding_pq_codes_residual",  # same broadcast-centroid assignment NLJ
+    "similarity_ivfpq_adc_residual",  # same centroid NLJ, residual codes
+    "ivfpq_residual_recall_report",  # embeds both tiers' centroid NLJs
     "quality_nb_classifier",  # broadcasts the 1-row totals/prior aggregates
     "quality_nb_report",  # same 1-row broadcasts + the 1-row grand total
     "domain_mix_report",  # broadcasts the 1-row token/weight totals
