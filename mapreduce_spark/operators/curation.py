@@ -927,6 +927,64 @@ _SQL_STREAM_EXPORT = f"""
 """
 
 
+_EXPORT_JSON_SCHEMA = (
+    "doc_id long, source string, n_tokens long, quality double, "
+    "text string, fp long, fp2 long"
+)
+
+
+def export_gate_batch(batch_df: DataFrame, path: str) -> DataFrame:
+    """Gate ONE micro-batch and append its survivors to the JSONL export
+    at ``path``, deduping against everything the export already holds —
+    the per-batch unit of stream_export_gate, exposed so the crash-
+    recovery replay test (tests/test_stream_crash_recovery.py) drives
+    the EXACT production code path. The probe index is the sink itself
+    ((fp, fp2) digest columns read back from the exported files), which
+    is the whole recovery story: a lost checkpoint or a torn append
+    needs no repair step — re-running a batch re-admits only the rows
+    whose originals never reached disk. Returns the admitted frame
+    (eagerly checkpointed BEFORE the append, so the returned card and
+    the written rows cannot diverge)."""
+    session = batch_df.sparkSession
+    g = _gated_frame(batch_df).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality",
+        F.col("clean_text").alias("text"),
+        md5_long(F.col("clean_text")).alias("fp"),
+        md5_long2(F.col("clean_text")).alias("fp2"),
+    )
+    from mapreduce_spark.sources.fs import fs_exists
+
+    if fs_exists(session, path):
+        idx = (
+            session.read.schema(_EXPORT_JSON_SCHEMA)
+            .option("basePath", path)
+            .json(path)
+            .select("fp", "fp2")
+        )
+        g = g.join(idx, ["fp", "fp2"], "left_anti")
+    keeper = g.groupBy("fp", "fp2").agg(F.min("doc_id").alias("doc_id"))
+    admitted = g.join(
+        keeper.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    out = admitted.select(
+        "*",
+        (
+            md5_long(F.concat(F.lit("shard:"), F.col("doc_id")))
+            % EXPORT_SHARDS
+        ).alias("shard"),
+    )
+    (
+        out.repartition("shard")
+        .write.partitionBy("shard")
+        .mode("append")
+        .json(path)
+    )
+    return out
+
+
 @register("stream_export_gate", oracle=_SQL_STREAM_EXPORT)
 def stream_export_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming END of the pipeline: incoming documents (odd
@@ -948,7 +1006,7 @@ def stream_export_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time
 
-    from mapreduce_spark.sources.fs import fs_delete, fs_exists
+    from mapreduce_spark.sources.fs import fs_delete
 
     docs = load_table(spark, sf_dir, "documents")
     path = _export_path(spark) + "_stream"
@@ -978,48 +1036,9 @@ def stream_export_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(in_dir)
     )
     out_dir = os.path.join(spool, "admitted")
-    json_schema = (
-        "doc_id long, source string, n_tokens long, quality double, "
-        "text string, fp long, fp2 long"
-    )
 
     def _gate_and_append(batch_df: DataFrame, _batch_id: int) -> None:
-        session = batch_df.sparkSession
-        g = _gated_frame(batch_df).select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            "quality",
-            F.col("clean_text").alias("text"),
-            md5_long(F.col("clean_text")).alias("fp"),
-            md5_long2(F.col("clean_text")).alias("fp2"),
-        )
-        if fs_exists(session, path):
-            idx = (
-                session.read.schema(json_schema)
-                .option("basePath", path)
-                .json(path)
-                .select("fp", "fp2")
-            )
-            g = g.join(idx, ["fp", "fp2"], "left_anti")
-        keeper = g.groupBy("fp", "fp2").agg(F.min("doc_id").alias("doc_id"))
-        admitted = g.join(
-            keeper.select("doc_id"), "doc_id", "left_semi"
-        ).localCheckpoint(eager=True)
-        out = admitted.select(
-            "*",
-            (
-                md5_long(F.concat(F.lit("shard:"), F.col("doc_id")))
-                % EXPORT_SHARDS
-            ).alias("shard"),
-        )
-        (
-            out.repartition("shard")
-            .write.partitionBy("shard")
-            .mode("append")
-            .json(path)
-        )
-        out.select(
+        export_gate_batch(batch_df, path).select(
             "doc_id",
             "source",
             "n_tokens",

@@ -871,6 +871,59 @@ _SQL_CDC_GATE = (
 )
 
 
+def cdc_gate_batch(batch_df: DataFrame, index_name: str, out_dir: str) -> None:
+    """Admit-and-fold ONE micro-batch against the persisted chunk store —
+    stream_cdc_gate's per-batch unit, exposed so the crash-recovery
+    replay test drives the production path. Recovery property: admission
+    depends only on (payload, store), and an admitted payload's chunks
+    are folded into the store — so REPLAYING a committed batch (lost
+    checkpoint, fresh stream over the same directory) finds its own
+    chunks already stored, computes shared == total, and admits nothing
+    twice; the card converges to the one-shot content
+    (tests/test_stream_crash_recovery.py)."""
+    session = batch_df.sparkSession
+    session.catalog.refreshTable(index_name)
+    idx = session.table(index_name).select("chash")
+    chunks = cdc_doc_chunk_rows(
+        _media_from_docs(batch_df.select("doc_id", "text"))
+    ).localCheckpoint(eager=True)
+    shared = (
+        chunks.join(idx, "chash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("clen").cast("bigint").alias("shared"))
+    )
+    stats = (
+        chunks.groupBy("doc_id", "media_type")
+        .agg(F.sum("clen").cast("bigint").alias("total"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "media_type",
+            "total",
+            F.coalesce("shared", F.lit(0)).alias("shared"),
+        )
+    )
+    admitted = (
+        stats.filter(F.col("shared") * 2 < F.col("total"))
+        .select(
+            "doc_id",
+            "media_type",
+            F.when(F.col("doc_id") % 4 == 1, F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("bigint")
+            .alias("batch_idx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    admitted.write.mode("append").parquet(out_dir)
+    new_chunks = (
+        chunks.join(admitted.select("doc_id"), "doc_id", "left_semi")
+        .select("chash", "clen")
+        .join(idx, "chash", "left_anti")
+    )
+    cdc_index_write(new_chunks, index_name, mode="append")
+
+
 @register("stream_cdc_gate", oracle=_SQL_CDC_GATE)
 def stream_cdc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELF-ACCUMULATING streaming byte-dedup ingest gate: incoming
@@ -925,49 +978,7 @@ def stream_cdc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(spool, "admitted")
 
     def _admit_and_fold(batch_df: DataFrame, _batch_id: int) -> None:
-        session = batch_df.sparkSession
-        session.catalog.refreshTable("cdc_gate_idx")
-        idx = session.table("cdc_gate_idx").select("chash")
-        chunks = cdc_doc_chunk_rows(
-            _media_from_docs(batch_df.select("doc_id", "text"))
-        ).localCheckpoint(eager=True)
-        shared = (
-            chunks.join(idx, "chash", "left_semi")
-            .groupBy("doc_id")
-            .agg(F.sum("clen").cast("bigint").alias("shared"))
-        )
-        stats = (
-            chunks.groupBy("doc_id", "media_type")
-            .agg(F.sum("clen").cast("bigint").alias("total"))
-            .join(shared, "doc_id", "left")
-            .select(
-                "doc_id",
-                "media_type",
-                "total",
-                F.coalesce("shared", F.lit(0)).alias("shared"),
-            )
-        )
-        admitted = (
-            stats.filter(F.col("shared") * 2 < F.col("total"))
-            .select(
-                "doc_id",
-                "media_type",
-                F.when(F.col("doc_id") % 4 == 1, F.lit(1))
-                .otherwise(F.lit(2))
-                .cast("bigint")
-                .alias("batch_idx"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        admitted.write.mode("append").parquet(out_dir)
-        new_chunks = (
-            chunks.join(
-                admitted.select("doc_id"), "doc_id", "left_semi"
-            )
-            .select("chash", "clen")
-            .join(idx, "chash", "left_anti")
-        )
-        cdc_index_write(new_chunks, "cdc_gate_idx", mode="append")
+        cdc_gate_batch(batch_df, "cdc_gate_idx", out_dir)
 
     for q in spark.streams.active:
         if q.name == "stream_cdc_gate":
