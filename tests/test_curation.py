@@ -201,7 +201,11 @@ def test_export_jsonl_shards_roundtrip_and_layout(spark):
     assert sum(r.n_docs for r in m1.values()) == kept.n
     assert sum(r.total_tokens for r in m1.values()) == kept.t
     assert set(m1) <= set(range(EXPORT_SHARDS))
-    path = _export_path(spark)
+    # operators hand out warehouse URIs (Hadoop-FS-safe); the test's
+    # layout inspection is deliberately local, so strip the scheme
+    from urllib.parse import urlparse
+
+    path = urlparse(_export_path(spark)).path
     dirs = sorted(glob.glob(f"{path}/shard=*"))
     assert len(dirs) == len(m1)
     files = glob.glob(f"{dirs[0]}/part-*.json")
