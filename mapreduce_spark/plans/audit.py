@@ -136,6 +136,17 @@ def _walk(node):
 
 
 def _metric_rows(node) -> int | None:
+    # Limit-class operators are a STATIC bound — their output can never
+    # exceed limit(), and their runtime metrics are unreliable
+    # (TakeOrderedAndProject only populates shuffle metrics on some
+    # plans, and a BFS that falls through it reads the pre-limit child).
+    if _simple_name(node) in (
+        "TakeOrderedAndProjectExec",
+        "GlobalLimitExec",
+        "LocalLimitExec",
+        "CollectLimitExec",
+    ):
+        return int(node.limit())
     # numOutputRows where the operator defines it; shuffle exchanges
     # instead expose their row flow as records written/read (a limit(5)
     # that AQE plans as LocalLimit -> single-partition exchange has its
