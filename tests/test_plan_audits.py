@@ -355,6 +355,48 @@ def test_pagerank_rank_join_broadcasts_only_under_threshold(spark, sf_dir, qs):
     assert audit.broadcast_join_count(df) >= PR_ITERS, audit.simple_plan(df)
 
 
+def test_runtime_bloom_filter_prunes_fact_probe(spark, sf_dir):
+    """The third 100 TB join lever after broadcast and skew-split:
+    Catalyst's InjectRuntimeFilter plants a bloom filter built from a
+    SELECTIVE dimension side onto the fact probe's scan, so fact rows
+    that cannot join die at the scan instead of riding the shuffle.
+    Thresholds are lowered so local data qualifies; production keeps
+    defaults and the same rule fires at real sizes."""
+    from mapreduce_spark.sources.tables import load_table
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        # the probe side must look "big enough to be worth filtering";
+        # default 10GB — at test scale everything is under it
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    # load BEFORE overriding confs: load_table re-applies tune_session,
+    # which would restore the broadcast threshold and keep the join
+    # broadcast-eligible (bloom injection only targets shuffle joins)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_custkey")
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_custkey"
+        ).count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "BloomFilter" in plan, plan
+        assert j.count() > 0
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """The 100 TB skew story is not aspirational: with a Zipf-hot key,
     AQE's runtime stats split the oversized partition and the executed
