@@ -247,3 +247,45 @@ def test_stream_export_gate_dedups_across_batches_via_the_sink(spark, tmp_path, 
     out = get_queries()["stream_export_gate"](spark, str(tmp_path)).collect()
     got = {(r.doc_id, r.batch_idx) for r in out}
     assert got == {(1, 1), (5, 1), (7, 2)}
+
+
+def test_stratified_sample_is_partitioning_independent(spark):
+    """The whole point over sampleBy: membership is a pure function of
+    the row, so any repartitioning (or task retry) yields the identical
+    sample; per-stratum yield tracks its ppm rate."""
+    from mapreduce_spark.operators.curation import (
+        STRAT_RATES_PPM,
+        stratified_sample,
+    )
+    from mapreduce_spark.registry import get_queries  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(map(tuple, stratified_sample(spark, sf).collect()))
+
+    from mapreduce_spark.sources.tables import load_table
+
+    import mapreduce_spark.operators.curation as cur
+
+    orig = cur.load_table
+    try:
+        cur.load_table = lambda s, d, n: orig(s, d, n).repartition(16, "source")
+        reparted = sorted(map(tuple, stratified_sample(spark, sf).collect()))
+    finally:
+        cur.load_table = orig
+    assert base == reparted
+
+    # yield per stratum concentrates around its rate
+    from collections import Counter
+
+    total = Counter()
+    kept = Counter()
+    docs = load_table(spark, sf, "documents").select("doc_id", "source").collect()
+    for r in docs:
+        total[int(r["source"][3:]) % 4] += 1
+    for row in base:
+        kept[row[2]] += 1
+    for stratum, ppm in STRAT_RATES_PPM.items():
+        if total[stratum] == 0:
+            continue
+        rate = kept[stratum] / total[stratum]
+        assert abs(rate - ppm / 1_000_000) < 0.25, (stratum, rate, ppm)
