@@ -3022,6 +3022,100 @@ def similarity_pq_adc_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Matryoshka dimension truncation (Kusupati et al. 2022, "Matryoshka
+# Representation Learning" — public): MRL-trained embeddings keep most
+# of their ranking power in their leading coordinates, so serving can
+# read a PREFIX of each vector — 4x fewer bytes scanned and a 4x
+# smaller index at d=16 — and rerank survivors at full width. This card
+# prices exactly that lever on the corpus at hand.
+MRL_DIMS = (16, 32)
+
+
+def _prefix_topk(emb: DataFrame, d: int, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k over the FIRST ``d`` coordinates only — the
+    similarity_topk broadcast shape on sliced arrays (norms recomputed
+    at the truncated width; fold order matches the oracle's
+    range(1, d+1) fold element for element)."""
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, d).alias("embedding")
+    )
+    embn = trunc.withColumn("nrm", norm(F.col("embedding")))
+    q = embn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = embn.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_n(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+    )
+
+
+def _sql_prefix_topk(d: int, suffix: str) -> str:
+    return f"""
+    scored_{suffix} AS (
+        SELECT q.vec_id AS query_id, v.vec_id,
+               round({sql_cosine_pair('q.embedding', 'v.embedding', d)}, 6)
+                 AS cosine
+        FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}),
+    topk_{suffix} AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored_{suffix})
+        WHERE rank <= {TOP_K})"""
+
+
+@register(
+    "matryoshka_recall_report",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK_CTE},
+    {_sql_prefix_topk(MRL_DIMS[0], 'd16')},
+    {_sql_prefix_topk(MRL_DIMS[1], 'd32')},
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('d16', 'topk_d16')}
+    UNION ALL
+    {_sql_tier_recall('d32', 'topk_d32')}
+    """,
+)
+def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of PREFIX-truncated exact search (first 16 and
+    first 32 of {EMB_DIM} dims) against the full-width baseline — the
+    Matryoshka serving lever priced on this corpus: if d=16 recall
+    clears the bar, the scan reads 1/4 of the bytes and the ANN index
+    shrinks 4x before any quantization is even applied (truncation
+    composes with the PQ/SQ8 tiers). On non-MRL-trained embeddings
+    (this testdata) the card shows what truncation COSTS instead — same
+    measurement, opposite conclusion, which is why it must be measured
+    per-corpus rather than assumed. Plan per tier: the similarity_topk
+    broadcast shape over sliced arrays; slicing happens at the scan
+    projection, so the pairwise fold really runs at the truncated
+    width."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
+    out = None
+    for d in MRL_DIMS:
+        rep = _tier_recall(exact, f"d{d}", _prefix_topk(emb, d))
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+# ===========================================================================
 # Scalar quantization, SQ8 (FAISS ScalarQuantizer QT_8bit — public): one
 # byte PER DIMENSION, each dim independently affine-coded against its
 # corpus [min, max]. The OTHER workhorse compression tier: 4x smaller

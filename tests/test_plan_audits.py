@@ -167,6 +167,7 @@ CARTESIAN_OK = {
     "similarity_hamming_topk",  # broadcasts the 5-row query sign codes (!=)
     "similarity_hamming_rerank",  # same 5-row code broadcast, then equi-joins
     "hamming_recall_report",  # embeds similarity_topk + the hamming NLJs
+    "matryoshka_recall_report",  # 5-row query broadcasts at each prefix width
     "similarity_ivfpq_adc",  # broadcast trained-centroid assignment NLJ
     "ivfpq_recall_report",  # embeds the centroid NLJ + exact-L2 baseline
     "embedding_pq_codes_residual",  # same broadcast-centroid assignment NLJ
