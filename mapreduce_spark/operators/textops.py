@@ -1391,11 +1391,14 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCALED_SPAN_N = 50
 
 
-def _sql_span_remove(span_n: int) -> str:
+def _sql_span_remove(span_n: int, toks_sql: str | None = None) -> str:
     """DuckDB oracle for exact-substring removal at an arbitrary span
-    length (one builder for both profiles — a second copy would drift)."""
+    length (one builder for all profiles — a second copy would drift).
+    ``toks_sql`` overrides the unit array (default: word tokens; the C4
+    profile passes its sentence splitter)."""
+    toks_sql = toks_sql or SQL_TOKENS.format(col="text")
     return f"""
-    WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks
+    WITH t AS (SELECT doc_id, {toks_sql} AS toks
                FROM documents),
     d AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
     g AS (SELECT doc_id, {sql_shingles('toks', span_n)} AS spans
@@ -1545,11 +1548,19 @@ def excise_spans(d: DataFrame, starts: DataFrame, span_n: int) -> DataFrame:
 
 def span_remove_frame(docs: DataFrame, span_n: int) -> DataFrame:
     """Exact-substring keep-first removal over a (doc_id, text) frame at
-    an arbitrary span length — the one implementation both profiles
-    share (docstring of dedup_span_remove describes the plan)."""
+    an arbitrary span length — the one implementation both word-token
+    profiles share (docstring of dedup_span_remove describes the plan)."""
     d = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
+    return _span_remove_over(d, span_n)
+
+
+def _span_remove_over(d: DataFrame, span_n: int) -> DataFrame:
+    """Keep-first span excision over a PREBUILT (doc_id, toks) frame —
+    the unit of 'toks' is the caller's choice (word tokens for the Lee
+    profiles, whole sentences for the C4 profile); the election,
+    excision and reassembly are unit-agnostic."""
     sp = hashed_spans(d, span_n)
     occ_key = F.col("doc_id") * F.lit(SPAN_POS_CAP) + F.col("st")
     dup_h = (
@@ -1568,6 +1579,59 @@ def span_remove_frame(docs: DataFrame, span_n: int) -> DataFrame:
         .agg(F.sort_array(F.collect_set("st")).alias("sts"))
     )
     return excise_spans(d, starts, span_n)
+
+
+# --------------------------------------------------------------------------
+# C4 three-sentence-span dedup (Raffel et al. 2020 §2.2: "we discarded
+# all but one of any three-sentence span occurring more than once in the
+# data set") — the SENTENCE-unit sibling of the Lee token-span removal,
+# run by the original C4 pipeline before the per-page heuristics
+# (c4_rules). Same machinery, different unit: the span is 3 consecutive
+# sentences, the keeper is the least (doc_id, start), and every other
+# occurrence's covered sentences are excised in place.
+C4_SPAN_SENTS = 3
+_SQL_C4_SENTS = (
+    "list_filter(list_transform("
+    "regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> x <> '')"
+)
+
+
+@register(
+    "dedup_c4_sentence_spans",
+    oracle=_sql_span_remove(C4_SPAN_SENTS, toks_sql=_SQL_C4_SENTS),
+)
+def dedup_c4_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's production dedup step (Raffel et al. 2020): every
+    {C4_SPAN_SENTS}-sentence span occurring 2+ times corpus-wide keeps
+    exactly its first occurrence — the least (doc_id, start) — and the
+    covered sentences of every other occurrence are excised; survivors
+    re-join as clean_text. Sentences are the '[.!?]'-delimited,
+    trimmed, non-empty segments (the same splitter as c4_rules, so the
+    gate and the dedup see identical units); case is preserved —
+    C4 hashes raw span text, unlike the lowercased word-token profiles.
+    n_kept / n_removed count SENTENCES here.
+
+    Plan: identical to dedup_span_remove (the unit-agnostic
+    _span_remove_over core): one scan+split, spans hash to the 120-bit
+    (h, h2) pair behind a single keyed exchange, keeper election rides
+    the frequency aggregate, and excision is a row-local indexed filter
+    — text shuffles zero times regardless of unit. The word-token
+    profiles remove memorization-grade SUBSTRINGS; this one removes
+    re-served boilerplate at the granularity web pages actually repeat
+    (nav blocks, disclaimers, syndicated paragraphs).
+
+    The driver testdata contains no sentence punctuation (each doc is
+    one sentence), so the OFFICIAL grade exercises the pass-through
+    path; the excision semantics — shared 3-sentence block removed from
+    every later page, 2-sentence overlaps untouched, keeper intact —
+    are pinned on a planted two-page corpus in
+    tests/test_c4_sentence_spans.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.expr(
+        "filter(transform(split(text, '[.!?]+'), x -> trim(x)), x -> x <> '')"
+    )
+    d = docs.select("doc_id", sents.alias("toks")).filter(F.size("toks") > 0)
+    return _span_remove_over(d, C4_SPAN_SENTS)
 
 
 # --------------------------------------------------------------------------
