@@ -277,76 +277,6 @@ def mix_gate(docs: DataFrame, rates: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Stratified sampling at USER-SPECIFIED per-stratum rates — the
-# DataFrame.sampleBy API re-expressed scale-safely. sampleBy's seeded
-# draw is a per-partition RNG: the SAME row flips in/out when the
-# partitioning, task retries, or input split sizes change, which makes a
-# 100 TB sample unreproducible across runs and engines. Here the draw is
-# a pure function of the ROW (md5 of a salted key), so membership is
-# stable under any repartitioning, any retry, and replays identically in
-# the oracle.
-STRAT_HASH_MOD = 1_000_000
-# strata: source number mod 4 -> acceptance rate in ppm (a stand-in for
-# a user's {stratum: fraction} dict, e.g. downsample web, keep wiki)
-STRAT_RATES_PPM = {0: 1_000_000, 1: 500_000, 2: 250_000, 3: 100_000}
-
-
-@register(
-    "stratified_sample",
-    oracle=f"""
-    WITH s AS (
-        SELECT doc_id, source,
-               CAST(SUBSTRING(source, 4) AS BIGINT) % 4 AS stratum
-        FROM documents),
-    r AS (SELECT *,
-                 CASE stratum
-                      WHEN 0 THEN {STRAT_RATES_PPM[0]}
-                      WHEN 1 THEN {STRAT_RATES_PPM[1]}
-                      WHEN 2 THEN {STRAT_RATES_PPM[2]}
-                      ELSE {STRAT_RATES_PPM[3]} END AS rate_ppm
-          FROM s)
-    SELECT doc_id, source, CAST(stratum AS BIGINT) AS stratum,
-           CAST(rate_ppm AS BIGINT) AS rate_ppm
-    FROM r
-    WHERE {md5_long_sql("'strat:' || CAST(doc_id AS VARCHAR)")}
-          % {STRAT_HASH_MOD} < rate_ppm
-    """,
-)
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact stratified sampling at fixed per-stratum rates — sampleBy's
-    scale-safe twin: the draw hashes a salted row key against the
-    stratum's integer ppm rate, so membership is a pure function of the
-    row. A seeded sampleBy changes composition whenever partitioning or
-    retries change (its RNG is per-partition); this one is bit-stable at
-    any parallelism, re-runnable incrementally (new rows draw
-    independently), and the oracle replays it exactly. Plan: one scan,
-    the rate table is a CASE over the stratum key — zero shuffle, zero
-    joins; per-stratum yield concentrates around rate_ppm by the hash's
-    uniformity. Strata here are source-number mod 4 standing in for a
-    user's {stratum: fraction} dict."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    stratum = (
-        F.substring(F.col("source"), 4, 10).cast("bigint") % 4
-    ).alias("stratum")
-    rate = (
-        F.when(F.col("stratum") == 0, F.lit(STRAT_RATES_PPM[0]))
-        .when(F.col("stratum") == 1, F.lit(STRAT_RATES_PPM[1]))
-        .when(F.col("stratum") == 2, F.lit(STRAT_RATES_PPM[2]))
-        .otherwise(F.lit(STRAT_RATES_PPM[3]))
-        .cast("bigint")
-        .alias("rate_ppm")
-    )
-    s = docs.select("doc_id", "source", stratum).select("*", rate)
-    return s.filter(
-        F.pmod(
-            md5_long(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
-            F.lit(STRAT_HASH_MOD),
-        )
-        < F.col("rate_ppm")
-    ).select("doc_id", "source", "stratum", "rate_ppm")
-
-
-# ---------------------------------------------------------------------------
 # Temperature sweep: the alpha-selection card for the mixing stage
 MIX_SWEEP_ALPHAS = [25, 50, 75, 100]  # alpha in percent; all sqrt-composable
 

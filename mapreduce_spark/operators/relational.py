@@ -865,7 +865,12 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sampling: per-stratum rates (R 5%, N 10%,
     A 20%) applied through the same content hash as sample_hash, so rare
     strata can be over-sampled reproducibly — the balanced-training-mix
-    primitive. Map-side filter only; rates live in one CASE expression."""
+    primitive (DataFrame.sampleBy's scale-safe twin: sampleBy's seeded
+    draw is per-partition RNG state, so the SAME row flips in/out when
+    partitioning, retries or split sizes change; this draw is a pure
+    function of the row and is partitioning-independence-tested in
+    tests/test_curation.py). Map-side filter only; rates live in one
+    CASE expression."""
     from mapreduce_spark.functions.hashing import md5_long
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -249,43 +249,39 @@ def test_stream_export_gate_dedups_across_batches_via_the_sink(spark, tmp_path, 
     assert got == {(1, 1), (5, 1), (7, 2)}
 
 
-def test_stratified_sample_is_partitioning_independent(spark):
-    """The whole point over sampleBy: membership is a pure function of
-    the row, so any repartitioning (or task retry) yields the identical
-    sample; per-stratum yield tracks its ppm rate."""
-    from mapreduce_spark.operators.curation import (
-        STRAT_RATES_PPM,
-        stratified_sample,
-    )
-    from mapreduce_spark.registry import get_queries  # noqa: F401
-
-    sf = "/root/testdata/sf0.001"
-    base = sorted(map(tuple, stratified_sample(spark, sf).collect()))
-
-    from mapreduce_spark.sources.tables import load_table
-
-    import mapreduce_spark.operators.curation as cur
-
-    orig = cur.load_table
-    try:
-        cur.load_table = lambda s, d, n: orig(s, d, n).repartition(16, "source")
-        reparted = sorted(map(tuple, stratified_sample(spark, sf).collect()))
-    finally:
-        cur.load_table = orig
-    assert base == reparted
-
-    # yield per stratum concentrates around its rate
+def test_stratified_sampling_is_partitioning_independent(spark):
+    """sample_stratified's edge over a seeded sampleBy: membership is a
+    pure function of the row (content hash vs per-stratum rate), so any
+    repartitioning — or task retry — yields the IDENTICAL sample, where
+    sampleBy's per-partition RNG silently changes composition with the
+    input split; per-stratum yield tracks its rate."""
     from collections import Counter
 
+    import mapreduce_spark.operators.relational as rel
+    from mapreduce_spark.operators.relational import sample_stratified
+    from mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(map(tuple, sample_stratified(spark, sf).collect()))
+
+    orig = rel.load_table
+    try:
+        rel.load_table = lambda s, d, n: orig(s, d, n).repartition(
+            16, "l_returnflag"
+        )
+        reparted = sorted(map(tuple, sample_stratified(spark, sf).collect()))
+    finally:
+        rel.load_table = orig
+    assert base == reparted
+
     total = Counter()
-    kept = Counter()
-    docs = load_table(spark, sf, "documents").select("doc_id", "source").collect()
-    for r in docs:
-        total[int(r["source"][3:]) % 4] += 1
-    for row in base:
-        kept[row[2]] += 1
-    for stratum, ppm in STRAT_RATES_PPM.items():
-        if total[stratum] == 0:
+    for r in (
+        load_table(spark, sf, "lineitem").select("l_returnflag").collect()
+    ):
+        total[r["l_returnflag"]] += 1
+    kept = Counter(row[0] for row in base)
+    for flag, ppk in (("R", 50), ("N", 100), ("A", 200)):
+        if total[flag] == 0:
             continue
-        rate = kept[stratum] / total[stratum]
-        assert abs(rate - ppm / 1_000_000) < 0.25, (stratum, rate, ppm)
+        rate = kept[flag] / total[flag]
+        assert abs(rate - ppk / 1000) < 0.15, (flag, rate, ppk)
