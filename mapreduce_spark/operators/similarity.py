@@ -3195,6 +3195,10 @@ def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly comparable to the PQ tiers' quant_mse: SQ8 spends 8x the
     bytes for ~2000x less distortion (measured 3.0e-6 vs trained PQ's
     6.4e-3 at sf0.01), the trade sq8_recall_report prices."""
+    # (Distinct from analytics.embedding_quantize: that is per-VECTOR
+    # max-abs symmetric int8 — row-local, no corpus statistics, no
+    # search path. SQ8 trains per-DIMENSION ranges on the corpus and
+    # carries the asymmetric search + recall gauge — the FAISS tier.)
     f = _sq8_frame(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
