@@ -113,6 +113,10 @@ HEADLINE = [
     # write+pruned-scan round trip (4-of-16-files data skipping)
     "similarity_ivfpq_adc_residual",
     "zorder_pruned_scan",
+    # round-7 close: the SQ8 asymmetric scan (recall-1.0 tier) and the
+    # b-bit estimator card (72-byte signatures) — both sub-second
+    "similarity_sq8_topk",
+    "bbit_jaccard_report",
 ]
 
 # Queries whose driver function does EAGER work (checkpointed training
