@@ -672,12 +672,14 @@ def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize",
     oracle="""
     SELECT vec_id, scale,
-           CASE WHEN scale = 0
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding,
-                     x -> CAST(round(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE)
-                                     * 127) AS INTEGER))
-           END AS qvec
+           array_to_string(
+               CASE WHEN scale = 0
+                    THEN list_transform(embedding, x -> 0)
+                    ELSE list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE)
+                                         / CAST(scale AS DOUBLE)
+                                         * 127) AS INTEGER))
+               END, '_') AS qvec
     FROM (SELECT vec_id, embedding,
                  list_max(list_transform(embedding, x -> abs(x))) AS scale
           FROM embeddings)
@@ -707,7 +709,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
-    return scaled.select("vec_id", "scale", quant.alias("qvec"))
+    # '_'-joined code string (driver-canon-safe; split('_') recovers the
+    # int8 vector — the storage artifact itself would be a binary column)
+    return scaled.select(
+        "vec_id",
+        "scale",
+        F.concat_ws("_", quant.cast("array<string>")).alias("qvec"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -472,9 +472,9 @@ def ann_ivf_topk(
                count(*) AS n
         FROM ex GROUP BY cid, pos),
     c2 AS (SELECT cid, pos, n, s / n / 1000000.0 AS c FROM q)
-    SELECT cid, CAST(max(n) AS BIGINT) AS n_members,
-           list(c ORDER BY pos) AS centroid
-    FROM c2 GROUP BY cid ORDER BY cid
+    SELECT cid, CAST(n AS BIGINT) AS n_members,
+           CAST(pos AS BIGINT) AS pos, c
+    FROM c2 ORDER BY cid, pos
     """,
 )
 def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,20 +490,21 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate rows never shuffle, only |V| assignment rows do. The mean
     reuses embedding_centroid's integer micro-unit trick: quantize,
     BIGINT-sum (exact, associative), divide once — bit-identical at any
-    parallelism on both engines."""
+    parallelism on both engines.
+
+    Output is the FLAT (cid, n_members, pos, c) component frame rather
+    than reassembled arrays: the driver's pandas canonicalizer cannot
+    sort array cells (CORRECTNESS_r07 ERR class), and the flat frame is
+    also the shape downstream consumers (refined_centroids) aggregate
+    from anyway."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     c2 = _lloyd_c2(emb, IVF_CENT_MOD, IVF_CENT_REM)
-    return (
-        c2.groupBy("cid")
-        .agg(
-            F.max("n").alias("n_members"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("centroid"),
-        )
-        .orderBy("cid")
-    )
+    return c2.select(
+        "cid",
+        F.col("n").cast("bigint").alias("n_members"),
+        F.col("pos").cast("bigint").alias("pos"),
+        "c",
+    ).orderBy("cid", "pos")
 
 
 def _lloyd_c2(emb: DataFrame, cent_mod: int, rem: int) -> DataFrame:
@@ -909,8 +910,8 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n
         FROM ex GROUP BY label, pos),
     c AS (SELECT label, pos, s / n / 1000000.0 AS c FROM q)
-    SELECT label, list(c ORDER BY pos) AS centroid
-    FROM c GROUP BY label ORDER BY label
+    SELECT label, CAST(pos AS BIGINT) AS pos, c
+    FROM c ORDER BY label, pos
     """,
 )
 def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,19 +936,13 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = q.select(
         "label",
-        "pos",
+        F.col("pos").cast("bigint").alias("pos"),
         (F.col("s") / F.col("n") / 1e6).alias("c"),
     )
-    return (
-        c.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("centroid")
-        )
-        .orderBy("label")
-    )
+    # Flat (label, pos, c) component rows, not reassembled arrays: the
+    # driver's pandas canonicalizer cannot sort array cells, and the flat
+    # frame is what downstream vector math consumes anyway.
+    return c.orderBy("label", "pos")
 
 
 # ---------------------------------------------------------------------------
@@ -2013,6 +2008,43 @@ def _pq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_pairs_frame(_pq_quantized(spark, sf_dir))
 
 
+def _pq_code_card(best: DataFrame) -> DataFrame:
+    """(vec_id, pq_code, quant_mse) from a (vec_id, sub_idx, packed)
+    argmin frame, with pq_code emitted as the '_'-joined code STRING
+    rather than an array: the correctness driver canonicalizes results
+    through pandas ``sort_values``, which raises ``unhashable type`` on
+    array cells (CORRECTNESS_r07: embedding_pq_codes_opq ERR), so every
+    graded output must be scalar. The encoding is bijective with the
+    code vector — base-PQ_PACK digits joined in sub_idx order — and
+    costs nothing at scale (string build is row-local JVM work)."""
+    return best.groupBy("vec_id").agg(
+        F.concat_ws(
+            "_",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
+                lambda e: (e["packed"] % PQ_PACK).cast("string"),
+            ),
+        ).alias("pq_code"),
+        F.round(
+            F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
+            / (EMB_DIM * 100_000_000),
+            6,
+        ).alias("quant_mse"),
+    )
+
+
+# Oracle-side twin of _pq_code_card's tail: string_agg joins the codes in
+# sub_idx order with the same '_' separator the Spark side uses.
+def _sql_pq_code_tail(best_cte: str) -> str:
+    return f"""
+    SELECT vec_id,
+           string_agg(CAST(packed % {PQ_PACK} AS VARCHAR),
+                      '_' ORDER BY sub_idx) AS pq_code,
+           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
+                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
+    FROM {best_cte} GROUP BY vec_id"""
+
+
 @register(
     "embedding_pq_codes",
     oracle=f"""
@@ -2021,11 +2053,7 @@ def _pq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, sub_idx,
                min(d2 * {PQ_PACK} + seed_id) AS packed
         FROM pq_pairs GROUP BY vec_id, sub_idx)
-    SELECT vec_id,
-           list(packed % {PQ_PACK} ORDER BY sub_idx) AS pq_code,
-           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
-                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
-    FROM best GROUP BY vec_id
+    {_sql_pq_code_tail('best')}
     """,
 )
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2052,20 +2080,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = _pq_pairs(spark, sf_dir).groupBy("vec_id", "sub_idx").agg(
         F.min(F.col("d2") * PQ_PACK + F.col("seed_id")).alias("packed")
     )
-    return (
-        best.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
-                lambda e: e["packed"] % PQ_PACK,
-            ).alias("pq_code"),
-            F.round(
-                F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
-                / (EMB_DIM * 100_000_000),
-                6,
-            ).alias("quant_mse"),
-        )
-    )
+    return _pq_code_card(best)
 
 
 # ---------------------------------------------------------------------------
@@ -2647,11 +2662,7 @@ def _pq_pairs_trained_frame(ex: DataFrame) -> DataFrame:
         SELECT vec_id, sub_idx,
                min(d2 * {PQ_PACK} + seed_id) AS packed
         FROM pqt_pairs GROUP BY vec_id, sub_idx)
-    SELECT vec_id,
-           list(packed % {PQ_PACK} ORDER BY sub_idx) AS pq_code,
-           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
-                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
-    FROM best_t GROUP BY vec_id
+    {_sql_pq_code_tail('best_t')}
     """,
 )
 def embedding_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2668,20 +2679,7 @@ def embedding_pq_codes_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = _pq_pairs_trained(spark, sf_dir).groupBy("vec_id", "sub_idx").agg(
         F.min(F.col("d2") * PQ_PACK + F.col("seed_id")).alias("packed")
     )
-    return (
-        best.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
-                lambda e: e["packed"] % PQ_PACK,
-            ).alias("pq_code"),
-            F.round(
-                F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
-                / (EMB_DIM * 100_000_000),
-                6,
-            ).alias("quant_mse"),
-        )
-    )
+    return _pq_code_card(best)
 
 
 @register(
@@ -2909,11 +2907,7 @@ _SQL_OPQ_CTES = f"""
         SELECT vec_id, sub_idx,
                min(d2 * {PQ_PACK} + seed_id) AS packed
         FROM opq_pairs GROUP BY vec_id, sub_idx)
-    SELECT vec_id,
-           list(packed % {PQ_PACK} ORDER BY sub_idx) AS pq_code,
-           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
-                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
-    FROM best_o GROUP BY vec_id
+    {_sql_pq_code_tail('best_o')}
     """,
 )
 def embedding_pq_codes_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2932,20 +2926,7 @@ def embedding_pq_codes_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = pairs.groupBy("vec_id", "sub_idx").agg(
         F.min(F.col("d2") * PQ_PACK + F.col("seed_id")).alias("packed")
     )
-    return (
-        best.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
-                lambda e: e["packed"] % PQ_PACK,
-            ).alias("pq_code"),
-            F.round(
-                F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
-                / (EMB_DIM * 100_000_000),
-                6,
-            ).alias("quant_mse"),
-        )
-    )
+    return _pq_code_card(best)
 
 
 _SQL_OPQ_ADC_CTES = (
@@ -3181,7 +3162,7 @@ _SQL_SQ8_CTES = f"""
     oracle=f"""
     WITH {_SQL_SQ8_CTES}
     SELECT vec_id,
-           list(code ORDER BY pos) AS sq_code,
+           string_agg(CAST(code AS VARCHAR), '_' ORDER BY pos) AS sq_code,
            round(CAST(sum((xq - rq) * (xq - rq)) AS DOUBLE)
                  / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS recon_mse
     FROM sq_r GROUP BY vec_id
@@ -3203,9 +3184,12 @@ def embedding_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     return f.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "code"))),
-            lambda e: e["code"],
+        F.concat_ws(
+            "_",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "code"))),
+                lambda e: e["code"].cast("string"),
+            ),
         ).alias("sq_code"),
         F.round(
             F.sum((F.col("xq") - F.col("rq")) * (F.col("xq") - F.col("rq")))
@@ -3768,11 +3752,7 @@ _SQL_RSD_CTES = f"""
         SELECT vec_id, sub_idx,
                min(d2 * {PQ_PACK} + seed_id) AS packed
         FROM rsd_pairs GROUP BY vec_id, sub_idx)
-    SELECT vec_id,
-           list(packed % {PQ_PACK} ORDER BY sub_idx) AS pq_code,
-           round(CAST(sum(packed // {PQ_PACK}) AS DOUBLE)
-                 / (CAST({EMB_DIM} AS BIGINT) * 100000000), 6) AS quant_mse
-    FROM best_r GROUP BY vec_id
+    {_sql_pq_code_tail('best_r')}
     """,
 )
 def embedding_pq_codes_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3797,20 +3777,7 @@ def embedding_pq_codes_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = pairs.groupBy("vec_id", "sub_idx").agg(
         F.min(F.col("d2") * PQ_PACK + F.col("seed_id")).alias("packed")
     )
-    return (
-        best.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_idx", "packed"))),
-                lambda e: e["packed"] % PQ_PACK,
-            ).alias("pq_code"),
-            F.round(
-                F.sum(F.expr(f"packed div {PQ_PACK}")).cast("double")
-                / (EMB_DIM * 100_000_000),
-                6,
-            ).alias("quant_mse"),
-        )
-    )
+    return _pq_code_card(best)
 
 
 _IVFPQ_RSD_SQL = f"""

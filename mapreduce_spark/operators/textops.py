@@ -2591,7 +2591,8 @@ def _bpe_run(
            FROM wc),
     {{ITER_CTES}}
     SELECT word, f,
-           list_filter(string_split(w, '|'), s -> s <> '') AS symbols,
+           array_to_string(list_filter(string_split(w, '|'), s -> s <> ''),
+                           '|') AS symbols,
            CAST(len(list_filter(string_split(w, '|'), s -> s <> ''))
                 AS BIGINT) AS n_symbols
     FROM w{BPE_TRAIN_ITERS}
@@ -2615,10 +2616,13 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive replace are pinned in tests/test_bpe_train.py)."""
     _, wf = _bpe_run(spark, sf_dir)
     syms = "filter(split(w, '\\\\|'), s -> s <> '')"
+    # symbols as the '|'-joined segmentation STRING (the engine's own
+    # internal encoding), not an array — the driver's pandas canonicalizer
+    # cannot sort array cells (CORRECTNESS_r07 ERR class).
     return wf.select(
         "word",
         "f",
-        F.expr(syms).alias("symbols"),
+        F.expr(f"array_join({syms}, '|')").alias("symbols"),
         F.expr(f"size({syms})").cast("bigint").alias("n_symbols"),
     )
 

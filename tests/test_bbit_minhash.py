@@ -29,8 +29,10 @@ def test_packing_roundtrips_to_the_nibble_vector(spark, sf_dir):
         r["doc_id"]: r["sig"]
         for r in minhash_sig_array(sh, SCALED_PERMS).collect()
     }
+    # bbit_sig ships as the '_'-joined word string (driver-canon-safe);
+    # split('_') must recover the exact packed words
     packed = {
-        r["doc_id"]: r["bbit_sig"]
+        r["doc_id"]: [int(w) for w in r["bbit_sig"].split("_")]
         for r in minhash_bbit_signatures(spark, sf_dir).collect()
     }
     assert set(sig) == set(packed) and sig

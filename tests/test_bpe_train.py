@@ -110,8 +110,9 @@ def test_train_oracle_parity_on_self_merge_runs(spark, tmp_path):
     from mapreduce_spark.registry import REGISTRY
 
     sf_dir = _write_docs(spark, tmp_path, ["zzzzz zzzzzz zz", "zzzzz q"])
+    # symbols ships as the '|'-joined string (driver-canon-safe)
     spark_rows = sorted(
-        (r["word"], tuple(r["symbols"]), r["n_symbols"], r["f"])
+        (r["word"], tuple(r["symbols"].split("|")), r["n_symbols"], r["f"])
         for r in bpe_apply(spark, sf_dir).collect()
     )
     con = duckdb.connect()
@@ -120,7 +121,7 @@ def test_train_oracle_parity_on_self_merge_runs(spark, tmp_path):
         f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
     )
     oracle_rows = sorted(
-        (w, tuple(s), n, f)
+        (w, tuple(s.split("|")), n, f)
         for w, f, s, n in con.execute(REGISTRY["bpe_apply"].oracle).fetchall()
     )
     assert spark_rows == oracle_rows
@@ -142,7 +143,7 @@ def test_apply_segments_with_learned_rules(spark, tmp_path):
 
     sf_dir = _write_docs(spark, tmp_path, ["the the then", "the aaaa"])
     got = {
-        r["word"]: (list(r["symbols"]), r["n_symbols"], r["f"])
+        r["word"]: (r["symbols"].split("|"), r["n_symbols"], r["f"])
         for r in bpe_apply(spark, sf_dir).collect()
     }
     assert got == {

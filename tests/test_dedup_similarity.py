@@ -205,21 +205,29 @@ def test_incremental_index_matches_one_shot_cross_pairs(spark, sf_dir, qs, tmp_p
 def test_kmeans_refine_partitions_all_vectors(spark, sf_dir, qs):
     # every vector lands in exactly one cluster; refined centroids keep
     # the embedding dimensionality and actually move off their seeds.
+    # (Output is the flat (cid, n_members, pos, c) component frame —
+    # driver-canon-safe — so centroids reassemble here by cid.)
     emb = load_table(spark, sf_dir, "embeddings")
     total, dims = emb.count(), len(emb.first()["embedding"])
     rows = qs["kmeans_refine"](spark, sf_dir).collect()
-    assert sum(r["n_members"] for r in rows) == total
+    cents: dict[int, dict[int, float]] = {}
+    members: dict[int, int] = {}
+    for r in rows:
+        cents.setdefault(r["cid"], {})[r["pos"]] = r["c"]
+        members[r["cid"]] = r["n_members"]
+    assert sum(members.values()) == total
     seeds = {
         r["vec_id"]: list(r["embedding"])
         for r in emb.filter(
             F.col("vec_id") % S.IVF_CENT_MOD == S.IVF_CENT_REM
         ).collect()
     }
-    assert {r["cid"] for r in rows} <= set(seeds)
+    assert set(cents) <= set(seeds)
     moved = 0
-    for r in rows:
-        assert len(r["centroid"]) == dims
-        if any(abs(a - b) > 1e-9 for a, b in zip(r["centroid"], seeds[r["cid"]])):
+    for cid, comp in cents.items():
+        assert sorted(comp) == list(range(dims))
+        centroid = [comp[p] for p in range(dims)]
+        if any(abs(a - b) > 1e-9 for a, b in zip(centroid, seeds[cid])):
             moved += 1
     assert moved > 0
 
@@ -663,6 +671,8 @@ def test_pq_codes_pick_nearest_seed_subvector(spark, sf_dir, qs):
         return math.floor(x * 10_000)
 
     for vid, r in list(rows.items())[:50]:
+        # pq_code ships as the '_'-joined code string (driver-canon-safe)
+        code = [int(c) for c in r["pq_code"].split("_")]
         vq = [q(x) for x in emb[vid]]
         for s_idx in range(PQ_SUBS):
             best = min(
@@ -677,9 +687,9 @@ def test_pq_codes_pick_nearest_seed_subvector(spark, sf_dir, qs):
                     for sid in seeds
                 ),
             )
-            assert r["pq_code"][s_idx] == best[1], (vid, s_idx)
+            assert code[s_idx] == best[1], (vid, s_idx)
         if vid % PQ_SEED_MOD == PQ_SEED_REM:
-            assert r["pq_code"] == [vid] * PQ_SUBS
+            assert code == [vid] * PQ_SUBS
             assert r["quant_mse"] == 0.0
 
 
@@ -696,7 +706,10 @@ def test_pq_adc_scores_reconcile_with_codes(spark, sf_dir, qs):
 
     rows = qs["similarity_pq_adc"](spark, sf_dir).collect()
     assert rows
-    codes = {r["vec_id"]: r["pq_code"] for r in qs["embedding_pq_codes"](spark, sf_dir).collect()}
+    codes = {
+        r["vec_id"]: [int(c) for c in r["pq_code"].split("_")]
+        for r in qs["embedding_pq_codes"](spark, sf_dir).collect()
+    }
     emb = {
         r["vec_id"]: r["embedding"]
         for r in load_table(spark, sf_dir, "embeddings").collect()

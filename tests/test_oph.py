@@ -28,7 +28,8 @@ def test_every_slot_is_densified_even_for_sparse_docs(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     rows = oph_signatures(spark, str(tmp_path)).collect()
     assert len(rows) == 1
-    sig = rows[0]["oph_sig"]
+    # oph_sig ships as the '_'-joined slot string (driver-canon-safe)
+    sig = [int(v) for v in rows[0]["oph_sig"].split("_")]
     assert len(sig) == OPH_BINS
     assert all(v is not None and 0 <= v < OPH_BIGC for v in sig)
     # sparse doc => at least one slot was borrowed (carries a +C offset

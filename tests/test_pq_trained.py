@@ -50,8 +50,10 @@ def test_training_strictly_lifts_adc_recall(spark, sf_dir, qs):
 def test_trained_codes_are_well_formed(spark, sf_dir, qs):
     rows = qs["embedding_pq_codes_trained"](spark, sf_dir).collect()
     for r in rows[:50]:
-        assert len(r["pq_code"]) == PQ_SUBS
-        assert all(c >= 0 for c in r["pq_code"])
+        # pq_code ships as the '_'-joined code string (driver-canon-safe)
+        code = [int(c) for c in r["pq_code"].split("_")]
+        assert len(code) == PQ_SUBS
+        assert all(c >= 0 for c in code)
         assert r["quant_mse"] >= 0
 
 
