@@ -1197,13 +1197,12 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = hist.agg(
         F.min("m").alias("_mn"), F.max("m").alias("_mx")
     )
+    # exact integer division (ADVICE r7): float division + cast could
+    # round the max score into a 257th cell on extreme score ranges;
+    # DIV guarantees _coarse in [0, nb-1]
     bucketed = hist.crossJoin(F.broadcast(rng)).withColumn(
         "_coarse",
-        (
-            (F.col("m") - F.col("_mn"))
-            * nb
-            / (F.col("_mx") - F.col("_mn") + 1)
-        ).cast("bigint"),
+        F.expr(f"((m - _mn) * {nb}) DIV (_mx - _mn + 1)"),
     )
     w_in = (
         Window.partitionBy("_coarse")

@@ -172,19 +172,64 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global quartile bucketing + percentile rank by order value.
-    Deterministic tie-break on o_orderkey makes ntile assignment
-    engine-independent. A single unpartitioned window is the one operator
-    class that inherently serializes; at 100 TB use the quantile_exact
-    distribution method to derive bucket boundaries instead — this query
-    exists for API parity on moderately-sized results."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return o.select(
+    """Global quartile bucketing + percentile rank by order value,
+    WITHOUT a whole-table single-partition window (VERDICT r7 #3). The
+    tie-break on o_orderkey makes the order TOTAL, so ntile and
+    percent_rank are pure arithmetic on the global row number rn:
+    percent_rank = (rn-1)/(N-1), and ntile(4) gives the first N%4 tiles
+    ceil(N/4) rows and the rest floor(N/4) (the SQL-standard split).
+
+    rn comes from ccnet_buckets' two-phase distributed prefix-rank: a
+    broadcast 1-row (min, max) aggregate range-buckets rows into 256
+    coarse price cells with exact integer division (monotone in the sort
+    order, so a cell never splits a price tie); row_number runs WITHIN
+    each cell (partitioned window, parallel); each cell adds its
+    prior-cells row-count offset from a <=256-row cell-total cumsum —
+    the only partitionless window, bounded by the constant cell count at
+    ANY corpus size (audited in test_plan_audits.py). The oracle keeps
+    DuckDB's native ntile()/percent_rank(), so the formulations stay
+    independent."""
+    nb = 256
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # integer cents: monotone in o_totalprice, equal prices share a cell
+    pm = o.withColumn(
+        "_m", F.round(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    rng = pm.agg(F.min("_m").alias("_mn"), F.max("_m").alias("_mx"))
+    b = pm.crossJoin(F.broadcast(rng)).withColumn(
+        "_cell", F.expr(f"((_mx - _m) * {nb}) DIV (_mx - _mn + 1)")
+    )
+    w_in = Window.partitionBy("_cell").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    intra = b.withColumn("_rn_in", F.row_number().over(w_in).cast("bigint"))
+    totals = b.groupBy("_cell").agg(F.count(F.lit(1)).alias("_ct"))
+    w_prior = Window.orderBy("_cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prior = totals.withColumn(
+        "_prior", F.coalesce(F.sum("_ct").over(w_prior), F.lit(0))
+    ).select("_cell", "_prior")
+    ncnt = pm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        intra.join(F.broadcast(prior), "_cell")
+        .withColumn("rn", F.col("_rn_in") + F.col("_prior"))
+        .crossJoin(F.broadcast(ncnt))
+    )
+    return ranked.select(
         "o_orderkey",
         "o_custkey",
-        F.ntile(4).over(w).alias("spend_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.expr(
+            "CAST(CASE WHEN rn <= (n % 4) * (n DIV 4 + 1) "
+            "THEN (rn - 1) DIV (n DIV 4 + 1) + 1 "
+            "ELSE n % 4 + (rn - (n % 4) * (n DIV 4 + 1) - 1) DIV (n DIV 4) + 1 "
+            "END AS INT)"
+        ).alias("spend_quartile"),
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(F.round(F.expr("CAST(rn - 1 AS DOUBLE) / (n - 1)"), 6))
+        .alias("pct_rank"),
     )
 
 

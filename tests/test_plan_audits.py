@@ -159,6 +159,7 @@ CARTESIAN_OK = {
     "perplexity_trigram_backoff",  # broadcasts the 1-row (nt, vs) aggregate
     "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
     "ccnet_buckets",  # broadcasts the 1-row percentile-cutoff aggregate
+    "window_ntile",  # broadcasts the 1-row (min,max)/count range aggregates
     "dsir_weights",  # broadcasts the 1-row target/raw total aggregates
     "dsir_resample",  # embeds dsir_weights' 1-row total broadcast
     "dedup_recall_report",  # crossJoin of the two 1-row count aggregates
@@ -255,18 +256,19 @@ def test_nlj_audit_flags_unbounded_build_side(spark, sf_dir):
 # Partitionless windows execute on ONE partition — acceptable only above
 # a provably bounded frame. Default bound: 64 rows (1-row aggregates,
 # |sources|-row mixing tables, post-limit top-k fusions). Entries here
-# carry a documented larger-but-still-constant bound; window_ntile is the
-# single documented exception (global ntile/percent_rank API parity — its
-# own docstring routes 100 TB users to quantile_exact's distribution
-# method instead).
+# carry a documented larger-but-still-constant bound. The exception set
+# is EMPTY as of r8: window_ntile (the last global-window holdout) now
+# uses the ccnet_buckets two-phase prefix-rank, so its only partitionless
+# window is the <=256 cell-total cumsum.
 PARTITIONLESS_WINDOW_CAPS = {
     # two-phase prefix sum: the only partitionless window runs over the
     # <=256 coarse-cell totals (constant NB, not data-driven)
     "ccnet_buckets": 256,
+    "window_ntile": 256,
     # fusion of the two post-limit rank lists (2 retrievers x top-100)
     "hybrid_rrf": 256,
 }
-WINDOW_GLOBAL_BY_DESIGN = {"window_ntile"}
+WINDOW_GLOBAL_BY_DESIGN: set[str] = set()
 
 
 def test_partitionless_windows_have_bounded_input(spark, sf_dir, qs):
@@ -282,6 +284,21 @@ def test_partitionless_windows_have_bounded_input(spark, sf_dir, qs):
         if any(r < 0 or r > cap for r in rows):
             offenders.append((name, rows, cap))
     assert not offenders, f"unbounded partitionless windows: {offenders}"
+
+
+def test_window_ntile_rank_stage_is_partitioned(spark, sf_dir, qs):
+    """The r8 rewrite's contract (VERDICT r7 #3): the per-row rank window
+    runs partitioned by the coarse price cell — the ONLY partitionless
+    window left in the plan is the <=256-row cell-total cumsum, while the
+    full orders table flows through the partitioned stage. A regression
+    back to Window.orderBy over all rows would push |orders| (4180 at
+    sf0.001+) through a partitionless window and fail both assertions."""
+    df = qs["window_ntile"](spark, sf_dir)
+    assert audit.has_partitionless_window(df)
+    rows = audit.partitionless_window_input_rows(df)
+    n_orders = df.count()
+    assert rows and max(rows) <= 256, rows
+    assert n_orders > 256  # the bound is meaningful: full table >> cells
 
 
 def test_window_audit_flags_unbounded_partitionless_window(spark, sf_dir):
