@@ -4217,6 +4217,178 @@ def similarity_index_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# RESIDUAL persisted index (VERDICT r7 #4): the ship-state artifact of the
+# FAISS by_residual default. vector_index_write stores raw-subvector codes;
+# these store codes of (x - c_cell) plus the residual-trained book — the
+# index a production deployment actually serves, since residual encoding
+# buys +recall at the same byte budget (tests/test_ivfpq_residual.py).
+
+
+def vector_index_write_residual(
+    emb: DataFrame,
+    name: str,
+    cent_mod: int = SCALED_IVF_CENT_MOD,
+    rem: int = IVF_CENT_REM,
+    train: DataFrame | None = None,
+) -> None:
+    """Build + persist the residual-encoded IVFADC index ``name``: the
+    trained coarse quantizer as ``{name}_centroids``, the RESIDUAL-
+    trained PQ book (Lloyd-refined on the training corpus's (x - c_cell)
+    micro components) as ``{name}_book``, and cid-partitioned residual
+    codes. Same storage layout and byte budget as vector_index_write —
+    what changes is what the codes quantize. ``train`` defaults to
+    ``emb`` (production: train on a sample, append the stream)."""
+    spark = emb.sparkSession
+    from mapreduce_spark.sources.fs import fs_delete
+
+    train = emb if train is None else train
+    for suffix in ("centroids", "book"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        fs_delete(
+            spark,
+            f"{_vindex_codes_path(spark, name).removesuffix('_codes')}_{suffix}",
+        )
+    cent = refined_centroids(train, cent_mod, rem)
+    cent.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{name}_centroids"
+    )
+    embn = train.withColumn("nrm", norm(F.col("embedding")))
+    assign = _nearest_cells(embn, cent, "vec_id", 1)
+    res_ex = _residual_ex(
+        _pq_ex_frame(train), assign, _cent_micro(cent), "vec_id"
+    ).select("vec_id", "sub_idx", "pos", "xq")
+    book = _book_arrays(_pq_refined_book_frame(res_ex))
+    book.write.mode("overwrite").format("parquet").saveAsTable(f"{name}_book")
+    fs_delete(spark, _vindex_codes_path(spark, name))
+    vector_index_append_residual(emb, name)
+
+
+def vector_index_append_residual(new_emb: DataFrame, name: str) -> None:
+    """Fold a batch into the residual index ``name`` under the STORED
+    quantizer and residual book (read back, never retrained — stored and
+    derived state cannot drift): coarse-assign, re-express each vector
+    as its cell residual, code against the stored book, append into the
+    touched cells' directories only. Per-batch cost tracks |batch|."""
+    spark = new_emb.sparkSession
+    stored_cent = spark.table(f"{name}_centroids")
+    stored_book = spark.table(f"{name}_book")
+    embn = new_emb.withColumn("nrm", norm(F.col("embedding")))
+    assign = _nearest_cells(embn, stored_cent, "vec_id", 1)
+    res_ex = _residual_ex(
+        _pq_ex_frame(new_emb), assign, _cent_micro(stored_cent), "vec_id"
+    ).select("vec_id", "sub_idx", "pos", "xq")
+    pairs = _pq_sub_arrays(res_ex).join(
+        F.broadcast(stored_book), "sub_idx"
+    ).select("vec_id", "sub_idx", "seed_id", F.expr(_PQ_D2).alias("d2"))
+    codes = pairs.groupBy("vec_id", "sub_idx").agg(
+        (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
+            "code"
+        )
+    )
+    codes_arr = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_idx", "code"))),
+            lambda e: e["code"].cast("int"),
+        ).alias("pq_code")
+    )
+    (
+        assign.join(codes_arr, "vec_id")
+        .repartition("cid")
+        .write.partitionBy("cid")
+        .mode("append")
+        .parquet(_vindex_codes_path(spark, name))
+    )
+
+
+def vector_index_probe_residual(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    nprobe: int = SCALED_IVF_NPROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Residual ADC top-k against the on-disk index ``name``: route each
+    query under the STORED quantizer, read ONLY the routed cells' code
+    partitions (broadcast route side → dynamic partition pruning, same
+    plan pin as the raw probe), build the per-(query, cell) lookup table
+    from the QUERY'S residual to that cell against the STORED book, and
+    fold integer ADC sums over candidate codes. The corpus is never
+    re-quantized; probe input bytes are nprobe/|cells| of the code table
+    plus two broadcast codebooks."""
+    cent = spark.table(f"{name}_centroids")
+    book = spark.table(f"{name}_book")
+    codes = spark.read.parquet(_vindex_codes_path(spark, name))
+    qn = queries.withColumn("nrm", norm(F.col("embedding"))).select(
+        F.col("vec_id").alias("query_id"), "embedding", "nrm"
+    )
+    route = _nearest_cells(qn, cent, "query_id", nprobe)
+    q_res = _residual_ex(
+        _pq_ex_frame(queries).withColumnRenamed("vec_id", "query_id"),
+        route,
+        _cent_micro(cent),
+        "query_id",
+    )
+    q_arr = q_res.groupBy("query_id", "cid", "sub_idx").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "xq"))),
+            lambda e: e["xq"],
+        ).alias("xqa")
+    )
+    qtab = q_arr.join(F.broadcast(book), "sub_idx").select(
+        "query_id",
+        "cid",
+        "sub_idx",
+        F.col("seed_id").alias("code"),
+        F.expr(_PQ_D2).alias("d2"),
+    )
+    cand = codes.join(route, "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sub = cand.select(
+        "query_id",
+        "cid",
+        "vec_id",
+        F.posexplode("pq_code").alias("sub_idx", "code"),
+    )
+    adc = (
+        sub.join(F.broadcast(qtab), ["query_id", "cid", "sub_idx", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").cast("bigint").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+@register("similarity_index_persisted_residual", oracle=_IVFPQ_RSD_SQL)
+def similarity_index_persisted_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """similarity_ivfpq_adc_residual with the index round-tripped
+    THROUGH DISK — the deployable artifact of the FAISS by_residual
+    default (VERDICT r7 #4): build + persist the residual-encoded
+    production index (cid-partitioned residual codes, stored quantizer +
+    residual book), then probe the query set against the files. Same
+    rows as the in-memory residual query (same oracle); the probe
+    re-reads only its nprobe cells via dynamic partition pruning and
+    never re-quantizes the corpus (pinned in tests/test_vector_index.py),
+    and recall is at least the raw persisted tier's on the planted
+    clustered corpus (tests/test_ivfpq_residual.py)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vector_index_write_residual(emb, "vindex_rsd")
+    return vector_index_probe_residual(
+        spark,
+        "vindex_rsd",
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        SCALED_IVF_NPROBE,
+        TOP_K,
+    )
+
+
 # ===========================================================================
 # Binary sign quantization + Hamming search: the 1-bit compression tier
 # (256x: 64 float32 dims -> one 8-byte word). The sign-code primitives

@@ -181,6 +181,7 @@ CARTESIAN_OK = {
     "bpe_apply",  # same three 1-row merge-rule broadcasts, applied
     "perplexity_kn_bigram",  # broadcasts the 1-row (types, vocab) aggregate
     "similarity_index_persisted",  # broadcast stored-centroid routing NLJ
+    "similarity_index_persisted_residual",  # same routing NLJ, residual codes
     "similarity_index_appended",  # same stored-centroid routing NLJ probe
     "vindex_cell_stats",  # same broadcast-centroid assignment NLJ
     "token_pmi",  # broadcasts the two 1-row token/pair-total aggregates
