@@ -68,7 +68,31 @@ def test_oph_plans_stay_clean(spark, sf_dir):
     from mapreduce_spark.registry import get_queries
 
     qs = get_queries()
-    for name in ("oph_signatures", "oph_jaccard_report"):
+    for name in (
+        "oph_signatures",
+        "oph_jaccard_report",
+        "dedup_minhash_lsh_oph",
+    ):
         df = qs[name](spark, sf_dir)
         assert not audit.has_cartesian(df), name
         assert not audit.has_partitionless_window(df), name
+
+
+def test_oph_lsh_recall_parity_with_kperm_tier(spark, sf_dir):
+    """The production claim (Shrivastava & Li 2014): OPH-fed LSH recalls
+    near-dup pairs on par with the k-perm tier at 1/k the hashing cost.
+    Gate: recall within 0.02 of dedup_recall_report_scaled on the same
+    corpus (VERDICT r7 #6's done-condition), and the OPH tier emits only
+    exact-verified pairs (precision 1.0 by construction)."""
+    from mapreduce_spark.registry import get_queries
+
+    qs = get_queries()
+    r_oph = qs["dedup_recall_report_oph"](spark, sf_dir).collect()[0]
+    r_kp = qs["dedup_recall_report_scaled"](spark, sf_dir).collect()[0]
+    assert r_oph["n_true"] == r_kp["n_true"] > 0
+    assert abs(r_oph["recall"] - r_kp["recall"]) <= 0.02, (
+        r_oph["recall"],
+        r_kp["recall"],
+    )
+    pairs = qs["dedup_minhash_lsh_oph"](spark, sf_dir).collect()
+    assert pairs and all(r["jaccard"] >= 0.5 for r in pairs)
