@@ -12,6 +12,7 @@ import argparse
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """Argument parser with the reference manager's flags and defaults."""
     p = argparse.ArgumentParser(
         prog="mapreduce-manager",
         description="Start the MapReduce-compatible manager daemon.",
@@ -23,6 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    """Parse argv, start the manager, block until shutdown."""
     args = build_parser().parse_args(argv)
     from mapreduce_spark.compat import Manager
 

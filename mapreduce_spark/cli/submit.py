@@ -14,6 +14,7 @@ import sys
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """Argument parser with the reference submit client's flags and defaults."""
     p = argparse.ArgumentParser(
         prog="mapreduce-submit",
         description="Submit a mapper/reducer-executable job to the manager.",
@@ -34,6 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    """Parse argv and send one new_manager_job message to the manager."""
     args = build_parser().parse_args(argv)
     from mapreduce_spark.compat import send_json
 

@@ -13,6 +13,7 @@ import argparse
 
 
 def build_parser() -> argparse.ArgumentParser:
+    """Argument parser with the reference worker's flags and defaults."""
     p = argparse.ArgumentParser(
         prog="mapreduce-worker",
         description="Start a MapReduce-compatible worker.",
@@ -28,6 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    """Parse argv, start the worker, block until shutdown."""
     args = build_parser().parse_args(argv)
     from mapreduce_spark.compat import Worker
 

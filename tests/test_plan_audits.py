@@ -164,6 +164,7 @@ CARTESIAN_OK = {
     "dsir_resample",  # embeds dsir_weights' 1-row total broadcast
     "dedup_recall_report",  # crossJoin of the two 1-row count aggregates
     "dedup_recall_report_scaled",  # same 1-row crossJoin, scaled profile
+    "dedup_recall_report_oph",  # same 1-row crossJoin, OPH-fed profile
     "contamination_gate_bloom",  # broadcasts the 1-row 64 KiB bloom array
     "similarity_hamming_topk",  # broadcasts the 5-row query sign codes (!=)
     "similarity_hamming_rerank",  # same 5-row code broadcast, then equi-joins
