@@ -1,0 +1,1 @@
+"""Operator modules: each registers its queries on import (registry.ALL_MODULES)."""

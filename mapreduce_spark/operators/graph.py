@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from mapreduce_spark.operators.dedup import _CLUSTER_CTES
 from mapreduce_spark.registry import register
 from mapreduce_spark.sources.tables import load_table
 
@@ -376,8 +377,6 @@ def cc_star(edges: DataFrame, nodes: DataFrame) -> tuple[DataFrame, int]:
     )
     return labels, rounds
 
-
-from mapreduce_spark.operators.dedup import _CLUSTER_CTES  # noqa: E402
 
 
 @register(

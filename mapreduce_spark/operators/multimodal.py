@@ -700,7 +700,8 @@ _SQL_CDC_CUTS = (
     f"list_concat(list_concat([1], "
     f"list_transform(list_filter(range(1, greatest(n_bytes - {CDC_W}, 1) + 1), "
     f"i -> i <= n_bytes - {CDC_W} AND "
-    f"CAST('0x' || substring(md5(substring(_hex, (i - 1) * 2 + 1, {CDC_W * 2})), 1, 15) AS BIGINT) "
+    f"CAST('0x' || substring(md5(substring(_hex, (i - 1) * 2 + 1, "
+    f"{CDC_W * 2})), 1, 15) AS BIGINT) "
     f"% {CDC_DIV} = 0), i -> i + {CDC_W})), [n_bytes + 1])"
 )
 _SQL_CDC_CHASH = (

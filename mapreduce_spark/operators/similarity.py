@@ -924,7 +924,8 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32 component is widened exactly first) and summed as
     BIGINT — exact, associative, merges map-side. The mean is two IEEE
     divisions on exact integers, bit-identical on both engines (no
-    rounding step, whose half-way tie rules differ between engines). Shape: posexplode to (label, dim) rows — |vecs| x
+    rounding step, whose half-way tie rules differ between engines).
+    Shape: posexplode to (label, dim) rows — |vecs| x
     64, the scan's own size — one shuffle to aggregate, and centroids
     reassemble with a sort inside each tiny (label) group, so no stage
     ever holds more than |labels| x dims scalars."""

@@ -50,7 +50,10 @@ def _sql_hits(words: list[str]) -> str:
     return f"len(list_filter(toks, t -> t IN ({in_list})))"
 
 
-_SQL_TOKS_CTE = f"WITH t AS (SELECT doc_id, lang, {SQL_TOKENS.format(col='text')} AS toks FROM documents)"
+_SQL_TOKS_CTE = (
+    "WITH t AS (SELECT doc_id, lang, "
+    f"{SQL_TOKENS.format(col='text')} AS toks FROM documents)"
+)
 
 
 # --------------------------------------------------------------------------
@@ -497,7 +500,9 @@ def _max_run_length(sorted_arr: Column) -> Column:
         ),
         lambda acc, x: F.struct(
             x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
             F.greatest(
                 acc["best"],
                 F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")),
@@ -691,7 +696,9 @@ def _run_entropy_micro(sorted_arr: Column) -> Column:
         ),
         lambda acc, x: F.struct(
             x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
             F.when(x == acc["prev"], acc["tot"]).otherwise(
                 acc["tot"] + F.when(acc["run"] > 0, term(acc["run"])).otherwise(zero)
             ).alias("tot"),
@@ -1013,9 +1020,12 @@ GOPHER_SQL = f"""
                           AS DOUBLE) / d.n_words, 6) AS alpha_frac,
                round(CAST(mx.top_c AS DOUBLE) / d.n_words, 6) AS top_word_frac
         FROM d JOIN mx ON mx.doc_id = d.doc_id)
-    SELECT doc_id, n_words, mean_word_len, stopword_hits, alpha_frac, top_word_frac,
-           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS rule_word_count,
-           (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}) AS rule_mean_word_len,
+    SELECT doc_id, n_words, mean_word_len, stopword_hits, alpha_frac,
+           top_word_frac,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AS rule_word_count,
+           (mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+              AND {GOPHER_MAX_MEAN_WORD_LEN}) AS rule_mean_word_len,
            (stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS rule_stopwords,
            (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS rule_alpha,
            (top_word_frac <= {GOPHER_MAX_TOP_WORD_FRAC}) AS rule_top_word,

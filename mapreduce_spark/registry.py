@@ -21,6 +21,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 @dataclass(frozen=True)
 class QuerySpec:
+    """One registered query: its callable and its DuckDB oracle SQL."""
+
     name: str
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
@@ -76,44 +78,49 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # join, logreg gate, label propagation, streaming export gate,
 # epoch-capped mixing) plus the round-7 additions (residual IVFPQ,
 # z-order pruned scan, OPQ-rotated codes) carry official driver rows.
+# r9 rotation: ALL 50 prior slots now hold official PASS rows
+# (CORRECTNESS_r08.json went 50/50 green, the core heads for the 8th
+# consecutive round), so the full window turns over to 50 queries that
+# have NEVER held an official row — 172 of 269 registered queries were
+# still officially ungraded entering r9, and at 50 slots/round the only
+# way to clear that backlog inside the remaining rounds is full-window
+# turnover. Every rotated-out name keeps its official row in a prior
+# CORRECTNESS_r{N}.json and stays pinned by the full-registry sweep
+# (tools/check_correctness.py) + tests/test_exact_rows.py. Selection
+# spans every family: TPC-H composites, joins/windows (including the
+# r8-distributed window_ntile), event analytics, text quality/filters,
+# all three signature families (b-bit, OPH, C4 spans), the SQ8/OPQ/
+# residual quantization tiers, graph/ML, multimodal, and streaming.
 GRADING_PRIORITY = [
-    # --- SURVEY §2C core checklist heads (rotated members keep their
-    # r1-r6 official rows; see rotation note above)
-    "scan_project", "filter_grep", "filter_predicate",
-    "wordcount", "groupby_agg",
-    "topk", "join_equi", "join_broadcast",
-    "partition_by_hash", "agg_distinct", "pipe_exec",
-    # --- deduplication family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
-    "dedup_embedding", "dedup_cluster",
-    # --- similarity / ANN family
-    "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
-    "ann_recall_report",
-    # --- text-analysis family
-    "text_stats", "quality_score", "doc_chunk", "repetition_stats",
-    "bm25_topk", "perplexity_bigram",
-    # --- curation family
-    "curation_pipeline", "train_test_split", "global_shuffle",
-    # --- graph / multimodal / streaming flagships
-    "pagerank_transitions", "multimodal_dedup", "multimodal_decode",
-    "stream_window_counts",
-    # --- TPC-H composite
-    "tpch_q5_local_volume",
-    # --- r6 lifecycle flagships (see rotation note above; asof_join and
-    # range_join rotated out at close — both hold official r5 PASS rows
-    # (CORRECTNESS_r05.json) and stay pinned by the full-registry sweep —
-    # so the materialized-view lifecycle and the trained logreg filter
-    # carry official rows too)
-    "dedup_index_persisted", "similarity_index_persisted",
-    "bpe_token_count", "export_jsonl_shards",
-    "rollup_incremental_view", "quality_logreg_train",
-    # --- r7 rotation: the six r6 closers that never held official rows
-    "decontaminate_spans_scaled", "join_colocated", "quality_logreg_gate",
-    "knn_label_propagation", "stream_export_gate", "mix_epoch_capped",
-    # --- round-7 additions (registered this round; join_semi rotated
-    # out alongside the nine above — official r1-r6 rows + sweep-pinned)
-    "similarity_ivfpq_adc_residual", "zorder_pruned_scan",
-    "ivfpq_residual_recall_report", "embedding_pq_codes_opq",
+    # --- TPC-H relational composites
+    "tpch_q1_pricing", "tpch_q4_priority", "tpch_q7_volume",
+    "tpch_q8_market_share", "tpch_q12_priority_mix", "tpch_q13_custdist",
+    "tpch_q17_small_qty", "tpch_q22_dormant",
+    # --- joins / windows (window_ntile = the r8 two-phase distributed rank)
+    "join_outer", "join_salted", "upsert_merge",
+    "window_running", "window_ntile", "window_range_frame",
+    "resample_ffill",
+    # --- event analytics
+    "cms_heavy_hitters", "event_transitions", "zscore_outliers",
+    "funnel_latency_stats", "event_anomaly_mad",
+    # --- text analysis / quality filters
+    "lang_id", "token_count", "doc_fingerprint", "tfidf_top_terms",
+    "gopher_rules", "c4_rules", "ccnet_buckets", "winnowing_fingerprints",
+    # --- deduplication (b-bit, OPH production tier, C4 spans, scaled LSH)
+    "dedup_simhash", "dedup_ngram_jaccard",
+    "minhash_bbit_signatures", "bbit_jaccard_report",
+    "oph_signatures", "dedup_minhash_lsh_oph", "dedup_recall_report_oph",
+    "dedup_c4_sentence_spans", "dedup_minhash_lsh_scaled",
+    # --- similarity / quantization tiers (SQ8 trio, OPQ, residual codes,
+    # persisted residual index)
+    "embedding_sq8_codes", "similarity_sq8_topk", "sq8_recall_report",
+    "similarity_pq_adc_opq", "embedding_pq_codes_residual",
+    "matryoshka_recall_report", "similarity_index_persisted_residual",
+    "similarity_ivfpq_adc",
+    # --- graph / ML
+    "cc_star_components", "kmeans_train_scaled", "semdedup_clusters",
+    # --- multimodal / streaming
+    "multimodal_simhash", "stream_sessionize",
 ]
 
 

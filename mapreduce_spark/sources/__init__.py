@@ -1,3 +1,5 @@
+"""Source/sink helpers: parquet table loaders and Hadoop FileSystem maintenance."""
+
 from mapreduce_spark.sources.tables import TABLE_NAMES, load_table, load_tables, register_views
 
 __all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views"]

@@ -54,7 +54,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
     """Load several tables at once; see load_table."""
     return {name: load_table(spark, sf_dir, name) for name in (names or TABLE_NAMES)}
 

@@ -99,7 +99,10 @@ def main() -> int:
         _, d_canon = df_to_rows(d_cols, d_rows)
         if s_canon != d_canon:
             diffs = [(a, b) for a, b in zip(s_canon, d_canon) if a != b]
-            print(f"FAIL  {name}: {len(diffs)}/{len(s_canon)} rows differ; first: spark={diffs[0][0]} duckdb={diffs[0][1]}")
+            print(
+                f"FAIL  {name}: {len(diffs)}/{len(s_canon)} rows differ; "
+                f"first: spark={diffs[0][0]} duckdb={diffs[0][1]}"
+            )
             n_fail += 1
             continue
         print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")

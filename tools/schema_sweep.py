@@ -35,7 +35,7 @@ def main() -> int:
     for name, fn in get_queries().items():
         try:
             df = fn(spark, sf_dir)
-        except Exception as e:  # noqa: BLE001 - report and continue
+        except Exception as e:  # broad by design: report and continue
             print(f"ERR   {name}: {type(e).__name__}: {e}")
             bad += 1
             continue
