@@ -197,15 +197,15 @@ def _wq_table(spark: SparkSession, planes: int, tables: int) -> DataFrame:
     )
 
 
-def lsh_buckets(emb: DataFrame, planes: int, tables: int) -> DataFrame:
-    """(vec_id, table_idx, bucket) under an arbitrary (planes, tables)
-    geometry — THE bucket derivation every LSH entry point shares (the
-    dedup _band_key_fn discipline: one rule, so any two same-profile
-    consumers are always key-compatible). One pass: posexplode the
-    quantized vector, broadcast-join the weight table, and ONE
-    (vec_id, table_idx)-keyed hash agg computes all plane dots as
-    per-plane conditional sums and packs the sign bits — every operator
-    codegen-friendly, every sum exact integer."""
+def _lsh_dots(emb: DataFrame, planes: int, tables: int) -> DataFrame:
+    """(vec_id, table_idx, _d0.._dP): the per-plane exact-integer dot
+    products behind every bucket bit. One pass: posexplode the quantized
+    vector, broadcast-join the weight table, and ONE (vec_id,
+    table_idx)-keyed hash agg computes all plane dots as per-plane
+    conditional sums — every operator codegen-friendly, every sum exact
+    integer. Shared by the sign-packing bucket derivation and the
+    multi-probe margin ranking (the probe order IS |dot|, so both
+    consumers must read the same numbers)."""
     spark = emb.sparkSession
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "x")
@@ -223,15 +223,27 @@ def lsh_buckets(emb: DataFrame, planes: int, tables: int) -> DataFrame:
         ).alias(f"_d{p}")
         for p in range(planes)
     ]
-    g = joined.groupBy("vec_id", "table_idx").agg(*dots)
+    return joined.groupBy("vec_id", "table_idx").agg(*dots)
+
+
+def _pack_sign_bucket(planes: int) -> Column:
+    """Sign-packed bucket id from the _d0.._dP dot columns."""
     bucket = F.lit(0).cast("bigint")
     for p in range(planes):
         bucket = bucket + F.when(
             F.col(f"_d{p}") >= 0, F.lit(1 << p).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
-    return g.select(
+    return bucket
+
+
+def lsh_buckets(emb: DataFrame, planes: int, tables: int) -> DataFrame:
+    """(vec_id, table_idx, bucket) under an arbitrary (planes, tables)
+    geometry — THE bucket derivation every LSH entry point shares (the
+    dedup _band_key_fn discipline: one rule, so any two same-profile
+    consumers are always key-compatible)."""
+    return _lsh_dots(emb, planes, tables).select(
         "vec_id", F.col("table_idx").cast("int").alias("table_idx"),
-        bucket.alias("bucket")
+        _pack_sign_bucket(planes).alias("bucket")
     )
 
 
@@ -1091,6 +1103,194 @@ def _tier_recall(
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_exact"),
             6,
         ).alias("recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH (Lv, Josephson, Wang, Charikar, Li — VLDB 2007;
+# public). Single-probe LSH buys recall with MORE TABLES: every extra
+# table is another full copy of the bucket index and another corpus-wide
+# bucket derivation — at 1e9 vectors, tables are the memory bill.
+# Multi-probe buys the same recall QUERY-SIDE: a near neighbor that
+# misses the query's bucket almost always landed just across one of the
+# low-|margin| hyperplanes (the per-plane dot measures distance to the
+# cut), so each query ALSO probes the buckets reached by flipping its
+# n_probes smallest-|dot| sign bits. Corpus-side cost is unchanged —
+# the probe fan-out multiplies only the broadcast-side query rows.
+MP_TABLES = 1   # the pitch: ONE table multi-probed vs LSH_TABLES single
+MP_PROBES = 3   # base bucket + 3 perturbations = 4 probes per query
+
+
+def lsh_multiprobe_candidates(
+    emb: DataFrame,
+    planes: int,
+    tables: int,
+    n_probes: int,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """(query_id, vec_id) candidates under query-side multi-probe: the
+    corpus is bucketed ONCE by the shared sign rule; each query probes
+    its own bucket plus the ``n_probes`` buckets across its
+    lowest-|dot| hyperplanes (deterministic (|dot|, plane) order). The
+    probe table is |Q| x tables x (n_probes + 1) rows — broadcast — so
+    the candidate join stays a (table, bucket) equi-join against the
+    unchanged corpus index."""
+    corpus = lsh_buckets(emb, planes, tables)
+    qd = _lsh_dots(emb.filter(F.col("vec_id") < n_queries), planes, tables)
+    margins = F.array_sort(
+        F.array(*[
+            F.struct(
+                F.abs(F.col(f"_d{p}")).alias("m"),
+                F.lit(p).alias("p"),
+                F.lit(1 << p).cast("bigint").alias("bit"),
+            )
+            for p in range(planes)
+        ])
+    )
+    probes = F.concat(
+        F.array(F.col("base")),
+        F.transform(
+            F.slice(F.col("ms"), 1, n_probes),
+            lambda s: F.col("base").bitwiseXOR(s["bit"]),
+        ),
+    )
+    q = (
+        qd.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("table_idx").cast("int").alias("table_idx"),
+            _pack_sign_bucket(planes).alias("base"),
+            margins.alias("ms"),
+        )
+        .select("query_id", "table_idx", F.explode(probes).alias("bucket"))
+    )
+    return (
+        F.broadcast(q)
+        .join(corpus, ["table_idx", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+
+
+def _sql_multiprobe_ctes(prefix: str = "mp") -> str:
+    """DuckDB twin of lsh_multiprobe_candidates at the MP geometry:
+    reuses the {prefix}dots / {prefix}buckets CTEs, ranks planes by
+    (|dot|, plane), flips the top MP_PROBES bits with xor. Ends in
+    ``{prefix}cand(query_id, vec_id)``."""
+    return (
+        _sql_buckets_cte(LSH_PLANES, MP_TABLES, prefix=prefix)
+        + f""",
+    {prefix}q AS (
+        SELECT vec_id, table_idx,
+               CAST(sum(CASE WHEN dq >= 0 THEN CAST(1 AS BIGINT) << plane
+                             ELSE 0 END) AS BIGINT) AS base,
+               list_sort(list(struct_pack(
+                   m := abs(dq), p := plane,
+                   b := CAST(CAST(1 AS BIGINT) << plane AS BIGINT)))) AS ms
+        FROM {prefix}dots WHERE vec_id < {N_QUERIES}
+        GROUP BY vec_id, table_idx),
+    {prefix}pr AS (
+        SELECT vec_id AS query_id, table_idx,
+               unnest(list_prepend(base,
+                   list_transform(ms[1:{MP_PROBES}],
+                                  s -> xor(base, s.b)))) AS bucket
+        FROM {prefix}q),
+    {prefix}cand AS (
+        SELECT DISTINCT p.query_id, b.vec_id
+        FROM {prefix}pr p JOIN {prefix}buckets b
+          ON b.table_idx = p.table_idx AND b.bucket = p.bucket
+        WHERE b.vec_id <> p.query_id)"""
+    )
+
+
+@register(
+    "similarity_ann_lsh_multiprobe",
+    oracle=f"""
+    WITH {_sql_multiprobe_ctes()},
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6)
+                 AS cosine
+        FROM mpcand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id)
+    {_SQL_RANK}
+    """,
+)
+def similarity_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{TOP_K} from ONE {LSH_PLANES}-plane table probed at
+    1 + {MP_PROBES} buckets per query — the multi-probe trade: recall
+    comparable to the {LSH_TABLES}-table single-probe demo tier at 1/
+    {LSH_TABLES} the index memory and 1/{LSH_TABLES} the corpus-side
+    bucket-derivation work (multiprobe_recall_report prices it, and
+    tests/test_multiprobe.py pins the candidate-superset invariant).
+    Plan shape is unchanged from the single-probe tier: a broadcast
+    probe table, one (table, bucket) equi-join, exact cosine on
+    candidates, windowed top-k."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cand = lsh_multiprobe_candidates(emb, LSH_PLANES, MP_TABLES, MP_PROBES)
+    return _rank_topk(_score_pairs(emb, cand))
+
+
+@register(
+    "multiprobe_recall_report",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK_CTE},
+    {_sql_multiprobe_ctes()},
+    sp_cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, b.vec_id
+        FROM mpq q JOIN mpbuckets b
+          ON b.table_idx = q.table_idx AND b.bucket = q.base
+        WHERE b.vec_id <> q.vec_id),
+    topk_sp AS (
+        SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+                   row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY s.cosine DESC, s.vec_id) AS rank
+            FROM (SELECT c.query_id, c.vec_id,
+                         round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6)
+                           AS cosine
+                  FROM sp_cand c
+                  JOIN embeddings eq ON eq.vec_id = c.query_id
+                  JOIN embeddings ev ON ev.vec_id = c.vec_id) s)
+        WHERE rank <= {TOP_K}),
+    topk_mp AS (
+        SELECT query_id, vec_id FROM (
+            SELECT s.query_id, s.vec_id,
+                   row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY s.cosine DESC, s.vec_id) AS rank
+            FROM (SELECT c.query_id, c.vec_id,
+                         round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6)
+                           AS cosine
+                  FROM mpcand c
+                  JOIN embeddings eq ON eq.vec_id = c.query_id
+                  JOIN embeddings ev ON ev.vec_id = c.vec_id) s)
+        WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('lsh_t1_single', 'topk_sp')}
+    UNION ALL
+    {_sql_tier_recall('lsh_t1_multiprobe', 'topk_mp')}
+    """,
+)
+def multiprobe_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the SAME one-table index probed both ways —
+    single-probe vs multi-probe(1+{MP_PROBES}) — against the exact
+    baseline: the number that licenses trading {LSH_TABLES}x index
+    memory for a constant query-side probe fan-out. Multi-probe
+    candidates are a superset of single-probe's by construction, so
+    per-query recall can only rise; the report shows BY HOW MUCH the
+    flipped low-margin buckets close the gap to the multi-table tier."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
+    sp = ann_lsh_topk(emb, LSH_PLANES, MP_TABLES)
+    mp = _rank_topk(
+        _score_pairs(
+            emb, lsh_multiprobe_candidates(emb, LSH_PLANES, MP_TABLES, MP_PROBES)
+        )
+    )
+    return _tier_recall(exact, "lsh_t1_single", sp).unionByName(
+        _tier_recall(exact, "lsh_t1_multiprobe", mp)
     )
 
 
