@@ -2074,6 +2074,213 @@ def knn_graph_edges(
 
 
 # ---------------------------------------------------------------------------
+# Graph-based ANN serving (the NSW family — Malkov et al. 2014, the
+# layer-0 search HNSW ships; public). The missing fourth serving family
+# next to buckets (LSH), lists (IVF) and codes (PQ): the offline
+# artifact is the k-NN GRAPH (knn_graph — already a first-class data
+# product here), and a query is answered by BEAM SEARCH over it — score
+# a fixed entry set, then repeatedly expand the current best beam's
+# graph neighbors. Per query per round the frontier is <= BEAM_WIDTH
+# nodes with <= KNN_GRAPH_K out-edges each, so TOTAL scored candidates
+# are <= |entries| + rounds x beam x k — independent of |V|. The rounds
+# are unrolled joins (the knn_graph_clusters discipline), each one a
+# (frontier.vec_id = graph.src) equi-join plus the shared broadcast
+# scoring pass; the graph itself is derived once.
+BEAM_ROUNDS = 2
+BEAM_WIDTH = 4
+
+
+def _beam_frontier(scored: DataFrame, beam: int) -> DataFrame:
+    """Top-``beam`` (query_id, vec_id) of a scored frame, deterministic
+    (cosine desc, vec_id)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= beam)
+        .select("query_id", "vec_id")
+    )
+
+
+def graph_beam_topk(
+    emb: DataFrame,
+    graph: DataFrame,
+    rounds: int = BEAM_ROUNDS,
+    beam: int = BEAM_WIDTH,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(entry-only top-k, beam-search top-k, visited set) over a
+    (src, dst) neighbor
+    graph. Entry set = the IVF seed vectors (the coarse landmarks every
+    tier here routes through), scored against the broadcast query set;
+    each round anti-joins already-visited pairs so a node is scored
+    once, expands the frontier's out-edges, and keeps the best ``beam``
+    NEW nodes as the next frontier. Returning both rankings lets the
+    recall report price exactly what the graph walk adds on top of the
+    landmarks."""
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    q = embn.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    seeds = embn.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM)
+    scored0 = (
+        seeds.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_n(F.col("qe"), F.col("embedding"), F.col("qn"), F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    edges = graph.select("src", "dst")
+    visited = scored0
+    frontier = _beam_frontier(scored0, beam)
+    for _ in range(rounds):
+        cand = (
+            frontier.join(edges, frontier["vec_id"] == edges["src"])
+            .select("query_id", F.col("dst").alias("vec_id"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .distinct()
+            .join(visited, ["query_id", "vec_id"], "left_anti")
+        )
+        scored_r = _score_pairs(emb, cand)
+        visited = visited.unionByName(scored_r)
+        frontier = _beam_frontier(scored_r, beam)
+    return _rank_topk(scored0, k), _rank_topk(visited, k), visited
+
+
+def _sql_graph_beam_ctes(
+    rounds: int = BEAM_ROUNDS, beam: int = BEAM_WIDTH
+) -> str:
+    """DuckDB twin of graph_beam_topk over the materialized graph_g CTE
+    (requires buckets + sign + _sql_knn_graph in the same WITH). Ends in
+    ``bv{rounds}(query_id, vec_id, cosine)`` — the visited set — plus
+    ``bv0`` for the entry-only tier."""
+    ctes = [
+        f"""
+    bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+    bv0 AS MATERIALIZED (
+        SELECT q.query_id, s.vec_id,
+               round({sql_cosine_pair('q.qe', 's.embedding')}, 6) AS cosine
+        FROM bq q JOIN embeddings s
+          ON s.vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}
+         AND s.vec_id <> q.query_id)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"bv{r - 1}"
+        src = "bv0" if r == 1 else f"bs{r - 1}"
+        ctes.append(
+            f"""
+    bf{r - 1} AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rn
+            FROM {src})
+        WHERE rn <= {beam}),
+    bc{r} AS (
+        SELECT DISTINCT f.query_id, g.dst AS vec_id
+        FROM bf{r - 1} f JOIN graph_g g ON g.src = f.vec_id
+        WHERE g.dst <> f.query_id
+          AND NOT EXISTS (SELECT 1 FROM {prev} v
+                          WHERE v.query_id = f.query_id
+                            AND v.vec_id = g.dst)),
+    bs{r} AS MATERIALIZED (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6)
+                 AS cosine
+        FROM bc{r} c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id),
+    bv{r} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM bs{r})"""
+        )
+    return ",".join(ctes)
+
+
+@register(
+    "similarity_graph_beam",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('', KNN_GRAPH_K)},
+    {_sql_graph_beam_ctes()},
+    scored AS (SELECT * FROM bv{BEAM_ROUNDS})
+    {_SQL_RANK}
+    """,
+)
+def similarity_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{TOP_K} by beam search over the k-NN graph (the NSW/HNSW
+    serving family): score the {IVF_CENT_MOD}-modulus landmark set, then
+    {BEAM_ROUNDS} rounds of expand-the-best-{BEAM_WIDTH}-nodes'
+    neighbors. The graph is the offline index; serving scores at most
+    |entries| + {BEAM_ROUNDS} x {BEAM_WIDTH} x {KNN_GRAPH_K} candidates
+    per query regardless of corpus size, and every expansion is a
+    (frontier, graph.src) equi-join — the property that lets one graph
+    artifact serve both curation (clusters, label propagation) and
+    search. Recall vs the bucket tiers is priced by
+    graph_beam_recall_report; the visited-growth and cost-law contracts
+    are pinned in tests/test_graph_beam.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    _, beam, _ = graph_beam_topk(emb, graph)
+    return beam
+
+
+@register(
+    "graph_beam_recall_report",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK_CTE},
+    {_SQL_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('', KNN_GRAPH_K)},
+    {_sql_graph_beam_ctes()},
+    topk_ent AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM bv0)
+        WHERE rank <= {TOP_K}),
+    topk_bm AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM bv{BEAM_ROUNDS})
+        WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('entries_only', 'topk_ent')}
+    UNION ALL
+    {_sql_tier_recall('graph_beam', 'topk_bm')}
+    """,
+)
+def graph_beam_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the landmark set alone vs the full beam search
+    against the exact baseline — the number that shows what walking the
+    graph ADDS over just scoring the coarse landmarks (entries_only is
+    beam search with rounds=0, so the gap is purely the walk's). The
+    per-query beam contract makes this the cheapest serving tier to
+    gauge: both rankings come from one visited-set lineage."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
+    ent, beam, _ = graph_beam_topk(emb, graph)
+    return _tier_recall(exact, "entries_only", ent).unionByName(
+        _tier_recall(exact, "graph_beam", beam)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (Jegou et al. 2011): the vector-compression tier
 # of a production ANN stack (brute -> LSH -> IVF -> PQ).
 PQ_SUBS = 8                    # sub-spaces of EMB_DIM / PQ_SUBS dims each

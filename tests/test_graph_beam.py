@@ -1,0 +1,98 @@
+"""Graph-beam ANN (the NSW serving family): mechanism and cost law.
+
+The driver testdata's embeddings are near-random (no graph walk can add
+much there — graph_beam_recall_report documents the modest lift), so the
+MECHANISM is proven on a planted corpus: a tight cluster whose only
+landmark is one member. Entry-only search can rank just the landmarks;
+the beam must walk the k-NN graph's intra-cluster edges and surface the
+other members. The cost law — visited candidates per query bounded by
+|entries| + rounds x beam x k, independent of |V| — is asserted from the
+visited set itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from mapreduce_spark.operators.similarity import (
+    BEAM_ROUNDS,
+    BEAM_WIDTH,
+    IVF_CENT_MOD,
+    IVF_CENT_REM,
+    KNN_GRAPH_K,
+    LSH_PLANES,
+    LSH_TABLES,
+    N_QUERIES,
+    graph_beam_topk,
+    knn_graph_edges,
+)
+from mapreduce_spark.sources.tables import load_table
+
+
+def _planted_corpus(spark, n=100, dim=64, seed=11):
+    """Corpus where vec 7 (the only landmark under the % 100 == 7 rule)
+    anchors a tight cluster {7, 20..24}; queries 0..4 sit in the same
+    cluster; everything else is far-away noise."""
+    rng = np.random.default_rng(seed)
+    center = rng.normal(size=dim)
+    center /= np.linalg.norm(center)
+    rows = []
+    cluster = {7, 20, 21, 22, 23, 24}
+    for vid in range(n):
+        if vid < N_QUERIES or vid in cluster:
+            v = center + 0.05 * rng.normal(size=dim)
+        else:
+            v = rng.normal(size=dim)  # ambient: cosine ~0 to the center
+        rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_beam_surfaces_cluster_members_entries_miss(spark):
+    emb = _planted_corpus(spark)
+    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    ent, beam, _ = graph_beam_topk(emb, graph)
+    ent_hits = {
+        (r["query_id"], r["vec_id"]) for r in ent.collect()
+    }
+    beam_hits = {
+        (r["query_id"], r["vec_id"]) for r in beam.collect()
+    }
+    planted = {20, 21, 22, 23, 24}
+    # entry-only can rank ONLY landmark vectors (7 and noise landmarks);
+    # the planted non-landmark members are unreachable without the walk
+    assert not {v for _, v in ent_hits} & planted
+    # the beam walks 7's out-edges and surfaces planted members for
+    # every query
+    for q in range(N_QUERIES):
+        found = {v for qq, v in beam_hits if qq == q} & planted
+        assert len(found) >= 2, (q, sorted(found))
+
+
+def test_beam_recall_monotone_vs_entries(spark, sf_dir):
+    from mapreduce_spark.registry import get_queries
+
+    rep = get_queries()["graph_beam_recall_report"](spark, sf_dir)
+    rows = {(r["tier"], r["query_id"]): r["recall"] for r in rep.collect()}
+    for (tier, qid), rec in rows.items():
+        if tier == "graph_beam":
+            assert rec >= rows[("entries_only", qid)]
+
+
+def test_beam_cost_law(spark, sf_dir):
+    """Visited (= scored) candidates per query stay within
+    |entries| + BEAM_ROUNDS x BEAM_WIDTH x KNN_GRAPH_K — the bound that
+    makes serving cost independent of |V|."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    _, _, visited = graph_beam_topk(emb, graph)
+    n_entries = emb.filter(
+        F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM
+    ).count()
+    bound = n_entries + BEAM_ROUNDS * BEAM_WIDTH * KNN_GRAPH_K
+    per_q = visited.groupBy("query_id").count().collect()
+    assert per_q
+    for r in per_q:
+        assert r["count"] <= bound, (r["query_id"], r["count"], bound)
+    # scored once: no duplicate (query, vec) rows in the visited set
+    assert visited.count() == visited.select("query_id", "vec_id").distinct().count()

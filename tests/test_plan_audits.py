@@ -139,6 +139,8 @@ CARTESIAN_OK = {
     "ann_recall_report_scaled",  # embeds similarity_topk + centroid NLJs
     "knn_graph_recall_report",  # exact side broadcasts the sampled query set
     "semdedup_clusters",  # same broadcast-centroid assignment NLJ
+    "similarity_graph_beam",  # broadcast 5-query NLJ scoring the landmarks
+    "graph_beam_recall_report",  # same landmark NLJ + the exact baseline
     "hard_negatives",  # similarity_topk's broadcast-NLJ with a label filter
     "hard_negatives_scaled",  # 5-row sign-code broadcast NLJ + rerank
     "zorder_layout",  # broadcasts the 1-row min/max quantization frame
