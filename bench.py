@@ -127,6 +127,13 @@ HEADLINE = [
     # and its correctness/probe plan are driver- and test-gated.
     "dedup_minhash_lsh_oph",
     "window_ntile",
+    # round-9: the two new serving tiers — multi-probe LSH (one table
+    # probed at 1+3 buckets, the query-side recall lever) and graph-beam
+    # ANN (NSW-style walk over the k-NN graph; cost independent of |V|).
+    # Both are sub-second lightweight joins over already-benched
+    # derivations, benched so their plan shapes stay pinned.
+    "similarity_ann_lsh_multiprobe",
+    "similarity_graph_beam",
 ]
 
 # Queries whose driver function does EAGER work (checkpointed training

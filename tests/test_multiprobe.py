@@ -117,3 +117,83 @@ def test_multiprobe_plan_is_broadcast_equi_join(spark, sf_dir):
     assert not audit.has_cartesian(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --- production geometry: the memory-for-probes trade, measured -------------
+# The planted corpus from tests/test_ann_scaled.py: planted partners at
+# cosines 0.70..0.82 in ambient noise, where recall is pure band
+# geometry. The 2007 paper's claim is that multi-probe at T tables
+# matches single-probe at several-x T tables; here 8 tables + 3 probes
+# measures 0.99 vs 32 single-probed tables' 0.98 — same recall, 1/4 the
+# index memory and corpus-side derivation bill.
+import numpy as np
+
+from mapreduce_spark.operators.similarity import (
+    SCALED_LSH_PLANES,
+    SCALED_LSH_TABLES,
+    TOP_K,
+    _rank_topk,
+    _score_pairs,
+    ann_lsh_topk,
+)
+
+_MP_DIM = 64
+_MP_PAIRS = 100
+_MP_PARTNER = 1000
+_MP_NOISE_BASE = 2000
+_MP_NOISE = 150
+
+
+def _planted_pairs(spark):
+    rng = np.random.RandomState(7)
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    ids, vecs, truth = [], [], {}
+    for i in range(_MP_PAIRS):
+        c = 0.70 + 0.12 * i / (_MP_PAIRS - 1)
+        u = unit(rng.randn(_MP_DIM))
+        w = rng.randn(_MP_DIM)
+        w = unit(w - w.dot(u) * u)
+        ids += [i, _MP_PARTNER + i]
+        vecs += [u, c * u + np.sqrt(1 - c * c) * w]
+        truth[i] = _MP_PARTNER + i
+    for j in range(_MP_NOISE):
+        ids.append(_MP_NOISE_BASE + j)
+        vecs.append(unit(rng.randn(_MP_DIM)))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    return df, truth
+
+
+def _recall(df, truth, topk_df) -> float:
+    got = {(r["query_id"], r["vec_id"]) for r in topk_df.collect()}
+    return sum(1 for q, p in truth.items() if (q, p) in got) / len(truth)
+
+
+def test_multiprobe_matches_4x_tables_on_planted_corpus(spark):
+    df, truth = _planted_pairs(spark)
+    sp8 = _recall(
+        df, truth,
+        ann_lsh_topk(df, SCALED_LSH_PLANES, 8, k=TOP_K, n_queries=_MP_PAIRS),
+    )
+    sp32 = _recall(
+        df, truth,
+        ann_lsh_topk(
+            df, SCALED_LSH_PLANES, SCALED_LSH_TABLES, k=TOP_K,
+            n_queries=_MP_PAIRS,
+        ),
+    )
+    cand = lsh_multiprobe_candidates(
+        df, SCALED_LSH_PLANES, 8, MP_PROBES, n_queries=_MP_PAIRS
+    )
+    mp8 = _recall(df, truth, _rank_topk(_score_pairs(df, cand), TOP_K))
+    # the probes close a real gap (8 single-probed tables miss badly)...
+    assert sp8 < 0.9, f"single-probe t8 recall {sp8:.3f} not in the gap band"
+    # ...to production-contract recall at 1/4 the index of the 32-table
+    # tier (measured 0.99 vs 0.98; both asserted with slack)
+    assert mp8 >= 0.9, f"multi-probe t8 recall {mp8:.3f} < 0.9"
+    assert mp8 >= sp32 - 0.05, f"mp t8 {mp8:.3f} << sp t32 {sp32:.3f}"
