@@ -96,3 +96,28 @@ def test_beam_cost_law(spark, sf_dir):
         assert r["count"] <= bound, (r["query_id"], r["count"], bound)
     # scored once: no duplicate (query, vec) rows in the visited set
     assert visited.count() == visited.select("query_id", "vec_id").distinct().count()
+
+
+def test_persisted_graph_beam_matches_in_memory(spark, sf_dir):
+    """The stored src-bucketed graph serves the identical ranking, and
+    the serve-side plan contains no graph re-derivation (no LSH bucket
+    explode — the stored scan replaces the whole build)."""
+    from mapreduce_spark.operators.similarity import (
+        GRAPH_INDEX_TABLE,
+        graph_index_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph_index_write(emb)
+    stored = spark.table(GRAPH_INDEX_TABLE)
+    _, beam_disk, _ = graph_beam_topk(emb, stored)
+    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    _, beam_mem, _ = graph_beam_topk(emb, graph)
+    disk_rows = sorted(map(tuple, beam_disk.collect()))
+    mem_rows = sorted(map(tuple, beam_mem.collect()))
+    assert disk_rows == mem_rows
+    plan = beam_disk._jdf.queryExecution().executedPlan().toString()
+    # serve path never re-derives the graph: no bucket posexplode of the
+    # corpus, no sign-code bit packing — just the stored scan
+    assert "posexplode" not in plan.lower()
+    assert GRAPH_INDEX_TABLE in plan
