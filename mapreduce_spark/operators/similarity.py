@@ -1899,15 +1899,25 @@ def sign_codes_frame(emb: DataFrame) -> DataFrame:
 KNN_GRAPH_K = 3
 
 
-def _sql_knn_graph(bprefix: str, k: int, src_cap: str = "") -> str:
+def _sql_knn_graph(
+    bprefix: str, k: int, src_cap: str = "", member_pred: str = ""
+) -> str:
     """Full knn-graph SELECT over a {bprefix}buckets CTE (optionally
-    restricted to src < src_cap for the recall gauges). Requires
+    restricted to src < src_cap for the recall gauges, or to members
+    satisfying ``member_pred`` — both endpoints — for the append
+    lifecycle's base graph). Requires
     _SQL_SIGN_CTES in the same WITH: bucket candidates are shortlisted
     to HAMMING_RERANK_FACTOR x k per source by popcount Hamming over
     the sign codes before any float cosine is paid (VERDICT r5 #5 —
     the hamming_rerank_topk two-stage discipline applied to the graph
     build)."""
-    where = f"WHERE a.vec_id < {src_cap}" if src_cap else ""
+    conds = []
+    if src_cap:
+        conds.append(f"a.vec_id < {src_cap}")
+    if member_pred:
+        conds.append(member_pred.format(v="a.vec_id"))
+        conds.append(member_pred.format(v="b.vec_id"))
+    where = ("WHERE " + " AND ".join(conds)) if conds else ""
     return f"""
     cand_{bprefix}g AS (
         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
@@ -2171,7 +2181,8 @@ def graph_beam_topk(
 
 
 def _sql_graph_beam_ctes(
-    rounds: int = BEAM_ROUNDS, beam: int = BEAM_WIDTH
+    rounds: int = BEAM_ROUNDS, beam: int = BEAM_WIDTH,
+    graph: str = "graph_g",
 ) -> str:
     """DuckDB twin of graph_beam_topk over the materialized graph_g CTE
     (requires buckets + sign + _sql_knn_graph in the same WITH). Ends in
@@ -2202,7 +2213,7 @@ def _sql_graph_beam_ctes(
         WHERE rn <= {beam}),
     bc{r} AS (
         SELECT DISTINCT f.query_id, g.dst AS vec_id
-        FROM bf{r - 1} f JOIN graph_g g ON g.src = f.vec_id
+        FROM bf{r - 1} f JOIN {graph} g ON g.src = f.vec_id
         WHERE g.dst <> f.query_id
           AND NOT EXISTS (SELECT 1 FROM {prev} v
                           WHERE v.query_id = f.query_id
@@ -2359,6 +2370,194 @@ def similarity_graph_beam_persisted(
     _, beam, _ = graph_beam_topk(emb, stored)
     return beam
 
+
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('', KNN_GRAPH_K)},
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+            FROM graph_g GROUP BY src),
+    recip AS (SELECT CAST(count(*) AS BIGINT) AS n_recip
+              FROM graph_g a JOIN graph_g b
+                ON b.src = a.dst AND b.dst = a.src)
+    SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(sum(d) AS BIGINT) AS n_edges,
+           CAST(min(d) AS BIGINT) AS min_deg,
+           CAST(max(d) AS BIGINT) AS max_deg,
+           round(CAST(sum(d) AS DOUBLE) / count(*), 6) AS avg_deg,
+           round(CAST((SELECT n_recip FROM recip) AS DOUBLE) / sum(d), 6)
+             AS reciprocity
+    FROM deg
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph index's health card (vindex_cell_stats' sibling for the
+    fourth serving family): vertex/edge counts, out-degree min/max/mean
+    (sparse fringes mean unreachable corners), and RECIPROCITY — the
+    share of edges whose reverse edge also exists. Reciprocity is the
+    NSW navigability proxy: beam search travels src -> dst, so a vector
+    that appears only as someone's dst with no out-edges back is a
+    dead end, and a low-reciprocity graph loses recall in exactly the
+    regions a degree histogram looks fine in. One groupBy + one
+    self-equi-join on the k x |V| edge table — run it before shipping a
+    billion-vector graph, not after."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    g = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K).select(
+        "src", "dst"
+    )
+    deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = (
+        g.join(rev, ["src", "dst"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_recip"))
+    )
+    card = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum("d").cast("bigint").alias("n_edges"),
+        F.min("d").cast("bigint").alias("min_deg"),
+        F.max("d").cast("bigint").alias("max_deg"),
+        F.round(F.sum("d").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_deg"
+        ),
+    )
+    return card.crossJoin(F.broadcast(n_recip)).select(
+        "n_vertices",
+        "n_edges",
+        "min_deg",
+        "max_deg",
+        "avg_deg",
+        F.round(
+            F.col("n_recip").cast("double") / F.col("n_edges"), 6
+        ).alias("reciprocity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Graph index APPEND (the NSW insert, bulk form): new vectors join the
+# stored graph without rebuilding it. Forward edges rank each new
+# vector's top-k BASE bucket-mates by exact cosine (the same candidate
+# machinery as the build, restricted to batch sources, so cost past the
+# bucketing pass tracks |batch|); every forward edge also appends its
+# REVERSE edge, because beam search travels src -> dst and a vector
+# with no in-path out-edges back to it is invisible to serving — the
+# reverse edges are what make the batch DISCOVERABLE (graded below and
+# pinned in tests/test_graph_beam.py). Existing edge files are never
+# rewritten: both edge sets append new files into the bucketed layout.
+GRAPH_APPEND_TABLE = "knn_graph_store_app"
+APPEND_MOD = 20
+APPEND_REM = 13
+_APPEND_IS_BATCH = f"{{v}} % {APPEND_MOD} = {APPEND_REM}"
+_APPEND_IS_BASE = f"{{v}} % {APPEND_MOD} <> {APPEND_REM}"
+
+
+def graph_index_append(
+    emb: DataFrame, name: str = GRAPH_APPEND_TABLE, k: int = KNN_GRAPH_K
+) -> None:
+    """Fold the APPEND_MOD/APPEND_REM batch of ``emb`` into the stored
+    graph ``name`` (built over the base partition): forward top-k edges
+    batch -> base plus their reverses, appended to the bucketed table.
+    Candidates come from the capped query-pair enumeration with the
+    batch predicate on the query side, so buckets without a batch
+    member drop before any pair expands."""
+    from mapreduce_spark.operators.pairing import bucketed_query_pairs
+
+    buckets = lsh_buckets(emb, LSH_PLANES, LSH_TABLES)
+    cand = bucketed_query_pairs(
+        buckets,
+        ["table_idx", "bucket"],
+        "vec_id",
+        lambda c: c % APPEND_MOD == F.lit(APPEND_REM),
+    ).filter(F.col("vec_id") % APPEND_MOD != APPEND_REM).distinct()
+    scored = _score_pairs(emb, cand, broadcast_cand=True)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    fwd = (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("vec_id").alias("dst"),
+            "cosine",
+            "rank",
+        )
+    )
+    rev = fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine", "rank"
+    )
+    (
+        fwd.unionByName(rev)
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(GRAPH_INDEX_BUCKETS, "src")
+        .sortBy("src")
+        .saveAsTable(name)
+    )
+
+
+_SQL_APPEND_GRAPH = f"""
+    cand_app AS (
+        SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        FROM buckets a JOIN buckets b
+          ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+        WHERE a.vec_id % {APPEND_MOD} = {APPEND_REM}
+          AND b.vec_id % {APPEND_MOD} <> {APPEND_REM}),
+    scored_app AS (
+        SELECT c.src, c.dst,
+               round({sql_cosine_pair('ea.embedding', 'eb.embedding')}, 6)
+                 AS cosine
+        FROM cand_app c
+        JOIN embeddings ea ON ea.vec_id = c.src
+        JOIN embeddings eb ON eb.vec_id = c.dst),
+    fwd AS (
+        SELECT src, dst, cosine, rank FROM (
+            SELECT src, dst, cosine,
+                   CAST(row_number() OVER (PARTITION BY src
+                       ORDER BY cosine DESC, dst) AS BIGINT) AS rank
+            FROM scored_app)
+        WHERE rank <= {KNN_GRAPH_K}),
+    graph_app AS MATERIALIZED (
+        SELECT src, dst FROM graph_g
+        UNION ALL SELECT src, dst FROM fwd
+        UNION ALL SELECT dst AS src, src AS dst FROM fwd)"""
+
+
+@register(
+    "similarity_graph_beam_appended",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('', KNN_GRAPH_K, member_pred=_APPEND_IS_BASE)},
+    {_SQL_APPEND_GRAPH},
+    {_sql_graph_beam_ctes(graph="graph_app")},
+    scored AS (SELECT * FROM bv{BEAM_ROUNDS})
+    {_SQL_RANK}
+    """,
+)
+def similarity_graph_beam_appended(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The graph index's INGEST op, graded end-to-end: build + store the
+    graph over the base partition (vec_id % {APPEND_MOD} !=
+    {APPEND_REM}), APPEND the held-out batch (forward top-{KNN_GRAPH_K}
+    edges into the base + their reverses — the bulk NSW insert), then
+    beam-serve the standard query set from the stored table alone. The
+    appended vectors are reachable ONLY through append-written edges,
+    so this grades discoverability, not just write mechanics; base edge
+    files are never rewritten (append adds files to the bucketed
+    layout). dedup_incremental / similarity_index_appended's mirror for
+    the fourth serving family."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_REM)
+    graph_index_write(base, GRAPH_APPEND_TABLE)
+    graph_index_append(emb, GRAPH_APPEND_TABLE)
+    stored = spark.table(GRAPH_APPEND_TABLE)
+    _, beam, _ = graph_beam_topk(emb, stored)
+    return beam
 
 
 # ---------------------------------------------------------------------------

@@ -121,3 +121,41 @@ def test_persisted_graph_beam_matches_in_memory(spark, sf_dir):
     # corpus, no sign-code bit packing — just the stored scan
     assert "posexplode" not in plan.lower()
     assert GRAPH_INDEX_TABLE in plan
+
+
+def test_appended_vectors_discoverable(spark):
+    """The append's point: a vector added AFTER the build is reachable
+    by beam search only through append-written edges (its forward edge
+    into the cluster landmark's reverse). Before the append it cannot
+    appear in any ranking; after, every query surfaces it."""
+    from mapreduce_spark.operators.similarity import (
+        GRAPH_APPEND_TABLE,
+        graph_index_append,
+        graph_index_write,
+        APPEND_MOD,
+        APPEND_REM,
+    )
+
+    rng = np.random.default_rng(23)
+    dim = 64
+    center = rng.normal(size=dim)
+    center /= np.linalg.norm(center)
+    cluster = {7, 20, 21, 22, 33}  # 33 % 20 == 13: the appended member
+    assert 33 % APPEND_MOD == APPEND_REM
+    rows = []
+    for vid in range(100):
+        if vid < N_QUERIES or vid in cluster:
+            v = center + 0.05 * rng.normal(size=dim)
+        else:
+            v = rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    base = emb.filter(F.col("vec_id") % APPEND_MOD != APPEND_REM)
+    graph_index_write(base, GRAPH_APPEND_TABLE)
+    _, beam0, _ = graph_beam_topk(emb, spark.table(GRAPH_APPEND_TABLE))
+    assert 33 not in {r["vec_id"] for r in beam0.collect()}
+    graph_index_append(emb, GRAPH_APPEND_TABLE)
+    _, beam1, _ = graph_beam_topk(emb, spark.table(GRAPH_APPEND_TABLE))
+    hits = {(r["query_id"], r["vec_id"]) for r in beam1.collect()}
+    for q in range(N_QUERIES):
+        assert (q, 33) in hits, q

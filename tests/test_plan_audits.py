@@ -141,6 +141,9 @@ CARTESIAN_OK = {
     "semdedup_clusters",  # same broadcast-centroid assignment NLJ
     "similarity_graph_beam",  # broadcast 5-query NLJ scoring the landmarks
     "graph_beam_recall_report",  # same landmark NLJ + the exact baseline
+    "similarity_graph_beam_persisted",  # same landmark NLJ, stored graph
+    "similarity_graph_beam_appended",  # same landmark NLJ, appended graph
+    "graph_degree_stats",  # crossJoin of two 1-row rollups (gauge pattern)
     "hard_negatives",  # similarity_topk's broadcast-NLJ with a label filter
     "hard_negatives_scaled",  # 5-row sign-code broadcast NLJ + rerank
     "zorder_layout",  # broadcasts the 1-row min/max quantization frame
