@@ -139,6 +139,7 @@ CARTESIAN_OK = {
     "ann_recall_report_scaled",  # embeds similarity_topk + centroid NLJs
     "knn_graph_recall_report",  # exact side broadcasts the sampled query set
     "semdedup_clusters",  # same broadcast-centroid assignment NLJ
+    "multiprobe_recall_report",  # embeds the similarity_topk exact baseline
     "similarity_graph_beam",  # broadcast 5-query NLJ scoring the landmarks
     "graph_beam_recall_report",  # same landmark NLJ + the exact baseline
     "similarity_graph_beam_persisted",  # same landmark NLJ, stored graph
