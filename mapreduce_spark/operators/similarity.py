@@ -2173,6 +2173,8 @@ def graph_beam_topk(
     beam: int = BEAM_WIDTH,
     k: int = TOP_K,
     n_queries: int = N_QUERIES,
+    cent_mod: int = IVF_CENT_MOD,
+    rem: int = IVF_CENT_REM,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(entry-only top-k, beam-search top-k, visited set) over a
     (src, dst) neighbor
@@ -2189,7 +2191,7 @@ def graph_beam_topk(
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qn"),
     )
-    seeds = embn.filter(F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_REM)
+    seeds = embn.filter(F.col("vec_id") % cent_mod == rem)
     scored0 = (
         seeds.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -2228,6 +2230,7 @@ def graph_beam_topk(
 def _sql_graph_beam_ctes(
     rounds: int = BEAM_ROUNDS, beam: int = BEAM_WIDTH,
     graph: str = "graph_g",
+    cent_mod: int = IVF_CENT_MOD, rem: int = IVF_CENT_REM,
 ) -> str:
     """DuckDB twin of graph_beam_topk over the materialized graph_g CTE
     (requires buckets + sign + _sql_knn_graph in the same WITH). Ends in
@@ -2241,7 +2244,7 @@ def _sql_graph_beam_ctes(
         SELECT q.query_id, s.vec_id,
                round({sql_cosine_pair('q.qe', 's.embedding')}, 6) AS cosine
         FROM bq q JOIN embeddings s
-          ON s.vec_id % {IVF_CENT_MOD} = {IVF_CENT_REM}
+          ON s.vec_id % {cent_mod} = {rem}
          AND s.vec_id <> q.query_id)"""
     ]
     for r in range(1, rounds + 1):
@@ -3276,6 +3279,90 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         gedges = graph.filter(F.col("src") < KNN_RECALL_SRCS)
         out.append(_tier_recall(exact, tier, gedges, id_col="src"))
     return out[0].unionByName(out[1])
+
+
+# --------------------------------------------------------------------------
+# The production registration: scaled graph (8 planes x 32 tables,
+# k = 10 — the geometry the curation consumers already run on) walked
+# from the DENSER landmark set (the scaled IVF modulus). Same beam, same
+# cost law with k = 10: <= |V|/25 entries once + rounds x beam x 10
+# expansions per query.
+
+
+@register(
+    "similarity_graph_beam_scaled",
+    oracle=f"""
+    WITH {_SQL_SCALED_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('s', KNN_GRAPH_SCALED_K)},
+    {_sql_graph_beam_ctes(graph="graph_sg", cent_mod=SCALED_IVF_CENT_MOD)},
+    scored AS (SELECT * FROM bv{BEAM_ROUNDS})
+    {_SQL_RANK}
+    """,
+)
+def similarity_graph_beam_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_graph_beam at the PRODUCTION profile: the scaled k-NN
+    graph (the same artifact knn_graph_scaled grades and the curation
+    consumers walk) searched from the {SCALED_IVF_CENT_MOD}-modulus
+    landmark set. Out-degree k = {KNN_GRAPH_SCALED_K} widens each
+    expansion, so two beam rounds reach ~{BEAM_ROUNDS} x {BEAM_WIDTH} x
+    {KNN_GRAPH_SCALED_K} candidates per query while the per-query cost
+    law is unchanged — the configuration whose recall
+    graph_beam_recall_report_scaled prices against the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph = knn_graph_edges(
+        emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, KNN_GRAPH_SCALED_K
+    )
+    _, beam, _ = graph_beam_topk(
+        emb, graph, cent_mod=SCALED_IVF_CENT_MOD
+    )
+    return beam
+
+
+@register(
+    "graph_beam_recall_report_scaled",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK_CTE},
+    {_SQL_SCALED_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('s', KNN_GRAPH_SCALED_K)},
+    {_sql_graph_beam_ctes(graph="graph_sg", cent_mod=SCALED_IVF_CENT_MOD)},
+    topk_ent AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM bv0)
+        WHERE rank <= {TOP_K}),
+    topk_bm AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM bv{BEAM_ROUNDS})
+        WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('entries_only_scaled', 'topk_ent')}
+    UNION ALL
+    {_sql_tier_recall('graph_beam_scaled', 'topk_bm')}
+    """,
+)
+def graph_beam_recall_report_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """graph_beam_recall_report at the production profile — the walk's
+    contribution over the denser landmarks, on the graph the curation
+    stack actually maintains."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph = knn_graph_edges(
+        emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, KNN_GRAPH_SCALED_K
+    )
+    exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
+    ent, beam, _ = graph_beam_topk(emb, graph, cent_mod=SCALED_IVF_CENT_MOD)
+    return _tier_recall(exact, "entries_only_scaled", ent).unionByName(
+        _tier_recall(exact, "graph_beam_scaled", beam)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,8 @@ CARTESIAN_OK = {
     "multiprobe_recall_report",  # embeds the similarity_topk exact baseline
     "similarity_graph_beam",  # broadcast 5-query NLJ scoring the landmarks
     "graph_beam_recall_report",  # same landmark NLJ + the exact baseline
+    "similarity_graph_beam_scaled",  # same landmark NLJ, scaled graph
+    "graph_beam_recall_report_scaled",  # landmark NLJ + exact baseline
     "similarity_graph_beam_persisted",  # same landmark NLJ, stored graph
     "similarity_graph_beam_appended",  # same landmark NLJ, appended graph
     "graph_degree_stats",  # crossJoin of two 1-row rollups (gauge pattern)
