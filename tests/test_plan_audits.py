@@ -149,6 +149,7 @@ CARTESIAN_OK = {
     "graph_degree_stats",  # crossJoin of two 1-row rollups (gauge pattern)
     "hard_negatives",  # similarity_topk's broadcast-NLJ with a label filter
     "hard_negatives_scaled",  # 5-row sign-code broadcast NLJ + rerank
+    "allpairs_prefix_stats",  # crossJoin of two 1-row volume rollups
     "tpch_q11_important_parts",  # broadcasts the 1-row global-mean threshold
     "zorder_layout",  # broadcasts the 1-row min/max quantization frame
     "zorder_pruned_scan",  # same 1-row min/max broadcast, write + read side
