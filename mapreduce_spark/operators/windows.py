@@ -314,6 +314,143 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_interpolate",
+    oracle=f"""
+    WITH b AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / {RESAMPLE_BUCKET_US}) AS BIGINT) AS bucket,
+               ts, event_id, value
+        FROM events),
+    last_in_bucket AS (
+        SELECT user_id, bucket, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+            FROM b) WHERE rn = 1),
+    bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+               FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM bounds),
+    j AS (SELECT g.user_id, g.bucket,
+                 CAST(floor(l.value * 1000000.0) AS BIGINT) AS vi,
+                 CASE WHEN l.value IS NOT NULL THEN g.bucket END AS ob
+          FROM grid g LEFT JOIN last_in_bucket l
+            ON l.user_id = g.user_id AND l.bucket = g.bucket),
+    f AS (
+        SELECT user_id, bucket,
+               last_value(vi IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING) AS pvi,
+               last_value(ob IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING) AS pb,
+               first_value(vi IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nvi,
+               first_value(ob IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nb
+        FROM j)
+    SELECT user_id,
+           make_timestamp(bucket * {RESAMPLE_BUCKET_US}) AS bucket_ts,
+           CASE WHEN pb = nb THEN CAST(pvi AS DOUBLE) / 1000000.0
+                WHEN pb IS NULL OR nb IS NULL THEN NULL
+                ELSE CAST(pvi * (nb - bucket) + nvi * (bucket - pb)
+                          AS DOUBLE) / (nb - pb) / 1000000.0
+           END AS value_interp
+    FROM f
+    """,
+)
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample_ffill's other half: the same 1-hour grid, gaps filled by
+    LINEAR INTERPOLATION between the surrounding observations instead of
+    carrying the last one forward (the fill a numeric telemetry series
+    wants where ffill is for state-like series). Interior gaps get
+    (pv*(nb-g) + nv*(g-pb)) / (nb-pb) in exact floor-microunit
+    integers with one unrounded double division (bit-identical across
+    engines — a 6dp round can land on half-way ties the engines break
+    differently); rows outside the observed
+    range stay null (no extrapolation — deterministic and honest at the
+    series edges). Same scale shape as ffill: ONE user_id shuffle shared
+    by the bucket-dedup window, the grid join, and BOTH fill windows
+    (the preceding and following frames reuse the same sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = ev.select(
+        "user_id",
+        F.floor(us / RESAMPLE_BUCKET_US).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_last = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last_in_bucket = (
+        b.withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx"))
+        .select("user_id", F.explode(F.sequence("_mn", "_mx")).alias("bucket"))
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = (
+        grid.join(last_in_bucket, ["user_id", "bucket"], "left")
+        .withColumn(
+            "vi", F.floor(F.col("value") * 1_000_000.0).cast("bigint")
+        )
+        .withColumn("ob", F.when(F.col("value").isNotNull(), F.col("bucket")))
+    )
+    f = j.select(
+        "user_id",
+        "bucket",
+        F.last("vi", ignorenulls=True).over(w_prev).alias("pvi"),
+        F.last("ob", ignorenulls=True).over(w_prev).alias("pb"),
+        F.first("vi", ignorenulls=True).over(w_next).alias("nvi"),
+        F.first("ob", ignorenulls=True).over(w_next).alias("nb"),
+    )
+    # exact-integer numerator, ONE double division each, no final round:
+    # identical IEEE ops on identical integers in both engines (the
+    # kmeans-oracle discipline — a 6dp round() can land on a half-way
+    # tie where the engines' rounding rules differ in the last ulp)
+    interp = (
+        F.when(
+            F.col("pb") == F.col("nb"),
+            F.col("pvi").cast("double") / 1_000_000.0,
+        )
+        .when(F.col("pb").isNull() | F.col("nb").isNull(), F.lit(None))
+        .otherwise(
+            (
+                F.col("pvi") * (F.col("nb") - F.col("bucket"))
+                + F.col("nvi") * (F.col("bucket") - F.col("pb"))
+            ).cast("double")
+            / (F.col("nb") - F.col("pb"))
+            / 1_000_000.0
+        )
+    )
+    return f.select(
+        "user_id",
+        F.expr(
+            f"timestampadd(MICROSECOND, bucket * {RESAMPLE_BUCKET_US}, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("bucket_ts"),
+        interp.alias("value_interp"),
+    )
+
+
+@register(
     "window_percentiles",
     oracle="""
     WITH r AS (
