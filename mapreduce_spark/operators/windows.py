@@ -451,6 +451,76 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_history",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+    ch AS (SELECT user_id, ts AS valid_from, event_id, event_type
+           FROM o WHERE prev IS NULL OR prev <> event_type),
+    v AS (SELECT user_id, event_type, valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id
+                                        ORDER BY valid_from, event_id)
+                   AS valid_to,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY valid_from, event_id)
+                      AS BIGINT) AS version
+          FROM ch)
+    SELECT user_id, version, event_type AS state, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history built from a change
+    stream: per user, consecutive runs of the same state (event_type)
+    compress into one versioned row with [valid_from, valid_to)
+    validity — valid_to = the next version's valid_from, null (and
+    is_current = true) for the open row. The lakehouse dimension-history
+    primitive, derived with two per-user windows (a lag to detect
+    changes, a lead to close intervals) and zero self-joins: upstream of
+    this, upsert_merge keeps the CURRENT snapshot; this keeps the full
+    audit trail a point-in-time join needs. Deterministic under the
+    (ts, event_id) total order; one user_id shuffle shared by both
+    windows and the change filter."""
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w_ord).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+            "event_type",
+        )
+    )
+    w_v = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return ch.select(
+        "user_id",
+        F.row_number().over(w_v).cast("bigint").alias("version"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+    ).select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@register(
     "window_percentiles",
     oracle="""
     WITH r AS (
