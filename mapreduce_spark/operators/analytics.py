@@ -944,7 +944,7 @@ def regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
     wau AS (SELECT c.day, count(DISTINCT c.user_id) AS wau
             FROM cover c JOIN days d ON c.day = d.day GROUP BY c.day)
-    SELECT dau.day, dau.dau, wau.wau
+    SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau
     FROM dau JOIN wau ON dau.day = wau.day
     ORDER BY dau.day
     """,
@@ -973,7 +973,15 @@ def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
-    return dau.join(wau, "day").select("day", "dau", "wau").orderBy("day")
+    return (
+        dau.join(wau, "day")
+        # DATE output columns are a driver-hash hazard: Spark dates reach
+        # pandas as object(datetime.date) while DuckDB dates arrive as
+        # datetime64 — same values, different hash. Emit TIMESTAMP_NTZ on
+        # both sides instead (tests/test_oracle_types.py's sibling rule).
+        .select(F.col("day").cast("timestamp_ntz").alias("day"), "dau", "wau")
+        .orderBy("day")
+    )
 
 
 # --------------------------------------------------------------------------

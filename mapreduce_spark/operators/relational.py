@@ -561,14 +561,16 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INTEGER)      AS m,
            CAST(day(o_orderdate) AS INTEGER)        AS d,
            CAST(dayofweek(o_orderdate) AS INTEGER)  AS dow,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
     FROM orders
     """,
 )
 def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date part extraction; Spark dayofweek is 1=Sunday, DuckDB 0=Sunday,
-    normalized here by subtracting 1. month_start is cast to DATE on both
-    sides (Spark date_trunc yields TIMESTAMP, DuckDB yields DATE)."""
+    normalized here by subtracting 1. month_start stays TIMESTAMP_NTZ on
+    both sides — DATE output columns are banned registry-wide
+    (tests/test_driver_canon.py): Spark dates reach pandas as object while
+    DuckDB dates arrive datetime64, mismatching the driver's typed hash."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -576,7 +578,9 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
         (F.dayofweek("o_orderdate") - 1).alias("dow"),
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("timestamp_ntz")
+        .alias("month_start"),
     )
 
 

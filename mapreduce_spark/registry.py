@@ -91,36 +91,51 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # r8-distributed window_ntile), event analytics, text quality/filters,
 # all three signature families (b-bit, OPH, C4 spans), the SQ8/OPQ/
 # residual quantization tiers, graph/ML, multimodal, and streaming.
+# r10 rotation (VERDICT r9 #1/#3): slot 1 re-grades tpch_q12_priority_mix —
+# the r9 window's one official FAIL, an oracle-typing defect (uncast
+# SUM(CASE) → DuckDB HUGEINT vs Spark BIGINT under a type-sensitive driver
+# hash) now fixed by CAST(... AS BIGINT) and CI-gated registry-wide
+# (tests/test_oracle_types.py). The other 49 slots are all never-graded
+# names, prioritizing the on-disk lifecycle queries the verdict named
+# (index compaction/append, persisted vocab/graph, streaming accumulators)
+# whose disk side differs most from the in-memory queries graded so far.
+# Every rotated-out name keeps its official PASS row in a prior
+# CORRECTNESS_r{N}.json and stays pinned by the full-registry sweep
+# (tools/check_correctness.py, now with a --typed driver-hash mirror) +
+# tests/test_exact_rows.py. After r10: 197/287 cumulative official rows.
 GRADING_PRIORITY = [
-    # --- TPC-H relational composites
-    "tpch_q1_pricing", "tpch_q4_priority", "tpch_q7_volume",
-    "tpch_q8_market_share", "tpch_q12_priority_mix", "tpch_q13_custdist",
-    "tpch_q17_small_qty", "tpch_q22_dormant",
-    # --- joins / windows (window_ntile = the r8 two-phase distributed rank)
-    "join_outer", "join_salted", "upsert_merge",
-    "window_running", "window_ntile", "window_range_frame",
-    "resample_ffill",
+    # --- re-grade the r9 FAIL with the BIGINT-cast oracle
+    "tpch_q12_priority_mix",
+    # --- on-disk index/artifact lifecycles
+    "dedup_index_compacted", "similarity_index_appended",
+    "similarity_index_compacted", "bpe_vocab_persisted",
+    "similarity_graph_beam_persisted", "similarity_graph_beam_appended",
+    "zorder_layout",
+    # --- streaming gates + sink-is-the-state accumulators
+    "stream_neardup_gate_accum", "stream_embdup_gate_accum",
+    "stream_rollup_view", "stream_cdc_gate", "stream_dedup",
+    "stream_static_join", "stream_stream_join", "stream_text_clean",
+    "stream_quality_gate", "stream_gopher_gate",
+    "stream_contamination_gate", "stream_neardup_gate",
+    "stream_anomaly_gate", "stream_ohlc", "stream_domain_mix_gate",
+    "stream_embdup_gate",
+    # --- TPC-H closers (the r9 additions' siblings)
+    "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
+    "tpch_q19_brackets", "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_suppliers",
+    # --- joins / windows / temporal
+    "cross_join", "window_lag", "window_share", "window_percentiles",
+    "resample_interpolate", "scd2_history",
     # --- event analytics
-    "cms_heavy_hitters", "event_transitions", "zscore_outliers",
-    "funnel_latency_stats", "event_anomaly_mad",
-    # --- text analysis / quality filters
-    "lang_id", "token_count", "doc_fingerprint", "tfidf_top_terms",
-    "gopher_rules", "c4_rules", "ccnet_buckets", "winnowing_fingerprints",
-    # --- deduplication (b-bit, OPH production tier, C4 spans, scaled LSH)
-    "dedup_simhash", "dedup_ngram_jaccard",
-    "minhash_bbit_signatures", "bbit_jaccard_report",
-    "oph_signatures", "dedup_minhash_lsh_oph", "dedup_recall_report_oph",
-    "dedup_c4_sentence_spans", "dedup_minhash_lsh_scaled",
-    # --- similarity / quantization tiers (SQ8 trio, OPQ, residual codes,
-    # persisted residual index)
-    "embedding_sq8_codes", "similarity_sq8_topk", "sq8_recall_report",
-    "similarity_pq_adc_opq", "embedding_pq_codes_residual",
-    "matryoshka_recall_report", "similarity_index_persisted_residual",
-    "similarity_ivfpq_adc",
-    # --- graph / ML
-    "cc_star_components", "kmeans_train_scaled", "semdedup_clusters",
-    # --- multimodal / streaming
-    "multimodal_simhash", "stream_sessionize",
+    "dau_wau", "attribution_last_touch", "event_path_topk", "corr_matrix",
+    # --- text analysis
+    "bpe_apply", "perplexity_kn_bigram", "token_pmi", "dsir_weights",
+    # --- dedup / similarity / graph ANN
+    "dedup_allpairs_prefix", "dedup_keep_best",
+    "similarity_graph_beam", "knn_graph",
+    # --- MapReduce executable compat
+    "pipe_grep",
 ]
 
 

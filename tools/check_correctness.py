@@ -6,7 +6,15 @@ row-count + schema + order-insensitive values (columns sorted by name,
 rows sorted, values canonicalized to strings). Queries without an oracle
 get a rows-only check.
 
-Usage: python tools/check_correctness.py [query ...]
+``--typed`` additionally mirrors the driver's type-sensitive value hash
+(VERDICT r9 #5): both sides are converted to pandas the way the driver
+plausibly does (Spark ``toPandas()``, DuckDB ``.df()``) and per-column
+dtype KINDS must agree. This is the layer that caught nothing locally in
+r9 while the driver failed ``tpch_q12_priority_mix``: DuckDB's pandas
+conversion widens HUGEINT to float64 (kind ``f``) while Spark returns
+int64 (kind ``i``) — identical stringified values, different hashes.
+
+Usage: python tools/check_correctness.py [--typed] [query ...]
 """
 
 from __future__ import annotations
@@ -48,6 +56,32 @@ def df_to_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def dtype_kinds(pdf) -> dict[str, str]:
+    """Column -> pandas dtype kind, normalized to the driver-relevant
+    families: unsigned ints fold into ``i``; all-null object columns
+    (pandas renders them object regardless of source type) fold into
+    ``?`` so a NULL-only column never false-positives."""
+    kinds = {}
+    for c in pdf.columns:
+        k = pdf[c].dtype.kind
+        if k == "u":
+            k = "i"
+        if k == "O" and pdf[c].isna().all():
+            k = "?"
+        kinds[c] = k
+    return kinds
+
+
+def typed_mismatch(s_pdf, d_pdf) -> list[str]:
+    """Columns whose pandas dtype kinds differ between Spark and DuckDB."""
+    sk, dk = dtype_kinds(s_pdf), dtype_kinds(d_pdf)
+    return [
+        f"{c}: spark={sk[c]}({s_pdf[c].dtype}) duckdb={dk[c]}({d_pdf[c].dtype})"
+        for c in sorted(set(sk) & set(dk))
+        if "?" not in (sk[c], dk[c]) and sk[c] != dk[c]
+    ]
+
+
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     from mapreduce_spark.registry import get_oracles, get_queries
@@ -55,7 +89,9 @@ def main() -> int:
 
     qs = get_queries()
     oracles = get_oracles()
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    typed = "--typed" in argv
+    only = {a for a in argv if a != "--typed"}
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -105,6 +141,19 @@ def main() -> int:
             )
             n_fail += 1
             continue
+        if typed:
+            try:
+                s_pdf = sdf.toPandas()
+                d_pdf = con.execute(oracles[name]).df()
+            except Exception as e:
+                print(f"FAIL  {name}: typed-mode error: {type(e).__name__}: {e}")
+                n_fail += 1
+                continue
+            bad = typed_mismatch(s_pdf, d_pdf)
+            if bad:
+                print(f"FAIL  {name}: dtype-kind mismatch (driver hash risk): {bad}")
+                n_fail += 1
+                continue
         print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
         n_pass += 1
 
