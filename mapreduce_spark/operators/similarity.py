@@ -17,6 +17,8 @@ JVM-side (functions/vectors.py) and bit-reproducible in the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.window import Window
@@ -2177,14 +2179,15 @@ def graph_beam_topk(
     rem: int = IVF_CENT_REM,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(entry-only top-k, beam-search top-k, visited set) over a
-    (src, dst) neighbor
-    graph. Entry set = the IVF seed vectors (the coarse landmarks every
-    tier here routes through), scored against the broadcast query set;
-    each round anti-joins already-visited pairs so a node is scored
-    once, expands the frontier's out-edges, and keeps the best ``beam``
-    NEW nodes as the next frontier. Returning both rankings lets the
-    recall report price exactly what the graph walk adds on top of the
-    landmarks."""
+    (src, dst) neighbor graph with LANDMARK entry: the |V|/cent_mod IVF
+    seed vectors, scored in full against the broadcast query set. The
+    WALK is beam-law-bounded, but this entry stage is linear in the
+    corpus (|V|/cent_mod exact cosines per query) — fine for fixtures
+    and recall gauges, the wrong serve path at 1e9 vectors. Production
+    serving is graph_beam_topk_routed, whose entry cost is
+    ~sqrt(|V|) + nprobe x cap. Each round anti-joins already-visited
+    pairs so a node is scored once; returning both rankings lets the
+    recall report price exactly what the walk adds over the entries."""
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
     q = embn.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -2204,15 +2207,33 @@ def graph_beam_topk(
             ).alias("cosine"),
         )
     )
+    beam_topk, visited = _beam_walk(emb, graph, scored0, rounds, beam, k)
+    return _rank_topk(scored0, k), beam_topk, visited
+
+
+def _beam_walk(
+    emb: DataFrame,
+    graph: DataFrame,
+    scored0: DataFrame,
+    rounds: int,
+    beam: int,
+    k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The walk stage shared by every beam tier: from a scored entry set,
+    ``rounds`` iterations of expand-the-frontier's-out-edges, score only
+    NEW (query, vec) pairs, keep the best ``beam`` as the next frontier.
+    Returns (top-k of the visited set, the visited set itself)."""
     edges = graph.select("src", "dst")
     visited = scored0
     frontier = _beam_frontier(scored0, beam)
     for _ in range(rounds):
-        # frontier and visited are bounded by the beam law (<= |Q| x
-        # (entries + rounds x beam x k) rows), so they BROADCAST: the
-        # graph and the corpus stream through hash joins and never
-        # shuffle on the serve path — the plan shape that holds when
-        # the stored graph is 1e9 x k edges.
+        # The WALK's frontier/visited frames broadcast: past the entry
+        # stage they are bounded by the beam law (<= |Q| x (|entries| +
+        # rounds x beam x k) rows), so the graph and the corpus stream
+        # through hash joins with no shuffle. The bound is only as good
+        # as |entries|: landmark entry (graph_beam_topk) carries
+        # |V|/cent_mod entries — linear in the corpus — while the routed
+        # entry (graph_beam_topk_routed) caps it at nprobe x cap.
         cand = (
             F.broadcast(frontier)
             .join(edges, frontier["vec_id"] == edges["src"])
@@ -2224,29 +2245,17 @@ def graph_beam_topk(
         scored_r = _score_pairs(emb, cand, broadcast_cand=True)
         visited = visited.unionByName(scored_r)
         frontier = _beam_frontier(scored_r, beam)
-    return _rank_topk(scored0, k), _rank_topk(visited, k), visited
+    return _rank_topk(visited, k), visited
 
 
-def _sql_graph_beam_ctes(
-    rounds: int = BEAM_ROUNDS, beam: int = BEAM_WIDTH,
-    graph: str = "graph_g",
-    cent_mod: int = IVF_CENT_MOD, rem: int = IVF_CENT_REM,
+def _sql_beam_round_ctes(
+    rounds: int = BEAM_ROUNDS, beam: int = BEAM_WIDTH, graph: str = "graph_g"
 ) -> str:
-    """DuckDB twin of graph_beam_topk over the materialized graph_g CTE
-    (requires buckets + sign + _sql_knn_graph in the same WITH). Ends in
-    ``bv{rounds}(query_id, vec_id, cosine)`` — the visited set — plus
-    ``bv0`` for the entry-only tier."""
-    ctes = [
-        f"""
-    bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-           WHERE vec_id < {N_QUERIES}),
-    bv0 AS MATERIALIZED (
-        SELECT q.query_id, s.vec_id,
-               round({sql_cosine_pair('q.qe', 's.embedding')}, 6) AS cosine
-        FROM bq q JOIN embeddings s
-          ON s.vec_id % {cent_mod} = {rem}
-         AND s.vec_id <> q.query_id)"""
-    ]
+    """The walk rounds shared by every beam oracle: from a ``bv0``
+    (query_id, vec_id, cosine) entry CTE defined earlier in the WITH,
+    emit bf/bc/bs/bv CTEs per round, ending in ``bv{rounds}`` — the
+    visited set."""
+    ctes = []
     for r in range(1, rounds + 1):
         prev = f"bv{r - 1}"
         src = "bv0" if r == 1 else f"bs{r - 1}"
@@ -2279,6 +2288,27 @@ def _sql_graph_beam_ctes(
     return ",".join(ctes)
 
 
+def _sql_graph_beam_ctes(
+    rounds: int = BEAM_ROUNDS, beam: int = BEAM_WIDTH,
+    graph: str = "graph_g",
+    cent_mod: int = IVF_CENT_MOD, rem: int = IVF_CENT_REM,
+) -> str:
+    """DuckDB twin of graph_beam_topk (LANDMARK entry) over the
+    materialized graph CTE (requires buckets + sign + _sql_knn_graph in
+    the same WITH). Ends in ``bv{rounds}(query_id, vec_id, cosine)`` —
+    the visited set — plus ``bv0`` for the entry-only tier."""
+    entry = f"""
+    bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+    bv0 AS MATERIALIZED (
+        SELECT q.query_id, s.vec_id,
+               round({sql_cosine_pair('q.qe', 's.embedding')}, 6) AS cosine
+        FROM bq q JOIN embeddings s
+          ON s.vec_id % {cent_mod} = {rem}
+         AND s.vec_id <> q.query_id)"""
+    return entry + "," + _sql_beam_round_ctes(rounds, beam, graph)
+
+
 @register(
     "similarity_graph_beam",
     oracle=f"""
@@ -2292,20 +2322,269 @@ def _sql_graph_beam_ctes(
 )
 def similarity_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-{TOP_K} by beam search over the k-NN graph (the NSW/HNSW
-    serving family): score the {IVF_CENT_MOD}-modulus landmark set, then
-    {BEAM_ROUNDS} rounds of expand-the-best-{BEAM_WIDTH}-nodes'
-    neighbors. The graph is the offline index; serving scores at most
-    |entries| + {BEAM_ROUNDS} x {BEAM_WIDTH} x {KNN_GRAPH_K} candidates
-    per query regardless of corpus size, and every expansion is a
-    (frontier, graph.src) equi-join — the property that lets one graph
-    artifact serve both curation (clusters, label propagation) and
-    search. Recall vs the bucket tiers is priced by
-    graph_beam_recall_report; the visited-growth and cost-law contracts
-    are pinned in tests/test_graph_beam.py."""
+    serving family), LANDMARK-entry tier: score the {IVF_CENT_MOD}-modulus
+    landmark set, then {BEAM_ROUNDS} rounds of
+    expand-the-best-{BEAM_WIDTH}-nodes' neighbors. The WALK scores at
+    most {BEAM_ROUNDS} x {BEAM_WIDTH} x {KNN_GRAPH_K} candidates per
+    query regardless of corpus size, and every expansion is a (frontier,
+    graph.src) equi-join — but the ENTRY stage scores |V|/{IVF_CENT_MOD}
+    landmarks per query, linear in the corpus (VERDICT r9). This tier is
+    the recall gauge's baseline; production serving is
+    similarity_graph_beam_routed, whose entry routes through the
+    ~sqrt(|V|)-centroid coarse quantizer. Recall vs the bucket tiers is
+    priced by graph_beam_recall_report; visited-growth and cost-law
+    contracts are pinned in tests/test_graph_beam.py."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
     _, beam, _ = graph_beam_topk(emb, graph)
     return beam
+
+
+# --------------------------------------------------------------------------
+# ROUTED beam entry (VERDICT r9 #2): the production serve path. The
+# landmark convention above prices entry at |V|/cent_mod exact cosines
+# per query — linear in the corpus, 4e7 cosines/query at 1e9 vectors,
+# defeating the graph tier's purpose. The routed entry is the IVF idea
+# applied to entry selection (Malkov et al.'s hierarchy collapsed to one
+# coarse level): K ~ sqrt(|V|) centroids (cent_mod scales with |V| so K
+# does — FAISS pins K in the 2^16-2^18 band or ~sqrt(N) for the same
+# reason), every vector assigned OFFLINE to its nearest centroid with a
+# per-cell member rank, and a query scores only the K centroids plus the
+# top-ENTRY_CAP members of its ROUTED_NPROBE nearest cells. Entry-stage
+# exact cosines per query = K + nprobe x cap ~ sqrt(|V|) + O(1); the walk
+# then proceeds under the unchanged beam law. Sub-linearity is pinned by
+# SQLMetrics in tests/test_graph_beam.py (the centroid NLJ build side IS
+# K) and graded by the graph_beam_routed_entry_stats gauge.
+ROUTED_NPROBE = 4
+ROUTED_ENTRY_CAP = 16
+ROUTED_REM = 1
+
+
+def _routed_cent_mod(n: int) -> int:
+    """cent_mod = ceil(sqrt(n)), floored at 2, so K = |{vec_id % cent_mod
+    == ROUTED_REM}| ~ sqrt(n). Exact for n < 2^52 (double sqrt of an
+    integer is correctly rounded there), matching DuckDB's
+    ceil(sqrt(count(*))) bit-for-bit."""
+    return max(2, math.ceil(math.sqrt(n)))
+
+
+def routed_entry(
+    emb: DataFrame,
+    nprobe: int = ROUTED_NPROBE,
+    cap: int = ROUTED_ENTRY_CAP,
+    n_queries: int = N_QUERIES,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(scored entry set, centroid frame, entry-candidate pairs) for the
+    routed beam. Centroid count and the cell assignment are INDEX-BUILD
+    decisions (the one emb.count() here is the build-time sizing scalar,
+    not a serve-time collect); at serve time a query pays K centroid
+    cosines + at most nprobe x cap member cosines."""
+    n = emb.count()
+    cent_mod = _routed_cent_mod(n)
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    cent = embn.filter(F.col("vec_id") % cent_mod == ROUTED_REM).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    # offline: nearest-centroid assignment + rank of each member within
+    # its cell by centroid affinity — the stored structure a persisted
+    # index ships; recomputed in-plan here the way every in-memory tier
+    # derives its index
+    pairs = embn.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(
+            cosine_n(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn")), 6
+        ).alias("cc"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("cc").desc(), F.col("cid"))
+    assign = (
+        pairs.withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cid", "cc")
+    )
+    wm = Window.partitionBy("cid").orderBy(F.col("cc").desc(), F.col("vec_id"))
+    members = (
+        assign.withColumn("member_rank", F.row_number().over(wm))
+        .filter(F.col("member_rank") <= cap)
+        .select("vec_id", "cid")
+    )
+    # serve: K centroid cosines per query, probe the nprobe best cells,
+    # enter at their top-cap members
+    q = embn.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "cid",
+        F.round(
+            cosine_n(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")), 6
+        ).alias("qc"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qc").desc(), F.col("cid"))
+    probe = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    entries = (
+        F.broadcast(probe)
+        .join(members, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored0 = _score_pairs(emb, entries, broadcast_cand=True)
+    return scored0, cent, entries
+
+
+def graph_beam_topk_routed(
+    emb: DataFrame,
+    graph: DataFrame,
+    rounds: int = BEAM_ROUNDS,
+    beam: int = BEAM_WIDTH,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    nprobe: int = ROUTED_NPROBE,
+    cap: int = ROUTED_ENTRY_CAP,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(entry-only top-k, beam top-k, visited set) with the ROUTED entry:
+    the serve path whose per-query exact-cosine count is
+    K + nprobe x cap + rounds x beam x k ~ sqrt(|V|) + O(1) — sub-linear
+    in the corpus, unlike graph_beam_topk's landmark entry."""
+    scored0, _, _ = routed_entry(emb, nprobe, cap, n_queries)
+    beam_topk, visited = _beam_walk(emb, graph, scored0, rounds, beam, k)
+    return _rank_topk(scored0, k), beam_topk, visited
+
+
+def _sql_routed_entry_ctes(
+    nprobe: int = ROUTED_NPROBE,
+    cap: int = ROUTED_ENTRY_CAP,
+    n_queries: int = N_QUERIES,
+) -> str:
+    """DuckDB twin of routed_entry, ending in bv0 (the scored entry set)
+    plus rt_cent/rt_members/rt_probe for the gauge."""
+    return f"""
+    rt_cm AS (SELECT GREATEST(2, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cm
+              FROM embeddings),
+    rt_cent AS (SELECT vec_id AS cid, embedding AS ce
+                FROM embeddings, rt_cm WHERE vec_id % cm = {ROUTED_REM}),
+    rt_pairs AS (
+        SELECT v.vec_id, c.cid,
+               round({sql_cosine_pair('v.embedding', 'c.ce')}, 6) AS cc
+        FROM embeddings v, rt_cent c),
+    rt_assign AS (
+        SELECT vec_id, cid, cc FROM (
+            SELECT vec_id, cid, cc,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cc DESC, cid) AS rn
+            FROM rt_pairs)
+        WHERE rn = 1),
+    rt_members AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY cid
+                       ORDER BY cc DESC, vec_id) AS mr
+            FROM rt_assign)
+        WHERE mr <= {cap}),
+    bq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {n_queries}),
+    rt_probe AS (
+        SELECT query_id, cid FROM (
+            SELECT q.query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY round({sql_cosine_pair('q.qe', 'c.ce')}, 6)
+                                    DESC, c.cid) AS rn
+            FROM bq q, rt_cent c)
+        WHERE rn <= {nprobe}),
+    bv0 AS MATERIALIZED (
+        SELECT DISTINCT q.query_id, m.vec_id,
+               round({sql_cosine_pair('q.qe', 'e.embedding')}, 6) AS cosine
+        FROM rt_probe p
+        JOIN rt_members m ON m.cid = p.cid
+        JOIN bq q ON q.query_id = p.query_id
+        JOIN embeddings e ON e.vec_id = m.vec_id
+        WHERE m.vec_id <> q.query_id)"""
+
+
+@register(
+    "similarity_graph_beam_routed",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('', KNN_GRAPH_K)},
+    {_sql_routed_entry_ctes()},
+    {_sql_beam_round_ctes()},
+    scored AS (SELECT * FROM bv{BEAM_ROUNDS})
+    {_SQL_RANK}
+    """,
+)
+def similarity_graph_beam_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph tier's PRODUCTION serve path (VERDICT r9 #2): beam
+    search whose entry routes through a ~sqrt(|V|)-centroid coarse
+    quantizer — K = |V|/ceil(sqrt(|V|)) centroids scored per query, the
+    {ROUTED_NPROBE} nearest cells probed, and only each cell's top
+    {ROUTED_ENTRY_CAP} members (by offline centroid affinity) entering
+    the walk. Per-query exact cosines: ~sqrt(|V|) + {ROUTED_NPROBE} x
+    {ROUTED_ENTRY_CAP} + {BEAM_ROUNDS} x {BEAM_WIDTH} x {KNN_GRAPH_K},
+    vs the landmark tier's |V|/{IVF_CENT_MOD}. Sub-linearity is pinned
+    via SQLMetrics (the centroid NLJ build side) in
+    tests/test_graph_beam.py; entry volume is graded by
+    graph_beam_routed_entry_stats."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    _, beam, _ = graph_beam_topk_routed(emb, graph)
+    return beam
+
+
+@register(
+    "graph_beam_routed_entry_stats",
+    oracle=f"""
+    WITH {_sql_routed_entry_ctes()},
+    per_q AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n
+              FROM bv0 GROUP BY query_id),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_centroids FROM rt_cent)
+    SELECT nv.n_vectors, nc.n_centroids,
+           CAST(max(per_q.n) AS BIGINT) AS entry_rows_max,
+           max(per_q.n) <= {ROUTED_NPROBE * ROUTED_ENTRY_CAP} AS entry_bounded,
+           nc.n_centroids * nc.n_centroids <= 4 * nv.n_vectors
+             AS routing_sublinear
+    FROM per_q, nv, nc
+    GROUP BY nv.n_vectors, nc.n_centroids
+    """,
+)
+def graph_beam_routed_entry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routed tier's cost gauge (allpairs_prefix_stats' sibling):
+    corpus size, centroid count, the worst per-query entry-candidate
+    volume, and two in-plan contracts the oracle re-verifies — entries
+    never exceed nprobe x cap, and K^2 <= 4|V| (K ~ sqrt(|V|), the
+    sub-linear routing law). Run it before trusting a corpus-scale
+    extrapolation, not after."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scored0, cent, _ = routed_entry(emb)
+    per_q = scored0.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    nc = cent.agg(F.count(F.lit(1)).cast("bigint").alias("n_centroids"))
+    return (
+        per_q.agg(F.max("n").cast("bigint").alias("entry_rows_max"))
+        .crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_vectors",
+            "n_centroids",
+            "entry_rows_max",
+            (F.col("entry_rows_max") <= F.lit(ROUTED_NPROBE * ROUTED_ENTRY_CAP))
+            .alias("entry_bounded"),
+            (F.col("n_centroids") * F.col("n_centroids")
+             <= F.lit(4) * F.col("n_vectors")).alias("routing_sublinear"),
+        )
+    )
 
 
 @register(
@@ -2520,7 +2799,11 @@ def graph_index_append(
         "vec_id",
         lambda c: c % APPEND_MOD == F.lit(APPEND_REM),
     ).filter(F.col("vec_id") % APPEND_MOD != APPEND_REM).distinct()
-    scored = _score_pairs(emb, cand, broadcast_cand=True)
+    # No broadcast hint: append candidates scale as |batch| x bucket
+    # occupancy x tables — NOT the beam law _score_pairs' hint is
+    # reserved for — so AQE picks the join strategy from runtime stats
+    # (ADVICE r9).
+    scored = _score_pairs(emb, cand)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
     )
@@ -2534,8 +2817,18 @@ def graph_index_append(
             "rank",
         )
     )
+    # Reverse edges keep cosine (it is symmetric — the true pair value)
+    # but carry rank = NULL: rank is a FORWARD-only contract (position in
+    # src's own neighbor ordering), and reusing the forward rank here
+    # would let one base vertex hold several rank-1 out-edges in the
+    # stored table (ADVICE r9). Beam serving reads only (src, dst);
+    # rank-reading consumers must filter rank IS NOT NULL on appended
+    # graphs.
     rev = fwd.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine", "rank"
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        "cosine",
+        F.lit(None).cast("bigint").alias("rank"),
     )
     (
         fwd.unionByName(rev)
@@ -3282,11 +3575,12 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# The production registration: scaled graph (8 planes x 32 tables,
-# k = 10 — the geometry the curation consumers already run on) walked
-# from the DENSER landmark set (the scaled IVF modulus). Same beam, same
-# cost law with k = 10: <= |V|/25 entries once + rounds x beam x 10
-# expansions per query.
+# The scaled-GRAPH registration: 8 planes x 32 tables, k = 10 — the
+# geometry the curation consumers already run on — walked from the
+# denser landmark set (the scaled IVF modulus). The walk cost law is
+# unchanged with k = 10, but the |V|/25 landmark ENTRY is linear in the
+# corpus; the production serve path pairs this graph geometry with the
+# routed entry (similarity_graph_beam_routed's ~sqrt(|V|) quantizer).
 
 
 @register(

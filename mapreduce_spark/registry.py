@@ -125,15 +125,17 @@ GRADING_PRIORITY = [
     "tpch_q19_brackets", "tpch_q20_dominant_suppliers",
     "tpch_q21_waiting_suppliers",
     # --- joins / windows / temporal
-    "cross_join", "window_lag", "window_share", "window_percentiles",
+    "cross_join", "window_lag", "window_percentiles",
     "resample_interpolate", "scd2_history",
     # --- event analytics
     "dau_wau", "attribution_last_touch", "event_path_topk", "corr_matrix",
     # --- text analysis
     "bpe_apply", "perplexity_kn_bigram", "token_pmi", "dsir_weights",
-    # --- dedup / similarity / graph ANN
+    # --- dedup / similarity / graph ANN (routed = the r10 sub-linear
+    # entry, VERDICT r9 #2's done-condition)
     "dedup_allpairs_prefix", "dedup_keep_best",
-    "similarity_graph_beam", "knn_graph",
+    "similarity_graph_beam_routed", "graph_beam_routed_entry_stats",
+    "knn_graph",
     # --- MapReduce executable compat
     "pipe_grep",
 ]

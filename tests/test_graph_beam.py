@@ -123,6 +123,72 @@ def test_persisted_graph_beam_matches_in_memory(spark, sf_dir):
     assert GRAPH_INDEX_TABLE in plan
 
 
+def test_routed_beam_surfaces_cluster_members(spark):
+    """The routed entry must ROUTE: probing the query's nearest cells
+    has to land in the planted cluster's cell and surface its members
+    (directly or through the walk), with the per-query entry volume
+    inside the nprobe x cap contract."""
+    from mapreduce_spark.operators.similarity import (
+        ROUTED_ENTRY_CAP,
+        ROUTED_NPROBE,
+        graph_beam_topk_routed,
+        routed_entry,
+    )
+
+    emb = _planted_corpus(spark)
+    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    _, beam, _ = graph_beam_topk_routed(emb, graph)
+    hits = {(r["query_id"], r["vec_id"]) for r in beam.collect()}
+    planted = {20, 21, 22, 23, 24}
+    for q in range(N_QUERIES):
+        found = {v for qq, v in hits if qq == q} & planted
+        assert len(found) >= 2, (q, sorted(found))
+    _, _, entries = routed_entry(emb)
+    per_q = entries.groupBy("query_id").count().collect()
+    for r in per_q:
+        assert r["count"] <= ROUTED_NPROBE * ROUTED_ENTRY_CAP
+
+
+def test_routed_entry_cost_sublinear(spark):
+    """VERDICT r9 #2's done-condition: the entry stage's scored-candidate
+    count is pinned to ~sqrt(|V|), via the SQLMetrics the NLJ audit
+    reads — the centroid crossJoin's build side IS the K centroids, so
+    its reported row count is the per-query centroid-scoring cost. 16x
+    the corpus must grow that cost ~4x (sqrt law), not 16x (the landmark
+    tier's law), and the member-entry volume must stay inside the
+    constant nprobe x cap bound at both sizes."""
+    from mapreduce_spark.operators.similarity import (
+        ROUTED_ENTRY_CAP,
+        ROUTED_NPROBE,
+        _routed_cent_mod,
+        routed_entry,
+    )
+    from mapreduce_spark.plans import audit
+
+    costs = {}
+    for n in (256, 4096):
+        emb = _planted_corpus(spark, n=n)
+        scored0, cent, entries = routed_entry(emb)
+        k_cents = cent.count()
+        expected_k = sum(
+            1 for v in range(n) if v % _routed_cent_mod(n) == 1
+        )
+        assert k_cents == expected_k
+        # the SQLMetrics pin: every NLJ build side in the routed entry
+        # plan is the centroid table — K rows, never the corpus
+        build_rows = audit.nlj_build_rows(scored0)
+        assert build_rows and all(r == k_cents for r in build_rows), (
+            build_rows,
+            k_cents,
+        )
+        for r in entries.groupBy("query_id").count().collect():
+            assert r["count"] <= ROUTED_NPROBE * ROUTED_ENTRY_CAP
+        costs[n] = k_cents
+    # sqrt law: 16x corpus -> ~4x centroid-scoring cost, far below 16x
+    growth = costs[4096] / costs[256]
+    assert 2.0 <= growth <= 6.0, costs
+
+
 def test_appended_vectors_discoverable(spark):
     """The append's point: a vector added AFTER the build is reachable
     by beam search only through append-written edges (its forward edge

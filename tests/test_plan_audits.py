@@ -141,6 +141,8 @@ CARTESIAN_OK = {
     "semdedup_clusters",  # same broadcast-centroid assignment NLJ
     "multiprobe_recall_report",  # embeds the similarity_topk exact baseline
     "similarity_graph_beam",  # broadcast 5-query NLJ scoring the landmarks
+    "similarity_graph_beam_routed",  # broadcast ~sqrt(|V|)-centroid routing NLJ
+    "graph_beam_routed_entry_stats",  # same routing NLJ + 1-row gauge crossJoins
     "graph_beam_recall_report",  # same landmark NLJ + the exact baseline
     "similarity_graph_beam_scaled",  # same landmark NLJ, scaled graph
     "graph_beam_recall_report_scaled",  # landmark NLJ + exact baseline
