@@ -1586,8 +1586,16 @@ def funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, both engines); the mean is one IEEE division of an exact
     integer sum; the median comes from the (latency, count) DISTRIBUTION
     via the integer rank rule (the event_anomaly_mad playbook) — never
-    a raw-row sort. One row out; the distribution table is as small as
-    |distinct latencies|."""
+    a raw-row sort. One row out.
+
+    Scale (VERDICT r9 #6): |distinct latencies| is bounded by the value
+    domain, not the corpus — fine for whole seconds, unbounded by design
+    (a microsecond-granularity latency column explodes it). So the
+    cumulative count comes from the shared two-phase bounded_cumsum (the
+    ccnet_buckets / window_ntile machinery): the only partitionless
+    window runs over the <=256 coarse-cell totals, and the grand total
+    rides a broadcast 1-row aggregate instead of a whole-distribution
+    window (audited in tests/test_plan_audits.py)."""
     f = funnel_conversion(spark, sf_dir)
     lat = (
         f.filter(F.col("converted"))
@@ -1602,13 +1610,11 @@ def funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lat_s")
         )
     )
+    from mapreduce_spark.functions.ranks import bounded_cumsum
+
     dist = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = Window.orderBy("lat_s").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = dist.withColumn("cum_end", F.sum("cnt").over(w_cum)).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy())
-    )
+    ncnt = dist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    cum = bounded_cumsum(dist, "lat_s", "cnt").crossJoin(F.broadcast(ncnt))
     rank = F.expr("(n + 1) div 2")
     return cum.agg(
         F.max("n").cast("bigint").alias("n_converted"),

@@ -1194,42 +1194,18 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", F.round(F.col("avg_nll") * 1000000).cast("bigint")
     )
     hist = pm.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
-    # Distributed prefix sum over the histogram (two-phase): a naive
+    # Distributed prefix sum over the histogram: a naive
     # Window.orderBy("m") cumsum funnels the WHOLE histogram through one
     # partition — its size is bounded by the micro-score domain, not the
-    # corpus, but that can still be 10^7 rows. Instead: range-bucket the
-    # scores into NB=256 coarse cells off a broadcast 1-row (mn, mx)
-    # aggregate, cumsum WITHIN each cell (partitioned window, parallel),
-    # and add each cell's prior-cells offset — the only partitionless
-    # window left runs over the <=256 cell totals, bounded by the
-    # constant NB regardless of scale (audited in test_plan_audits.py).
-    nb = 256
-    rng = hist.agg(
-        F.min("m").alias("_mn"), F.max("m").alias("_mx")
-    )
-    # exact integer division (ADVICE r7): float division + cast could
-    # round the max score into a 257th cell on extreme score ranges;
-    # DIV guarantees _coarse in [0, nb-1]
-    bucketed = hist.crossJoin(F.broadcast(rng)).withColumn(
-        "_coarse",
-        F.expr(f"((m - _mn) * {nb}) DIV (_mx - _mn + 1)"),
-    )
-    w_in = (
-        Window.partitionBy("_coarse")
-        .orderBy("m")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    intra = bucketed.withColumn("_cum_in", F.sum("c").over(w_in))
-    totals = bucketed.groupBy("_coarse").agg(F.sum("c").alias("_ct"))
-    w_prior = Window.orderBy("_coarse").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    prior = totals.withColumn(
-        "_prior", F.coalesce(F.sum("_ct").over(w_prior), F.lit(0))
-    ).select("_coarse", "_prior")
+    # corpus, but that can still be 10^7 rows. bounded_cumsum is the
+    # shared two-phase form (exact DIV cell split per ADVICE r7; the
+    # only partitionless window runs over the <=256 cell totals,
+    # audited in test_plan_audits.py).
+    from mapreduce_spark.functions.ranks import bounded_cumsum
+
     cum = (
-        intra.join(F.broadcast(prior), "_coarse")
-        .withColumn("cum", F.col("_cum_in") + F.col("_prior"))
+        bounded_cumsum(hist, "m", "c")
+        .withColumnRenamed("cum_end", "cum")
         .select("m", "c", "cum")
     )
     ncnt = pm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))

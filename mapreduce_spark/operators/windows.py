@@ -450,10 +450,11 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scd2_history",
-    oracle="""
-    WITH o AS (
+# The SCD2 dimension's oracle CTEs, shared by scd2_history and the
+# point-in-time join against it (scd2_asof_join): v = one row per
+# (user, version) with [valid_from, valid_to) validity.
+_SCD2_SQL_CTES = """
+    o AS (
         SELECT user_id, ts, event_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev
@@ -468,6 +469,13 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY valid_from, event_id)
                       AS BIGINT) AS version
           FROM ch)
+"""
+
+
+@register(
+    "scd2_history",
+    oracle=f"""
+    WITH {_SCD2_SQL_CTES}
     SELECT user_id, version, event_type AS state, valid_from, valid_to,
            (valid_to IS NULL) AS is_current
     FROM v
@@ -517,6 +525,82 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@register(
+    "scd2_asof_join",
+    oracle=f"""
+    WITH {_SCD2_SQL_CTES},
+    f AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts AS fact_ts, v.version,
+           v.event_type AS state
+    FROM f JOIN v
+      ON v.user_id = f.user_id
+     AND v.valid_from <= f.ts
+     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+    """,
+)
+def scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join against the SCD2 dimension (VERDICT r9
+    #7 — the lakehouse query every warehouse user writes next): each
+    purchase fact is enriched with the dimension version that was valid
+    AT the fact's timestamp, i.e. the unique version with
+    valid_from <= ts < valid_to (null valid_to = open). Because the SCD2
+    intervals partition each user's timeline, every fact matches exactly
+    one version.
+
+    Scale: the naive formulation is an interval theta-join (a per-user
+    cartesian refined by the range predicate). This is the asof_join
+    union+window idiom instead: dimension version-open rows and fact
+    rows merge into one per-user stream ordered by
+    (ts, dims-first, version), and last(ignorenulls) carries the
+    prevailing version onto each fact — ONE user_id shuffle, no join at
+    all, skew-safe via AQE. Dims-first at a ts tie makes valid_from
+    inclusive; version-ascending within a tie means a zero-width version
+    ([t, t) — two changes at the same ts) is superseded by its
+    same-timestamp successor, exactly the rows the oracle's strict
+    ts < valid_to keeps. The oracle stays the declarative interval join,
+    so the two formulations are independent."""
+    dim = scd2_history(spark, sf_dir).select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("is_fact"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "version",
+        "state",
+    )
+    facts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_fact"),
+            "event_id",
+            F.lit(None).cast("bigint").alias("version"),
+            F.lit(None).cast("string").alias("state"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_fact", "version")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = dim.unionByName(facts).withColumn(
+        "_v",
+        F.last(
+            F.when(F.col("is_fact") == 0, F.struct("version", "state")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return merged.filter(F.col("is_fact") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("fact_ts"),
+        F.col("_v.version").alias("version"),
+        F.col("_v.state").alias("state"),
     )
 
 

@@ -124,9 +124,12 @@ GRADING_PRIORITY = [
     "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
     "tpch_q19_brackets", "tpch_q20_dominant_suppliers",
     "tpch_q21_waiting_suppliers",
-    # --- joins / windows / temporal
-    "cross_join", "window_lag", "window_percentiles",
-    "resample_interpolate", "scd2_history",
+    # --- joins / windows / temporal (scd2_asof_join = the r10
+    # point-in-time join against the SCD2 dimension, VERDICT r9 #7's
+    # done-condition; cross_join yields its slot — it stays pinned by
+    # the full-registry sweep like every rotated-out name)
+    "window_lag", "window_percentiles",
+    "resample_interpolate", "scd2_history", "scd2_asof_join",
     # --- event analytics
     "dau_wau", "attribution_last_touch", "event_path_topk", "corr_matrix",
     # --- text analysis

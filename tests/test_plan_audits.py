@@ -279,6 +279,11 @@ PARTITIONLESS_WINDOW_CAPS = {
     # <=256 coarse-cell totals (constant NB, not data-driven)
     "ccnet_buckets": 256,
     "window_ntile": 256,
+    # r10 (VERDICT r9 #6): the latency distribution's cumulative count
+    # now rides the same shared bounded_cumsum — the old form's
+    # partitionless window grew with |distinct latencies| (value-domain
+    # bounded, unbounded by design at finer granularities)
+    "funnel_latency_stats": 256,
     # fusion of the two post-limit rank lists (2 retrievers x top-100)
     "hybrid_rrf": 256,
 }

@@ -1,0 +1,127 @@
+"""SCD Type 2 dimension history + the point-in-time join against it.
+
+Planted change-stream cases (VERDICT r9 #7): run compression, interval
+contiguity, the open current row, facts landing exactly ON a version
+boundary (inclusive valid_from), and a same-timestamp double change
+(zero-width version superseded by its same-ts successor).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from mapreduce_spark.operators.windows import scd2_asof_join, scd2_history
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def m(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def change_stream_sf(spark, tmp_path_factory) -> str:
+    """Hand-placed change stream.
+
+    user 1: view(0) view(5) click(10) purchase(20) purchase(30)
+            -> versions view[0,10) click[10,20) purchase[20,None)
+    user 2: purchase(0) click(0)  (same ts, event_id breaks the tie:
+            7 then 8) -> purchase is a ZERO-WIDTH version [0,0),
+            click [0,None) supersedes it at the same instant
+    """
+    root = tmp_path_factory.mktemp("scd2_stream")
+    rows = [
+        (1, m(0), 1, "view", 1.0, "{}"),
+        (2, m(5), 1, "view", 1.0, "{}"),
+        (3, m(10), 1, "click", 1.0, "{}"),
+        (4, m(20), 1, "purchase", 1.0, "{}"),
+        (5, m(30), 1, "purchase", 1.0, "{}"),
+        (7, m(0), 2, "purchase", 1.0, "{}"),
+        (8, m(0), 2, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/events.parquet")
+    return str(root)
+
+
+def test_scd2_history_hand_case(spark, change_stream_sf):
+    out = {
+        (r.user_id, r.version): r
+        for r in scd2_history(spark, change_stream_sf).collect()
+    }
+    # user 1: the view run compresses to ONE version
+    assert len([k for k in out if k[0] == 1]) == 3
+    v1, v2, v3 = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+    assert (v1.state, v1.valid_from, v1.valid_to) == ("view", m(0), m(10))
+    assert (v2.state, v2.valid_from, v2.valid_to) == ("click", m(10), m(20))
+    assert (v3.state, v3.valid_from, v3.valid_to) == ("purchase", m(20), None)
+    assert (v1.is_current, v2.is_current, v3.is_current) == (
+        False,
+        False,
+        True,
+    )
+    # user 2: same-ts double change -> version 1 is zero-width
+    u1, u2 = out[(2, 1)], out[(2, 2)]
+    assert (u1.state, u1.valid_from, u1.valid_to) == ("purchase", m(0), m(0))
+    assert (u2.state, u2.valid_from, u2.valid_to) == ("click", m(0), None)
+
+
+def test_scd2_asof_join_hand_case(spark, change_stream_sf):
+    out = {
+        r.event_id: (r.version, r.state)
+        for r in scd2_asof_join(spark, change_stream_sf).collect()
+    }
+    # purchase event 4 lands exactly ON its own version boundary:
+    # valid_from is inclusive, so it sees version 3 (purchase), not 2
+    assert out[4] == (3, "purchase")
+    # purchase event 5 falls inside the open current row
+    assert out[5] == (3, "purchase")
+    # user 2's purchase at m(0): the zero-width purchase version [0,0)
+    # is superseded by the same-ts click version -> version 2 prevails
+    assert out[7] == (2, "click")
+    assert set(out) == {4, 5, 7}
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark, sf_dir):
+    """On the real table: per user, valid_from(k+1) == valid_to(k),
+    exactly one open row, version numbering dense from 1 — so the
+    point-in-time join is total (every fact matches exactly one
+    version)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    hist = scd2_history(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("version")
+    bad = (
+        hist.withColumn("_nf", F.lead("valid_from").over(w))
+        .withColumn("_nv", F.lead("version").over(w))
+        .filter(
+            (F.col("_nf").isNotNull() & (F.col("_nf") != F.col("valid_to")))
+            | (F.col("_nv").isNotNull() & (F.col("_nv") != F.col("version") + 1))
+            | (F.col("_nf").isNull() & F.col("valid_to").isNotNull())
+        )
+        .count()
+    )
+    assert bad == 0
+    open_rows = hist.filter("is_current").groupBy("user_id").count()
+    assert open_rows.filter("count != 1").count() == 0
+
+
+def test_scd2_asof_join_is_total_over_purchases(spark, sf_dir):
+    """Every purchase fact finds exactly one version (inner-join row
+    preservation — the oracle would silently drop unmatched facts)."""
+    from mapreduce_spark.sources.tables import load_table
+
+    n_facts = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    joined = scd2_asof_join(spark, sf_dir)
+    assert joined.count() == n_facts
+    assert joined.filter("version IS NULL OR state IS NULL").count() == 0
