@@ -134,6 +134,15 @@ HEADLINE = [
     # derivations, benched so their plan shapes stay pinned.
     "similarity_ann_lsh_multiprobe",
     "similarity_graph_beam",
+    # round-10: the routed (sub-linear entry) graph-beam serve path —
+    # benched against its landmark sibling above so the entry rewrite's
+    # cost stays visible; the SCD2 point-in-time join (one user_id
+    # shuffle, no interval theta-join); the bloom-prefiltered selective
+    # join; and the re-planned funnel card (two-phase bounded cumsum).
+    "similarity_graph_beam_routed",
+    "scd2_asof_join",
+    "join_bloom_prefilter",
+    "funnel_latency_stats",
 ]
 
 # Queries whose driver function does EAGER work (checkpointed training

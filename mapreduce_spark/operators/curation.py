@@ -1174,3 +1174,79 @@ def mix_epoch_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alloc.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
         (F.col("k") <= F.col("ks")).alias("capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage audit: train_test_split's content-hash buckets
+# co-assign EXACT normalized duplicates, but genuine near-duplicates (one
+# token changed) hash to arbitrary buckets and can straddle the split —
+# the contamination that silently inflates eval scores. This report
+# surfaces every verified near-dup pair whose members landed in
+# different splits, reusing the demo-profile LSH pair derivation
+# verbatim (same shingles, signatures, bands, threshold).
+def _split_leakage_sql() -> str:
+    from mapreduce_spark.operators.dedup import (
+        _MINHASH_CTES,
+        JACCARD_THRESHOLD,
+    )
+
+    split_case = (
+        f"CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train' "
+        f"WHEN bucket < {SPLIT_VALID_LT} THEN 'valid' "
+        f"ELSE 'test' END"
+    )
+    return (
+        _MINHASH_CTES
+        + f""",
+    vp AS (SELECT doc_a, doc_b, jaccard FROM verified
+           WHERE jaccard >= {JACCARD_THRESHOLD}),
+    spl AS (SELECT doc_id, {split_case} AS split FROM (
+        SELECT doc_id,
+               {md5_long_sql(f"array_to_string({SQL_TOKENS.format(col='text')}, ' ')")}
+                 % {SPLIT_BUCKETS} AS bucket
+        FROM documents))
+    SELECT v.doc_a, sa.split AS split_a, v.doc_b, sb.split AS split_b,
+           v.jaccard
+    FROM vp v
+    JOIN spl sa ON sa.doc_id = v.doc_a
+    JOIN spl sb ON sb.doc_id = v.doc_b
+    WHERE sa.split <> sb.split
+    """
+    )
+
+
+@register("split_leakage_report", oracle=_split_leakage_sql())
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs that STRADDLE the train/valid/test split —
+    the leakage train_test_split's exact-duplicate guard cannot catch
+    (Lee et al. 2021's motivation for near-dup dedup before splitting):
+    a test document with a one-token-edited twin in train inflates eval.
+    Every pair here is a verified LSH near-dup (dedup_minhash_lsh's
+    exact derivation) annotated with both members' split assignments,
+    keeping only cross-split pairs. Run it after any split; a non-empty
+    result means either re-split by near-dup CLUSTER or drop the train
+    member. Cost: the LSH pair pass (candidates via band buckets, never
+    all-pairs) + two |docs|-row equi-joins on doc_id — the split frame
+    is derived in-plan by the same zero-shuffle content hash."""
+    from mapreduce_spark.operators.dedup import (
+        N_BANDS,
+        N_PERMS,
+        _doc_shingles,
+        minhash_lsh_pairs,
+    )
+
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sgl") > 0)
+    pairs = minhash_lsh_pairs(sh, N_PERMS, N_BANDS)
+    splits = train_test_split(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+    )

@@ -432,3 +432,60 @@ def join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity", "sum_qty"),
         )
     )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spend
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+    GROUP BY c.c_custkey
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join: orders of AUTOMOBILE-segment
+    customers, with the fact side pre-pruned by a Bloom filter built
+    from the dimension's keys BEFORE any join shuffle.
+
+    The 100 TB shape this encodes: when the filtered dimension is too
+    big to broadcast as rows (a billion-key dim blows the broadcast
+    limit), its Bloom filter is NOT — bloom_build folds any key
+    cardinality into a constant-size array<bigint> (64 KiB here) by a
+    map-side partial aggregate, and the probe is pure JVM bit math
+    fused into the fact scan. Non-matching facts (most of a 100 TB
+    table when the dim filter is selective) die before the exchange,
+    so the join shuffles matches + a bounded false-positive residue
+    instead of the whole fact table; the exact equi-join that follows
+    removes the false positives (no false negatives by construction —
+    same hash family both sides, tests/test_dedup_similarity.py). The
+    oracle is the plain declarative join: the prefilter must be
+    invisible in the result, visible only in the plan. Spark's own
+    runtime row-filtering (InjectRuntimeFilter) does this opportunistically;
+    this operator makes it an explicit, plannable primitive (the
+    contamination gates' bloom, promoted to the join family)."""
+    from mapreduce_spark.functions.bloom import bloom_build, bloom_probe
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    dim = cust.select("c_custkey")
+    bloom = bloom_build(dim, "c_custkey")
+    facts = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .crossJoin(F.broadcast(bloom))
+        .filter(bloom_probe(F.col("bw"), F.col("o_custkey")))
+        .drop("bw")
+    )
+    return (
+        facts.join(dim, facts.o_custkey == dim.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_spend"),
+        )
+    )

@@ -493,39 +493,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit trail a point-in-time join needs. Deterministic under the
     (ts, event_id) total order; one user_id shuffle shared by both
     windows and the change filter."""
-    ev = load_table(spark, sf_dir, "events")
-    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ch = (
-        ev.select(
-            "user_id",
-            "ts",
-            "event_id",
-            "event_type",
-            F.lag("event_type").over(w_ord).alias("prev"),
-        )
-        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-        .select(
-            "user_id",
-            F.col("ts").alias("valid_from"),
-            "event_id",
-            "event_type",
-        )
-    )
-    w_v = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
-    return ch.select(
-        "user_id",
-        F.row_number().over(w_v).cast("bigint").alias("version"),
-        F.col("event_type").alias("state"),
-        "valid_from",
-        F.lead("valid_from").over(w_v).alias("valid_to"),
-    ).select(
-        "user_id",
-        "version",
-        "state",
-        "valid_from",
-        "valid_to",
-        F.col("valid_to").isNull().alias("is_current"),
-    )
+    return _scd2_from(load_table(spark, sf_dir, "events"))
 
 
 @register(
@@ -601,6 +569,186 @@ def scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("fact_ts"),
         F.col("_v.version").alias("version"),
         F.col("_v.state").alias("state"),
+    )
+
+
+# Fixed mid-range instant for the snapshot query: the generated events
+# tables span January 2024 at every SF, so this cut always lands inside
+# the history (and the query's semantics don't depend on that — an
+# out-of-range cut just returns fewer/all-open rows).
+SCD2_SNAPSHOT_TS = "2024-01-15 00:00:00"
+
+
+@register(
+    "scd2_snapshot_at",
+    oracle=f"""
+    WITH {_SCD2_SQL_CTES}
+    SELECT user_id, version, event_type AS state, valid_from
+    FROM v
+    WHERE valid_from <= TIMESTAMP '{SCD2_SNAPSHOT_TS}'
+      AND (valid_to IS NULL OR TIMESTAMP '{SCD2_SNAPSHOT_TS}' < valid_to)
+    """,
+)
+def scd2_snapshot_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 dimension: reconstruct the dimension AS
+    OF a fixed instant — one row per user whose history had opened by
+    the cut, carrying the version valid at that moment
+    (valid_from <= T < valid_to, null valid_to = open). scd2_asof_join
+    answers "which version did THIS fact see"; this answers "what did
+    the whole dimension look like at T" — the snapshot a backfill,
+    audit, or reproducible-training-run pins. Because SCD2 intervals
+    partition each user's timeline, the filter alone is the snapshot: no
+    window, no join, no dedup — it composes with the history's one
+    user_id shuffle and prunes to |users| rows."""
+    hist = scd2_history(spark, sf_dir)
+    t = F.lit(SCD2_SNAPSHOT_TS).cast("timestamp_ntz")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (t < F.col("valid_to")))
+    ).select("user_id", "version", "state", "valid_from")
+
+
+# The incremental-maintenance cut: events before it form the "existing"
+# SCD2 table, events at/after it are the arriving change batch. Fixed
+# mid-range so both sides are non-trivial at every SF.
+SCD2_MERGE_CUT = "2024-01-16 00:00:00"
+
+
+@register(
+    "scd2_merge_incremental",
+    oracle=f"""
+    WITH {_SCD2_SQL_CTES}
+    SELECT user_id, version, event_type AS state, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v
+    """,
+)
+def scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE: fold an arriving change batch (events at/after the
+    cut) into an EXISTING dimension history (built from events before
+    the cut) without recomputing closed history — the maintenance
+    operation a lakehouse dimension table runs every ingest cycle.
+
+    Protocol: the base history's CLOSED rows pass through untouched (at
+    100 TB that is ~all of the table — the whole point of MERGE over
+    rebuild). Each user's OPEN row is re-evaluated against their delta:
+    the open row's state seeds the change detector (so a delta event
+    continuing the current state produces NO new version — the
+    cross-boundary run compresses exactly as a full rebuild would), the
+    first delta change closes the open row, and subsequent versions
+    number up from the base's max version. Touched work is
+    |open rows| + |delta| (one row per known user plus the batch) —
+    independent of history DEPTH, the quantity that actually grows
+    without bound. The oracle is the FULL recompute over all events
+    (scd2_history's own SQL): merge(base, delta) == rebuild(all) row
+    for row, the restartability law dedup_incremental pins for ingest.
+    One user_id shuffle shared by the seeded window; closed rows never
+    enter an exchange keyed on anything new."""
+    cut = F.lit(SCD2_MERGE_CUT).cast("timestamp_ntz")
+    ev = load_table(spark, sf_dir, "events")
+    base_hist = _scd2_from(ev.filter(F.col("ts") < cut))
+    delta = ev.filter(F.col("ts") >= cut)
+
+    closed = base_hist.filter(~F.col("is_current"))
+    open_rows = base_hist.filter(F.col("is_current")).select(
+        "user_id", "version", "state", "valid_from"
+    )
+    # Seed stream: the open row replayed as a pseudo-event carrying its
+    # own (version, valid_from), followed by the user's delta events.
+    seed = open_rows.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("state").alias("event_type"),
+        F.lit(0).alias("is_delta"),
+        "version",
+    )
+    dstream = delta.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lit(1).alias("is_delta"),
+        F.lit(None).cast("bigint").alias("version"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "is_delta", "event_id")
+    w_all = Window.partitionBy("user_id")
+    merged = (
+        seed.unionByName(dstream)
+        .withColumn("prev", F.lag("event_type").over(w_ord))
+        .withColumn("base_version", F.max("version").over(w_all))
+    )
+    # Changes within the merged per-user stream. A user with no base
+    # history (first seen in the delta) starts at version 1 (null
+    # base_version -> 0). The seed row itself re-emits the open row,
+    # updated with its new valid_to if a delta change followed.
+    ch = merged.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w_v = Window.partitionBy("user_id").orderBy("ts", "is_delta", "event_id")
+    upserts = ch.select(
+        "user_id",
+        (
+            F.coalesce(F.col("base_version"), F.lit(0))
+            + F.row_number().over(w_v)
+            - 1
+            + F.when(F.col("base_version").isNull(), F.lit(1)).otherwise(
+                # the seed occupies rank 1 AT its own version: deltas
+                # number base_version + (rank - 1); new users have no
+                # seed, so their rank 1 must map to version 1
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("version"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_v).alias("valid_to"),
+    ).select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+    return closed.unionByName(upserts)
+
+
+def _scd2_from(ev: DataFrame) -> DataFrame:
+    """scd2_history's derivation over an arbitrary events frame (shared
+    by the full-history query and the merge's base side)."""
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w_ord).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+            "event_type",
+        )
+    )
+    w_v = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return ch.select(
+        "user_id",
+        F.row_number().over(w_v).cast("bigint").alias("version"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        F.lead("valid_from").over(w_v).alias("valid_to"),
+    ).select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
     )
 
 

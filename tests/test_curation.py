@@ -8,6 +8,7 @@ duplicate-free, and the rollup is exactly the manifest aggregated.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from mapreduce_spark.operators import curation as C
 from mapreduce_spark.registry import get_queries
@@ -285,3 +286,46 @@ def test_stratified_sampling_is_partitioning_independent(spark):
             continue
         rate = kept[flag] / total[flag]
         assert abs(rate - ppk / 1000) < 0.15, (flag, rate, ppk)
+
+
+@pytest.fixture(scope="module")
+def leak_corpus_sf(spark, tmp_path_factory) -> str:
+    """Planted split-leakage corpus: docs 1/2 are one-token-apart
+    near-dups whose content-hash buckets land in train (36) and test
+    (99) respectively — found by brute-forcing the suffix token against
+    the same md5 bucket rule train_test_split uses. Doc 3 is unrelated."""
+    root = tmp_path_factory.mktemp("leak_corpus")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong coffee near the old stone bridge"
+    )
+    rows = [
+        (1, f"{base} alpha0", "en", "web", 0),
+        (2, f"{base} beta240", "en", "web", 0),
+        (3, "completely different content about database engines and "
+            "distributed shuffle partitioning strategies for analytics",
+         "en", "web", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/documents.parquet")
+    return str(root)
+
+
+def test_split_leakage_report_planted_pair(spark, leak_corpus_sf):
+    from mapreduce_spark.operators.curation import (
+        split_leakage_report,
+        train_test_split,
+    )
+
+    splits = {
+        r.doc_id: r.split
+        for r in train_test_split(spark, leak_corpus_sf).collect()
+    }
+    assert splits[1] == "train" and splits[2] == "test"
+    out = split_leakage_report(spark, leak_corpus_sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert {r.split_a, r.split_b} == {"train", "test"}
+    assert r.jaccard >= 0.5

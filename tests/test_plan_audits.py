@@ -171,6 +171,8 @@ CARTESIAN_OK = {
     "perplexity_trigram_backoff",  # broadcasts the 1-row (nt, vs) aggregate
     "pagerank_transitions",  # broadcasts the 1-row node-count aggregate
     "ccnet_buckets",  # broadcasts the 1-row percentile-cutoff aggregate
+    "funnel_latency_stats",  # bounded_cumsum's 1-row (min,max) + total
+
     "window_ntile",  # broadcasts the 1-row (min,max)/count range aggregates
     "dsir_weights",  # broadcasts the 1-row target/raw total aggregates
     "dsir_resample",  # embeds dsir_weights' 1-row total broadcast
@@ -178,6 +180,7 @@ CARTESIAN_OK = {
     "dedup_recall_report_scaled",  # same 1-row crossJoin, scaled profile
     "dedup_recall_report_oph",  # same 1-row crossJoin, OPH-fed profile
     "contamination_gate_bloom",  # broadcasts the 1-row 64 KiB bloom array
+    "join_bloom_prefilter",  # broadcasts the 1-row 64 KiB dim-key bloom
     "similarity_hamming_topk",  # broadcasts the 5-row query sign codes (!=)
     "similarity_hamming_rerank",  # same 5-row code broadcast, then equi-joins
     "hamming_recall_report",  # embeds similarity_topk + the hamming NLJs

@@ -12,7 +12,11 @@ import datetime as dt
 
 import pytest
 
-from mapreduce_spark.operators.windows import scd2_asof_join, scd2_history
+from mapreduce_spark.operators.windows import (
+    scd2_asof_join,
+    scd2_history,
+    scd2_merge_incremental,
+)
 
 T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
 
@@ -125,3 +129,63 @@ def test_scd2_asof_join_is_total_over_purchases(spark, sf_dir):
     joined = scd2_asof_join(spark, sf_dir)
     assert joined.count() == n_facts
     assert joined.filter("version IS NULL OR state IS NULL").count() == 0
+
+
+def test_scd2_merge_incremental_matches_full_rebuild(spark, sf_dir):
+    """merge(base, delta) == rebuild(all), row for row — including the
+    cross-boundary run compression and version numbering."""
+    got = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_merge_incremental(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def merge_stream_sf(spark, tmp_path_factory) -> str:
+    """Change stream straddling the SCD2_MERGE_CUT (2024-01-16):
+    user 1: view(Jan10) click(Jan12) | click(Jan20) purchase(Jan25)
+            -> the click run crosses the cut and must compress
+    user 2: view(Jan10) | (no delta) -> open row passes through
+    user 3: (no base) | click(Jan20) view(Jan22) -> versions start at 1
+    """
+    root = tmp_path_factory.mktemp("scd2_merge")
+    d = lambda day: dt.datetime(2024, 1, day, 12, 0, 0)
+    rows = [
+        (1, d(10), 1, "view", 1.0, "{}"),
+        (2, d(12), 1, "click", 1.0, "{}"),
+        (3, d(20), 1, "click", 1.0, "{}"),
+        (4, d(25), 1, "purchase", 1.0, "{}"),
+        (5, d(10), 2, "view", 1.0, "{}"),
+        (6, d(20), 3, "click", 1.0, "{}"),
+        (7, d(22), 3, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/events.parquet")
+    return str(root)
+
+
+def test_scd2_merge_incremental_hand_case(spark, merge_stream_sf):
+    d = lambda day: dt.datetime(2024, 1, day, 12, 0, 0)
+    out = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to)
+        for r in scd2_merge_incremental(spark, merge_stream_sf).collect()
+    }
+    assert out == {
+        # user 1: click run crosses the cut -> ONE version from Jan12
+        (1, 1): ("view", d(10), d(12)),
+        (1, 2): ("click", d(12), d(25)),
+        (1, 3): ("purchase", d(25), None),
+        # user 2: untouched open row passes through
+        (2, 1): ("view", d(10), None),
+        # user 3: first seen in the delta -> versions from 1
+        (3, 1): ("click", d(20), d(22)),
+        (3, 2): ("view", d(22), None),
+    }
