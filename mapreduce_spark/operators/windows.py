@@ -653,6 +653,18 @@ def scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_rows = base_hist.filter(F.col("is_current")).select(
         "user_id", "version", "state", "valid_from"
     )
+    return closed.unionByName(scd2_apply_delta(open_rows, delta))
+
+
+def scd2_apply_delta(open_rows: DataFrame, delta: DataFrame) -> DataFrame:
+    """The MERGE core shared by scd2_merge_incremental and the streaming
+    maintainer (streaming/events.py): given the dimension's OPEN rows
+    (user_id, version, state, valid_from) and a change batch whose
+    events all postdate them (time-partitioned arrival — late data needs
+    a retraction protocol, out of scope), emit the replacement rows:
+    every open row re-emitted (closed if a change followed, still open
+    otherwise) plus the batch's new versions. Closed history is never
+    touched. One user_id shuffle over |open rows| + |delta|."""
     # Seed stream: the open row replayed as a pseudo-event carrying its
     # own (version, valid_from), followed by the user's delta events.
     seed = open_rows.select(
@@ -686,7 +698,7 @@ def scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
     )
     w_v = Window.partitionBy("user_id").orderBy("ts", "is_delta", "event_id")
-    upserts = ch.select(
+    return ch.select(
         "user_id",
         (
             F.coalesce(F.col("base_version"), F.lit(0))
@@ -712,7 +724,6 @@ def scd2_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
-    return closed.unionByName(upserts)
 
 
 def _scd2_from(ev: DataFrame) -> DataFrame:

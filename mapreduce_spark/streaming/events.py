@@ -1251,3 +1251,125 @@ def stream_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     spark.catalog.refreshTable("mv_stream_state")
     return rollup_view_read(spark, "mv_stream_state")
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 maintenance: the dimension-history table kept current by
+# the change stream itself. Batch boundaries are TIME cuts (watermark-
+# complete arrival): each micro-batch postdates the open rows it merges
+# into, the precondition scd2_apply_delta documents. Late/out-of-order
+# data needs a retraction protocol — deliberately out of scope, as for
+# every sink-is-the-state gate here.
+_SCD2_STREAM_CUTS = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+
+
+def _scd2_stream_oracle() -> str:
+    from mapreduce_spark.operators.windows import _SCD2_SQL_CTES
+
+    return f"""
+    WITH {_SCD2_SQL_CTES}
+    SELECT user_id, version, event_type AS state, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v
+    """
+
+
+@register("stream_scd2_view", oracle=_scd2_stream_oracle())
+def stream_scd2_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history maintained BY THE STREAM (the temporal
+    family's streaming closer, stream_rollup_view's sibling): the change
+    stream arrives as three time-partitioned micro-batches against an
+    initially EMPTY state, and each batch folds in via scd2_apply_delta
+    — newly-closed versions APPEND to the closed table (which only ever
+    grows, never rewrites), while the open-row table (one row per known
+    user) is replaced. Per-batch cost is |open rows| + |batch|,
+    independent of history depth — the property that lets a years-deep
+    100 TB dimension absorb a GB-sized change batch without rereading
+    itself. The served view after ingest equals the from-scratch
+    scd2_history over all events (the shared oracle), so incremental
+    streaming maintenance == batch rebuild, row for row."""
+    import os
+    import tempfile
+    import time
+
+    from mapreduce_spark.operators.windows import scd2_apply_delta
+    from mapreduce_spark.sources.fs import fs_delete, warehouse_uri
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    for suffix in ("closed", "open"):
+        spark.sql(f"DROP TABLE IF EXISTS scd2s_{suffix}")
+        fs_delete(spark, f"{warehouse_uri(spark)}/scd2s_{suffix}")
+    spark.createDataFrame(
+        [],
+        "user_id long, version long, state string, "
+        "valid_from timestamp_ntz, valid_to timestamp_ntz, is_current boolean",
+    ).write.saveAsTable("scd2s_closed")
+    spark.createDataFrame(
+        [],
+        "user_id long, version long, state string, valid_from timestamp_ntz",
+    ).write.saveAsTable("scd2s_open")
+
+    c1, c2 = [F.lit(c).cast("timestamp_ntz") for c in _SCD2_STREAM_CUTS]
+    spool = tempfile.mkdtemp(prefix="stream_scd2_")
+    in_dir = os.path.join(spool, "incoming")
+    os.makedirs(in_dir)
+    ranges = [
+        F.col("ts") < c1,
+        (F.col("ts") >= c1) & (F.col("ts") < c2),
+        F.col("ts") >= c2,
+    ]
+    for i, pred in enumerate(ranges):
+        part = os.path.join(spool, f"b{i}")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(part)
+        src = next(
+            os.path.join(part, f)
+            for f in os.listdir(part)
+            if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"batch{i}.parquet")
+        os.rename(src, dst)
+        os.utime(dst, (time.time() - 600 + 120 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = batch_df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        ups = scd2_apply_delta(s.table("scd2s_open"), delta)
+        # sever from the open table before overwriting it (the
+        # vector_index_compact read-severing rule)
+        ups = ups.localCheckpoint(eager=True)
+        ups.filter(~F.col("is_current")).write.mode("append").saveAsTable(
+            "scd2s_closed"
+        )
+        ups.filter(F.col("is_current")).select(
+            "user_id", "version", "state", "valid_from"
+        ).write.mode("overwrite").saveAsTable("scd2s_open")
+
+    for q in spark.streams.active:
+        if q.name == "stream_scd2_view":
+            q.stop()
+    query = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .queryName("stream_scd2_view")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    for suffix in ("closed", "open"):
+        spark.catalog.refreshTable(f"scd2s_{suffix}")
+    open_full = spark.table("scd2s_open").select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return spark.table("scd2s_closed").unionByName(open_full)

@@ -189,3 +189,20 @@ def test_scd2_merge_incremental_hand_case(spark, merge_stream_sf):
         (3, 1): ("click", d(20), d(22)),
         (3, 2): ("view", d(22), None),
     }
+
+
+def test_stream_scd2_view_matches_batch_rebuild(spark, sf_dir):
+    """Streaming maintenance == batch rebuild (the stream_rollup_view
+    law for the temporal family): three time-partitioned micro-batches
+    folded into the closed/open state tables reproduce scd2_history."""
+    from mapreduce_spark.streaming.events import stream_scd2_view
+
+    got = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in stream_scd2_view(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(spark, sf_dir).collect()
+    }
+    assert got == want
