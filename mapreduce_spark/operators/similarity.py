@@ -2368,17 +2368,15 @@ def _routed_cent_mod(n: int) -> int:
     return max(2, math.ceil(math.sqrt(n)))
 
 
-def routed_entry(
-    emb: DataFrame,
-    nprobe: int = ROUTED_NPROBE,
-    cap: int = ROUTED_ENTRY_CAP,
-    n_queries: int = N_QUERIES,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(scored entry set, centroid frame, entry-candidate pairs) for the
-    routed beam. Centroid count and the cell assignment are INDEX-BUILD
-    decisions (the one emb.count() here is the build-time sizing scalar,
-    not a serve-time collect); at serve time a query pays K centroid
-    cosines + at most nprobe x cap member cosines."""
+def routed_artifacts(
+    emb: DataFrame, cap: int = ROUTED_ENTRY_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """The routed entry's OFFLINE structures — (centroids, members):
+    ~sqrt(|V|) centroid rows (cid, ce, cn) and each cell's top-``cap``
+    members by offline centroid affinity. These are INDEX-BUILD
+    artifacts (the one emb.count() here is the build-time sizing scalar,
+    not a serve-time collect); graph_index_write_routed persists them so
+    a probe never re-derives the |V| x K assignment."""
     n = emb.count()
     cent_mod = _routed_cent_mod(n)
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
@@ -2387,10 +2385,6 @@ def routed_entry(
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    # offline: nearest-centroid assignment + rank of each member within
-    # its cell by centroid affinity — the stored structure a persisted
-    # index ships; recomputed in-plan here the way every in-memory tier
-    # derives its index
     pairs = embn.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cid",
@@ -2410,8 +2404,22 @@ def routed_entry(
         .filter(F.col("member_rank") <= cap)
         .select("vec_id", "cid")
     )
-    # serve: K centroid cosines per query, probe the nprobe best cells,
-    # enter at their top-cap members
+    return cent, members
+
+
+def routed_entry_from(
+    emb: DataFrame,
+    cent: DataFrame,
+    members: DataFrame,
+    nprobe: int = ROUTED_NPROBE,
+    n_queries: int = N_QUERIES,
+) -> tuple[DataFrame, DataFrame]:
+    """(scored entry set, entry-candidate pairs) — the routed entry's
+    SERVE path over given (possibly stored) routing artifacts: a query
+    pays K centroid cosines + at most nprobe x cap member cosines,
+    whether the artifacts came from routed_artifacts in-plan or from the
+    tables graph_index_write_routed persisted."""
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
     q = embn.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -2438,6 +2446,21 @@ def routed_entry(
         .distinct()
     )
     scored0 = _score_pairs(emb, entries, broadcast_cand=True)
+    return scored0, entries
+
+
+def routed_entry(
+    emb: DataFrame,
+    nprobe: int = ROUTED_NPROBE,
+    cap: int = ROUTED_ENTRY_CAP,
+    n_queries: int = N_QUERIES,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(scored entry set, centroid frame, entry-candidate pairs) with
+    the routing artifacts derived in-plan — the one-shot form the
+    in-memory graded queries use; the persisted tier splits the same
+    code into routed_artifacts (build) + routed_entry_from (serve)."""
+    cent, members = routed_artifacts(emb, cap)
+    scored0, entries = routed_entry_from(emb, cent, members, nprobe, n_queries)
     return scored0, cent, entries
 
 
@@ -2695,6 +2718,61 @@ def similarity_graph_beam_persisted(
     graph_index_write(emb)
     stored = spark.table(GRAPH_INDEX_TABLE)
     _, beam, _ = graph_beam_topk(emb, stored)
+    return beam
+
+
+def graph_index_write_routed(emb: DataFrame, name: str) -> None:
+    """Build + persist the COMPLETE routed-serving graph index ``name``:
+    the src-bucketed edge table (graph_index_write) plus the two routing
+    artifacts the r10 probe bench caught being re-derived per probe —
+    ``{name}_cent`` (~sqrt(|V|) centroid rows with embeddings + norms)
+    and ``{name}_members`` (each cell's top-cap entry members). Both are
+    K-and-cap-sized (broadcastable at any corpus size: ~32k rows at
+    1e9 vectors), so they store as plain tables; the |V| x K
+    nearest-centroid assignment is paid HERE, once, never at serve
+    time."""
+    spark = emb.sparkSession
+    graph_index_write(emb, name)
+    cent, members = routed_artifacts(emb)
+    for suffix, df in (("cent", cent), ("members", members)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        df.write.mode("overwrite").saveAsTable(f"{name}_{suffix}")
+
+
+@register(
+    "similarity_graph_beam_routed_persisted",
+    oracle=f"""
+    WITH {_SQL_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('', KNN_GRAPH_K)},
+    {_sql_routed_entry_ctes()},
+    {_sql_beam_round_ctes()},
+    scored AS (SELECT * FROM bv{BEAM_ROUNDS})
+    {_SQL_RANK}
+    """,
+)
+def similarity_graph_beam_routed_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The routed graph tier served ENTIRELY from stored artifacts — the
+    true production probe: edges, centroids, and entry members all read
+    back from the index graph_index_write_routed persisted, so a probe
+    pays K centroid cosines + nprobe x cap entry cosines + the bounded
+    walk, and NO derivation of any kind (no bucket/sign/cosine graph
+    build, no |V| x K assignment — the r10 probe bench measured the
+    in-plan routed form re-deriving that assignment at 4x the landmark
+    probe's latency, which this variant exists to eliminate;
+    BENCH_PROBE_r10.json carries the split). Same oracle as
+    similarity_graph_beam_routed: storage must be invisible in the
+    rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph_index_write_routed(emb, "knn_graph_rt")
+    scored0, _ = routed_entry_from(
+        emb, spark.table("knn_graph_rt_cent"), spark.table("knn_graph_rt_members")
+    )
+    beam, _ = _beam_walk(
+        emb, spark.table("knn_graph_rt"), scored0, BEAM_ROUNDS, BEAM_WIDTH, TOP_K
+    )
     return beam
 
 

@@ -3542,3 +3542,62 @@ def quality_logreg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_LR_ZINT} > 0) AS kept",
         "(y > 0.5) AS teacher_keep",
     )
+
+
+# --------------------------------------------------------------------------
+NB_CAL_BINS = 16
+
+
+@register(
+    "quality_calibration_bins",
+    oracle=f"""
+    WITH {_SQL_NB_CTES},
+    nbrng AS (SELECT min(llr_micro) AS mn, max(llr_micro) AS mx FROM nbres),
+    nbbin AS (SELECT ((llr_micro - mn) * {NB_CAL_BINS}) // (mx - mn + 1)
+                AS bin_id,
+                     llr_micro, actual_keep
+              FROM nbres CROSS JOIN nbrng)
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(llr_micro) // count(*) AS BIGINT) AS mean_llr_micro,
+           round(CAST(sum(CASE WHEN actual_keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS actual_keep_rate
+    FROM nbbin GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability card for the learned quality classifier: held-out
+    documents bucketed into {NB_CAL_BINS} equal-width score cells
+    between the observed min and max LLR, each cell reporting its doc
+    count, mean score, and the TEACHER's actual keep rate. A
+    well-calibrated scorer shows keep rate rising monotonically through
+    the cells and crossing 0.5 near score 0 — the diagram to read
+    before picking a keep threshold other than 0 (CCNet tunes exactly
+    this cutoff per language). All arithmetic is the integer micro-unit
+    discipline: the cell split is the bounded_cumsum DIV rule off a
+    broadcast 1-row (min, max), the mean is truncating integer
+    division, and the rate is one rounded division of exact counts.
+    Cost: the classifier plan + one {NB_CAL_BINS}-row rollup."""
+    res = nb_scored_frame(load_table(spark, sf_dir, "documents"))
+    rng = res.agg(F.min("llr_micro").alias("mn"), F.max("llr_micro").alias("mx"))
+    binned = res.crossJoin(F.broadcast(rng)).withColumn(
+        "bin_id",
+        F.expr(f"((llr_micro - mn) * {NB_CAL_BINS}) DIV (mx - mn + 1)"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("sum(llr_micro) DIV count(*)")
+            .cast("bigint")
+            .alias("mean_llr_micro"),
+            F.round(
+                F.sum(F.when(F.col("actual_keep"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("actual_keep_rate"),
+        )
+        .orderBy("bin_id")
+    )

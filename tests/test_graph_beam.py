@@ -225,3 +225,42 @@ def test_appended_vectors_discoverable(spark):
     hits = {(r["query_id"], r["vec_id"]) for r in beam1.collect()}
     for q in range(N_QUERIES):
         assert (q, 33) in hits, q
+
+
+def test_routed_persisted_serves_from_stored_artifacts(spark, sf_dir):
+    """The fully-persisted routed tier: identical rows to the in-plan
+    routed form, and the serve plan contains NO routing derivation —
+    no |V| x K nearest-centroid assignment (the member_rank window
+    exists only at build time), no graph re-derivation. This is the
+    r10 probe-bench lesson pinned: the in-plan routed probe re-derived
+    the assignment at ~4x the landmark probe's latency."""
+    from mapreduce_spark.operators.similarity import (
+        BEAM_ROUNDS,
+        BEAM_WIDTH,
+        TOP_K,
+        _beam_walk,
+        graph_beam_topk_routed,
+        graph_index_write_routed,
+        routed_entry_from,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph_index_write_routed(emb, "t_graph_rt")
+    scored0, _ = routed_entry_from(
+        emb, spark.table("t_graph_rt_cent"), spark.table("t_graph_rt_members")
+    )
+    beam_disk, _ = _beam_walk(
+        emb, spark.table("t_graph_rt"), scored0, BEAM_ROUNDS, BEAM_WIDTH, TOP_K
+    )
+    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    _, beam_mem, _ = graph_beam_topk_routed(emb, graph)
+    assert sorted(map(tuple, beam_disk.collect())) == sorted(
+        map(tuple, beam_mem.collect())
+    )
+    plan = beam_disk._jdf.queryExecution().executedPlan().toString()
+    assert "member_rank" not in plan  # assignment is build-time only
+    assert "posexplode" not in plan.lower()  # no graph/bucket re-derivation
+    assert "t_graph_rt" in plan
+    # and the in-plan form DOES carry the assignment, so the pin is real
+    mem_plan = beam_mem._jdf.queryExecution().executedPlan().toString()
+    assert "member_rank" in mem_plan

@@ -142,6 +142,7 @@ CARTESIAN_OK = {
     "multiprobe_recall_report",  # embeds the similarity_topk exact baseline
     "similarity_graph_beam",  # broadcast 5-query NLJ scoring the landmarks
     "similarity_graph_beam_routed",  # broadcast ~sqrt(|V|)-centroid routing NLJ
+    "similarity_graph_beam_routed_persisted",  # same NLJ, stored artifacts
     "graph_beam_routed_entry_stats",  # same routing NLJ + 1-row gauge crossJoins
     "graph_beam_recall_report",  # same landmark NLJ + the exact baseline
     "similarity_graph_beam_scaled",  # same landmark NLJ, scaled graph
@@ -192,6 +193,7 @@ CARTESIAN_OK = {
     "ivfpq_residual_recall_report",  # embeds both tiers' centroid NLJs
     "quality_nb_classifier",  # broadcasts the 1-row totals/prior aggregates
     "quality_nb_report",  # same 1-row broadcasts + the 1-row grand total
+    "quality_calibration_bins",  # NB's 1-row broadcasts + the (min,max) row
     "domain_mix_report",  # broadcasts the 1-row token/weight totals
     "bpe_train_iters",  # broadcasts each round's 1-row merge rule
     "bpe_apply",  # same three 1-row merge-rule broadcasts, applied

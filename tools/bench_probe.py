@@ -74,8 +74,22 @@ def main() -> int:
         ),
         (
             "graph_beam_routed",
-            None,  # same stored graph as graph_beam
-            lambda: sim.graph_beam_topk_routed(emb, spark.table("bp_graph"))[1],
+            # reuses bp_graph's edges; adds the stored routing artifacts
+            # (the r10 lesson: the in-plan routed form re-derived the
+            # |V| x K assignment per probe at 4x the landmark's latency)
+            lambda: sim.graph_index_write_routed(emb, "bp_graph_rt"),
+            lambda: sim._beam_walk(
+                emb,
+                spark.table("bp_graph_rt"),
+                sim.routed_entry_from(
+                    emb,
+                    spark.table("bp_graph_rt_cent"),
+                    spark.table("bp_graph_rt_members"),
+                )[0],
+                sim.BEAM_ROUNDS,
+                sim.BEAM_WIDTH,
+                sim.TOP_K,
+            )[0],
         ),
         (
             "minhash_dedup",
