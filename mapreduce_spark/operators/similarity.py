@@ -2731,11 +2731,17 @@ def graph_index_write_routed(emb: DataFrame, name: str) -> None:
     1e9 vectors), so they store as plain tables; the |V| x K
     nearest-centroid assignment is paid HERE, once, never at serve
     time."""
+    from mapreduce_spark.sources.fs import fs_delete, warehouse_uri
+
     spark = emb.sparkSession
     graph_index_write(emb, name)
     cent, members = routed_artifacts(emb)
     for suffix, df in (("cent", cent), ("members", members)):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        # a stale location with no catalog entry (dead session over an
+        # old warehouse) must not block the rebuild — graph_index_write's
+        # rule applied to the routing artifacts
+        fs_delete(spark, f"{warehouse_uri(spark)}/{name}_{suffix}")
         df.write.mode("overwrite").saveAsTable(f"{name}_{suffix}")
 
 
