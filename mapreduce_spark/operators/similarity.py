@@ -2655,6 +2655,59 @@ def graph_beam_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_beam_routed_recall_report",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK_CTE},
+    {_SQL_BUCKETS_CTE},
+    {_SQL_SIGN_CTES},
+    {_sql_knn_graph('', KNN_GRAPH_K)},
+    {_sql_routed_entry_ctes()},
+    {_sql_beam_round_ctes()},
+    topk_ent AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM bv0)
+        WHERE rank <= {TOP_K}),
+    topk_bm AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS rank
+            FROM bv{BEAM_ROUNDS})
+        WHERE rank <= {TOP_K}),
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('routed_entries_only', 'topk_ent')}
+    UNION ALL
+    {_sql_tier_recall('graph_beam_routed', 'topk_bm')}
+    """,
+)
+def graph_beam_routed_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@{TOP_K} of the ROUTED serve path vs the exact baseline —
+    graph_beam_recall_report for the production entry. The question this
+    answers is the one the routing rewrite raised: scoring only
+    ~sqrt(|V|) centroids and entering at {ROUTED_NPROBE} x
+    {ROUTED_ENTRY_CAP} cell members instead of |V|/{IVF_CENT_MOD}
+    landmarks is strictly LESS entry coverage — the walk must earn it
+    back, and this gauge prices exactly that (routed_entries_only =
+    rounds=0, so the gap between the rows is purely the walk's
+    contribution under the cheaper entry). Ship the routed tier where
+    its recall row matches the landmark report's; fall back to more
+    nprobe/cap where it doesn't."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
+    ent, beam, _ = graph_beam_topk_routed(emb, graph)
+    return _tier_recall(exact, "routed_entries_only", ent).unionByName(
+        _tier_recall(exact, "graph_beam_routed", beam)
+    )
+
+
 # --------------------------------------------------------------------------
 # Persisted graph index: the k-NN graph as the ON-DISK serving artifact
 # (the dedup-band-index / IVFADC-codes discipline applied to the NSW
@@ -5213,6 +5266,7 @@ def vector_index_probe(
     queries: DataFrame,
     nprobe: int = SCALED_IVF_NPROBE,
     k: int = TOP_K,
+    codes_path: str | None = None,
 ) -> DataFrame:
     """ADC top-k of a (vec_id, embedding) query batch against the
     on-disk index ``name``: route each query to its nprobe cells under
@@ -5222,10 +5276,13 @@ def vector_index_probe(
     table against the STORED book, and fold integer ADC sums over the
     candidates' codes. Nothing here touches raw corpus embeddings —
     the probe's input bytes are nprobe/|cells| of the code table plus
-    two broadcast codebooks."""
+    two broadcast codebooks. ``codes_path`` points the code scan at a
+    location other than the warehouse default — the re-attach path
+    (vector_index_attach), where the codebook TABLES need catalog
+    entries but the cid-partitioned codes are read by path alone."""
     cent = spark.table(f"{name}_centroids")
     book = spark.table(f"{name}_book")
-    codes = spark.read.parquet(_vindex_codes_path(spark, name))
+    codes = spark.read.parquet(codes_path or _vindex_codes_path(spark, name))
     qn = queries.withColumn("nrm", norm(F.col("embedding"))).select(
         F.col("vec_id").alias("query_id"), "embedding", "nrm"
     )
@@ -5328,6 +5385,62 @@ def similarity_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES),
         SCALED_IVF_NPROBE,
         TOP_K,
+    )
+
+
+def vector_index_attach(
+    spark: SparkSession,
+    name: str,
+    centroids_location: str,
+    book_location: str,
+) -> None:
+    """Re-attach a vector index written by a PREVIOUS session under
+    ``name``: external parquet tables over the surviving quantizer and
+    book locations (schema inferred from the files — neither is
+    bucketed, so plain USING parquet LOCATION DDL restores them), after
+    which vector_index_probe(name, ..., codes_path=...) serves without
+    rewriting a byte. minhash_index_attach's vector-side mirror: the
+    in-memory catalog dies with the session; the artifacts do not."""
+    for suffix, loc in (
+        ("centroids", centroids_location),
+        ("book", book_location),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        spark.sql(
+            f"CREATE TABLE {name}_{suffix} USING parquet LOCATION '{loc}'"
+        )
+
+
+@register("similarity_index_attached", oracle=_IVFPQ_ADC_SQL)
+def similarity_index_attached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector index's cross-session RESTORE path, graded
+    (dedup_index_attached's mirror for the ANN family): build + persist
+    the production IVFADC index, then re-attach its quantizer and book
+    UNDER A NEW NAME from nothing but their surviving parquet locations
+    and probe against the attached catalog entries + the path-read
+    cid-partitioned codes — same rows as the one-shot in-memory query
+    (same oracle), zero data rewritten. The original catalog entries are
+    left in place rather than dropped (dropping a managed table purges
+    its files), so the attach is exercised purely through location +
+    DDL."""
+    from mapreduce_spark.sources.fs import warehouse_uri
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vector_index_write(emb, "vindex_att")
+    w = warehouse_uri(spark)
+    vector_index_attach(
+        spark,
+        "vindex_att_reborn",
+        f"{w}/vindex_att_centroids",
+        f"{w}/vindex_att_book",
+    )
+    return vector_index_probe(
+        spark,
+        "vindex_att_reborn",
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        SCALED_IVF_NPROBE,
+        TOP_K,
+        codes_path=_vindex_codes_path(spark, "vindex_att"),
     )
 
 

@@ -143,6 +143,7 @@ CARTESIAN_OK = {
     "similarity_graph_beam",  # broadcast 5-query NLJ scoring the landmarks
     "similarity_graph_beam_routed",  # broadcast ~sqrt(|V|)-centroid routing NLJ
     "similarity_graph_beam_routed_persisted",  # same NLJ, stored artifacts
+    "graph_beam_routed_recall_report",  # routed NLJ + the exact baseline
     "graph_beam_routed_entry_stats",  # same routing NLJ + 1-row gauge crossJoins
     "graph_beam_recall_report",  # same landmark NLJ + the exact baseline
     "similarity_graph_beam_scaled",  # same landmark NLJ, scaled graph
@@ -201,6 +202,7 @@ CARTESIAN_OK = {
     "similarity_index_persisted",  # broadcast stored-centroid routing NLJ
     "similarity_index_persisted_residual",  # same routing NLJ, residual codes
     "similarity_index_appended",  # same stored-centroid routing NLJ probe
+    "similarity_index_attached",  # same routing NLJ, re-attached catalog
     "vindex_cell_stats",  # same broadcast-centroid assignment NLJ
     "token_pmi",  # broadcasts the two 1-row token/pair-total aggregates
 }

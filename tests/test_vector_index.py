@@ -196,3 +196,39 @@ def test_compaction_collapses_cells_and_preserves_probe(spark, sf_dir):
         map(tuple, vector_index_probe(spark, "t_vindex_cpt", q).collect())
     )
     assert rows_before == rows_after and len(rows_after) == N_QUERIES * TOP_K
+
+
+def test_attached_index_serves_identically_and_prunes(spark, sf_dir):
+    """The cross-session restore path: quantizer + book re-attached
+    under a new name from their parquet locations alone (external DDL,
+    schema inferred from files) must serve row-for-row what the
+    original probe serves, and the path-read codes scan must keep its
+    dynamic-partition-pruning subquery."""
+    from mapreduce_spark.operators.similarity import (
+        _vindex_codes_path,
+        vector_index_attach,
+    )
+    from mapreduce_spark.sources.fs import warehouse_uri
+
+    emb = _emb(spark, sf_dir)
+    vector_index_write(emb, "t_vindex_att")
+    w = warehouse_uri(spark)
+    vector_index_attach(
+        spark,
+        "t_vindex_att_reborn",
+        f"{w}/t_vindex_att_centroids",
+        f"{w}/t_vindex_att_book",
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    attached = vector_index_probe(
+        spark,
+        "t_vindex_att_reborn",
+        q,
+        codes_path=_vindex_codes_path(spark, "t_vindex_att"),
+    )
+    original = vector_index_probe(spark, "t_vindex_att", q)
+    assert sorted(map(tuple, attached.collect())) == sorted(
+        map(tuple, original.collect())
+    )
+    plan = attached._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
