@@ -418,10 +418,10 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Sequence packing: fixed token-budget training bins
-@register(
-    "pack_sequences",
-    oracle=f"""
-    WITH t AS (
+# The packing derivation's CTE chain (t: token counts, c: per-source
+# prefix sums, b: bin assignment) — shared by pack_sequences and its
+# efficiency gauge.
+_PACK_BINS_SQL = f"""t AS (
         SELECT doc_id, source,
                CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
         FROM documents),
@@ -434,12 +434,18 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
                n_tokens
-        FROM c)
+        FROM c)"""
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH {{pack_bins}}
     SELECT source, bin_id, count(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM b GROUP BY source, bin_id
     ORDER BY source, bin_id
-    """,
+    """.format(pack_bins=_PACK_BINS_SQL),
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into fixed token-budget training sequences: within
@@ -1249,4 +1255,58 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "split_a", "doc_b", "split_b", "jaccard")
+    )
+
+
+@register(
+    "pack_efficiency_stats",
+    oracle=f"""
+    WITH {_PACK_BINS_SQL},
+    bins AS (SELECT source, bin_id, CAST(sum(n_tokens) AS BIGINT) AS bt
+             FROM b GROUP BY source, bin_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(bt) AS BIGINT) AS n_tokens,
+           CAST((sum(bt) + {PACK_BUDGET - 1}) // {PACK_BUDGET} AS BIGINT)
+             AS lb_bins,
+           CAST(sum(CASE WHEN bt > {PACK_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS bins_over_budget,
+           round(CAST(sum(bt) AS DOUBLE) / (count(*) * {PACK_BUDGET}), 6)
+             AS fill
+    FROM bins GROUP BY source ORDER BY source
+    """,
+)
+def pack_efficiency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing run's efficiency card (allpairs_prefix_stats'
+    sibling for the dataloader stage): per source, bins used vs the
+    information-theoretic floor ceil(tokens/budget), how many bins a
+    straddling document pushed over budget (first-fit-sequential packs
+    by prefix-sum, so a bin can exceed the budget by at most one
+    document's tail — those are the sequences a chunker truncates), and
+    the mean fill fraction. fill near 1 with few over-budget bins means
+    the stream order is fine; a low fill says documents should be
+    length-sorted within shards before packing. Exact integers
+    everywhere; the one rounded division divides exact counts. Cost:
+    pack_sequences' own rollup re-aggregated to |sources| rows."""
+    bins = pack_sequences(spark, sf_dir)
+    return (
+        bins.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.sum("bin_tokens").cast("bigint").alias("n_tokens"),
+            F.expr(f"(sum(bin_tokens) + {PACK_BUDGET - 1}) div {PACK_BUDGET}")
+            .cast("bigint")
+            .alias("lb_bins"),
+            F.sum(
+                F.when(F.col("bin_tokens") > PACK_BUDGET, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("bins_over_budget"),
+            F.round(
+                F.sum("bin_tokens").cast("double")
+                / (F.count(F.lit(1)) * PACK_BUDGET),
+                6,
+            ).alias("fill"),
+        )
+        .orderBy("source")
     )

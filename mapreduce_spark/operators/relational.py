@@ -920,3 +920,67 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "key")
         .limit(10)
     )
+
+
+@register(
+    "quantile_weighted",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag, l_quantity,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS w
+        FROM lineitem GROUP BY l_returnflag, l_quantity),
+    c AS (
+        SELECT l_returnflag, l_quantity, w,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cumw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM d)
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 2 * cumw >= tw THEN l_quantity END)
+                AS DOUBLE) AS wmedian_qty,
+           CAST(min(CASE WHEN 10 * cumw >= 9 * tw THEN l_quantity END)
+                AS DOUBLE) AS wp90_qty
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quantiles by the distribution method: the
+    revenue-weighted median and p90 order quantity per return flag —
+    "half the revenue ships in orders of at most N units", the
+    inventory-planning statistic an unweighted median misstates
+    whenever big orders carry disproportionate value. quantile_exact's
+    scale shape carried to weights: aggregate to the (group, value,
+    weight-sum) distribution (map-side combined, |groups| x ~50 rows
+    for l_quantity), then the lower weighted quantile is the smallest
+    value whose cumulative weight clears the threshold — pure integer
+    arithmetic on exact cent sums (2*cumw >= W and 10*cumw >= 9*W avoid
+    any division), so both engines agree bit-for-bit. No raw-row
+    window, no per-group buffering, exact at any size."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cumw", F.sum("w").over(w_cum)).withColumn(
+        "tw", F.sum("w").over(Window.partitionBy("l_returnflag"))
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cumw") >= F.col("tw"), F.col("l_quantity")))
+        .cast("double")
+        .alias("wmedian_qty"),
+        F.min(
+            F.when(10 * F.col("cumw") >= 9 * F.col("tw"), F.col("l_quantity"))
+        )
+        .cast("double")
+        .alias("wp90_qty"),
+    )
