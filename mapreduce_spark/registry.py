@@ -102,45 +102,51 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # Every rotated-out name keeps its official PASS row in a prior
 # CORRECTNESS_r{N}.json and stays pinned by the full-registry sweep
 # (tools/check_correctness.py, now with a --typed driver-hash mirror) +
-# tests/test_exact_rows.py. After r10: 197/287 cumulative official rows.
+# tests/test_exact_rows.py. After r10: 196/302 cumulative official rows
+# (the r10 notes' "197" double-counted tpch_q12_priority_mix, whose r9
+# FAIL row and r10 PASS row are the same name — VERDICT r10 bookkeeping
+# fix).
+# r11 rotation (VERDICT r10 #1): all 50 slots go to never-graded names
+# again — 106 remained after r10. Priority order follows the verdict:
+# every ANN/dedup recall+cost gauge (the tier-pricing queries the ANN
+# stack's credibility rests on, none ever driver-graded), then the
+# sqrt-law IVF family re-geometried this round (VERDICT r10 #2 — their
+# oracles now compute K = ceil(sqrt(|V|)) in-query), the never-graded
+# ANN serving tiers, the embedding-health cards, dedup mechanism gauges,
+# the multimodal family heads, and the temporal/SCD2 closers including
+# the r11 tombstone-aware history (VERDICT r10 #5's done-condition).
 GRADING_PRIORITY = [
-    # --- re-grade the r9 FAIL with the BIGINT-cast oracle
-    "tpch_q12_priority_mix",
-    # --- on-disk index/artifact lifecycles
-    "dedup_index_compacted", "similarity_index_appended",
-    "similarity_index_compacted", "bpe_vocab_persisted",
-    "similarity_graph_beam_persisted", "similarity_graph_beam_appended",
-    "zorder_layout",
-    # --- streaming gates + sink-is-the-state accumulators
-    "stream_neardup_gate_accum", "stream_embdup_gate_accum",
-    "stream_rollup_view", "stream_cdc_gate", "stream_dedup",
-    "stream_static_join", "stream_stream_join", "stream_text_clean",
-    "stream_quality_gate", "stream_gopher_gate",
-    "stream_contamination_gate", "stream_neardup_gate",
-    "stream_anomaly_gate", "stream_ohlc", "stream_domain_mix_gate",
-    "stream_embdup_gate",
-    # --- TPC-H closers (the r9 additions' siblings)
-    "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
-    "tpch_q19_brackets", "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_suppliers",
-    # --- joins / windows / temporal (scd2_asof_join = the r10
-    # point-in-time join against the SCD2 dimension, VERDICT r9 #7's
-    # done-condition; cross_join yields its slot — it stays pinned by
-    # the full-registry sweep like every rotated-out name)
-    "window_lag", "window_percentiles",
-    "resample_interpolate", "scd2_history", "scd2_asof_join",
-    # --- event analytics
-    "dau_wau", "attribution_last_touch", "event_path_topk", "corr_matrix",
-    # --- text analysis
-    "bpe_apply", "perplexity_kn_bigram", "token_pmi", "dsir_weights",
-    # --- dedup / similarity / graph ANN (routed = the r10 sub-linear
-    # entry, VERDICT r9 #2's done-condition)
-    "dedup_allpairs_prefix", "dedup_keep_best",
-    "similarity_graph_beam_routed", "graph_beam_routed_entry_stats",
-    "knn_graph",
-    # --- MapReduce executable compat
-    "pipe_grep",
+    # --- ANN / dedup recall + cost gauges (VERDICT r10 #1's named set)
+    "ann_recall_report_scaled", "graph_beam_recall_report",
+    "graph_beam_recall_report_scaled", "graph_beam_routed_recall_report",
+    "multiprobe_recall_report", "pq_recall_report",
+    "pq_recall_report_trained", "ivfpq_recall_report",
+    "hamming_recall_report", "knn_graph_recall_report",
+    "dedup_recall_report", "dedup_recall_report_scaled",
+    "dedup_precision_report", "dedup_precision_report_scaled",
+    "oph_jaccard_report", "dedup_index_attached", "bpe_train_scaled",
+    # --- sqrt-law IVF family (re-geometried this round, VERDICT r10 #2)
+    "similarity_ann_ivf_scaled", "vindex_cell_stats",
+    "similarity_index_attached",
+    # --- ANN serving tiers never officially graded
+    "similarity_ann_lsh_scaled", "similarity_ann_lsh_multiprobe",
+    "similarity_ann_lsh_multiprobe_scaled", "similarity_graph_beam",
+    "similarity_graph_beam_scaled", "similarity_graph_beam_routed_persisted",
+    "similarity_pq_adc", "similarity_pq_adc_trained",
+    "embedding_pq_codes", "embedding_pq_codes_trained",
+    "embedding_sign_codes", "similarity_hamming_topk",
+    "similarity_hamming_rerank", "lsh_bucket_stats",
+    "knn_graph_scaled", "graph_degree_stats",
+    # --- embedding-health cards
+    "embedding_dim_stats", "embedding_outliers", "embedding_centroid",
+    # --- dedup mechanism gauges
+    "minhash_signatures", "minhash_band_stats", "allpairs_prefix_stats",
+    "dedup_cluster_stats",
+    # --- multimodal family heads
+    "multimodal_ingest", "multimodal_features", "cdc_chunk_stats",
+    # --- temporal / SCD2 closers (tombstones = VERDICT r10 #5)
+    "stream_scd2_view", "scd2_merge_incremental", "scd2_snapshot_at",
+    "scd2_history_with_deletes",
 ]
 
 
