@@ -143,6 +143,10 @@ HEADLINE = [
     "scd2_asof_join",
     "join_bloom_prefilter",
     "funnel_latency_stats",
+    # round-11: the tombstone-aware SCD2 history (CDC deletes — same
+    # one-shuffle shape as scd2_history, benched so the generalized
+    # interval assembly stays pinned to it)
+    "scd2_history_with_deletes",
 ]
 
 # Queries whose driver function does EAGER work (checkpointed training
@@ -158,6 +162,38 @@ EAGER_BUILD = {
     "export_jsonl_shards",
     "zorder_pruned_scan",
 }
+
+
+def _calibration(spark) -> float:
+    """Fixed CPU+shuffle microbench (VERDICT r10 #6): 20M synthetic rows
+    hashed and shuffle-aggregated over 1M keys — zero table input, so
+    its wall-clock depends only on host weather (CPU contention, shuffle
+    throughput), never on any plan in this repo. Run before AND after
+    the query loop and recorded in the BENCH JSON, it converts
+    round-over-round comparisons into calibrated units: r9->r10 drifted
+    1.11-1.28x with byte-identical plans, and the only way to tell such
+    environment drift from a plan regression is a number that cannot
+    regress by construction. Median of 3 after one warmup."""
+    import pyspark.sql.functions as F
+
+    df = (
+        spark.range(0, 20_000_000, 1, 32)
+        .select(
+            (F.xxhash64("id") % 1_000_000).alias("k"),
+            # bounded summand: |v| < 1e5 keeps the 20M-row sum far under
+            # the ANSI-mode long ceiling
+            (F.xxhash64("id", F.lit(1)) % 100_000).alias("v"),
+        )
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    df.write.mode("overwrite").format("noop").save()  # warmup
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
 
 
 def main() -> int:
@@ -182,6 +218,8 @@ def main() -> int:
     for name in names:
         qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
 
+    calib_before = _calibration(spark)
+
     # Median-of-REPS per query: the stable central tendency the judge
     # compares round over round (best-of hid a reproducible +13-17% drift
     # inside run-to-run spread in r5). The DataFrame is built once per
@@ -201,6 +239,8 @@ def main() -> int:
         medians[name] = round(statistics.median(samples), 3)
         bests[name] = round(min(samples), 3)
 
+    calib_after = _calibration(spark)
+
     total = round(sum(medians.values()), 3)
     summary = {
         "metric": "headline_queries_total_time",
@@ -211,6 +251,11 @@ def main() -> int:
         "stat": "median",
         "n_queries": len(names),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-weather gauge (VERDICT r10 #6): the fixed synthetic
+        # microbench's sec before/after the query loop — divide totals
+        # by this to compare rounds in calibrated units
+        "calib_before_s": calib_before,
+        "calib_after_s": calib_after,
         "queries_file": "BENCH_QUERIES.json",
     }
     # The driver's record keeps only the TAIL of stdout (~2000 chars): the

@@ -1,7 +1,9 @@
 """Distributed prefix sums over compacted distributions.
 
-The shared two-phase prefix-sum used by ccnet_buckets, window_ntile and
-funnel_latency_stats (VERDICT r9 #6): a naive ``Window.orderBy(key)``
+The shared two-phase prefix-sum used by ccnet_buckets and
+funnel_latency_stats (VERDICT r9 #6; window_ntile keeps its own inline
+two-phase prefix-RANK of the same shape — a row_number variant, not this
+cumsum): a naive ``Window.orderBy(key)``
 cumsum funnels its whole input through ONE partition. Over a compacted
 (key, count) distribution that input is bounded by the key domain, not
 the corpus — which still blows up whenever the domain is fine-grained

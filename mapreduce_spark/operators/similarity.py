@@ -2830,10 +2830,20 @@ def graph_index_write_routed(emb: DataFrame, name: str) -> None:
     1e9 vectors), so they store as plain tables; the |V| x K
     nearest-centroid assignment is paid HERE, once, never at serve
     time."""
+    graph_index_write(emb, name)
+    routed_artifacts_write(emb, name)
+
+
+def routed_artifacts_write(emb: DataFrame, name: str) -> None:
+    """Persist ONLY the routing artifacts ``{name}_cent`` /
+    ``{name}_members`` next to an edge table that already exists (or is
+    written separately) — the piece of graph_index_write_routed a caller
+    reuses when the beam graph itself is shared (tools/bench_probe.py
+    prices the routing artifacts' build apart from the edge build this
+    way)."""
     from mapreduce_spark.sources.fs import fs_delete, warehouse_uri
 
     spark = emb.sparkSession
-    graph_index_write(emb, name)
     cent, members = routed_artifacts(emb)
     for suffix, df in (("cent", cent), ("members", members)):
         spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")

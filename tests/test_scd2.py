@@ -350,3 +350,23 @@ def test_scd2_plain_paths_unchanged_by_tombstone_refactor(spark, sf_dir):
         for r in scd2_history(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_scd2_view_with_deletes_matches_batch_rebuild(spark, sf_dir):
+    """Streaming maintenance == batch rebuild UNDER DELETES: the
+    three-table maintainer (closed / open / tomb) folds micro-batches
+    that tombstone and reinsert keys, and the served view reproduces
+    scd2_history_with_deletes — including versions that continue past a
+    delete instead of restarting at 1."""
+    from mapreduce_spark.operators.windows import scd2_history_with_deletes
+    from mapreduce_spark.streaming.events import stream_scd2_view_with_deletes
+
+    got = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in stream_scd2_view_with_deletes(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history_with_deletes(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -1,0 +1,122 @@
+"""Two-point scaling bench (VERDICT r10 #3): empirical growth curve for
+the most expensive headline queries.
+
+Runs the heavy document/embedding headline queries at TWO self-generated
+scale points (tools/gen_scale_corpus.py — both corpora come from the
+same generator, so the growth ratio is clean of generation
+idiosyncrasies) and reports, per query, wall-clock at each point and the
+time-growth : row-growth ratio. ratio <= ~1 means at-most-linear in the
+driving table; a materially higher ratio is a superlinear term the
+sf0.1-only record could never see, and gets a named cause in
+BENCH_NOTES before the next round.
+
+    python tools/gen_scale_corpus.py /tmp/scale_a 5000 2000
+    python tools/gen_scale_corpus.py /tmp/scale_b 25000 10000
+    python tools/bench_scale.py /tmp/scale_a /tmp/scale_b [round]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = 3
+
+# query -> the table whose row count drives its cost
+QUERIES = {
+    "similarity_ivfpq_adc_residual": "embeddings",
+    "similarity_index_persisted": "embeddings",
+    "similarity_graph_beam_routed": "embeddings",
+    "similarity_graph_beam": "embeddings",
+    "similarity_ann_ivf_scaled": "embeddings",
+    "knn_graph_scaled": "embeddings",
+    "cdc_chunk_stats": "documents",
+    "cc_star_components": "documents",
+    "dedup_index_persisted": "documents",
+    "bpe_token_count": "documents",
+    "dedup_minhash_lsh_scaled": "documents",
+    "dedup_span_remove_scaled": "documents",
+}
+# bench.py's EAGER_BUILD rule: these do their work at DataFrame-
+# construction time, so construction sits inside the timed section
+EAGER = {
+    "similarity_index_persisted",
+    "cc_star_components",
+    "dedup_index_persisted",
+    "bpe_token_count",
+}
+
+
+def main() -> int:
+    import pyarrow.parquet as pq
+
+    from mapreduce_spark.registry import get_queries
+    from mapreduce_spark.session import get_spark
+
+    small, big = sys.argv[1], sys.argv[2]
+    spark = get_spark("bench_scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = get_queries()
+
+    rows = {
+        (d, t): pq.read_metadata(os.path.join(d, f"{t}.parquet")).num_rows
+        for d in (small, big)
+        for t in ("documents", "embeddings")
+    }
+
+    times: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
+    for d in (small, big):
+        for name in QUERIES:
+            df = None if name in EAGER else qs[name](spark, d)
+            run = (
+                (lambda: qs[name](spark, d))
+                if df is None
+                else (lambda: df)
+            )
+            run().write.mode("overwrite").format("noop").save()  # warmup
+            samples = []
+            for _ in range(REPS):
+                t0 = time.time()
+                run().write.mode("overwrite").format("noop").save()
+                samples.append(time.time() - t0)
+            times[name][d] = round(statistics.median(samples), 3)
+
+    out = {}
+    for name, table in QUERIES.items():
+        rg = rows[(big, table)] / rows[(small, table)]
+        tg = times[name][big] / times[name][small]
+        out[name] = {
+            "table": table,
+            "rows_small": rows[(small, table)],
+            "rows_big": rows[(big, table)],
+            "sec_small": times[name][small],
+            "sec_big": times[name][big],
+            "row_growth": round(rg, 3),
+            "time_growth": round(tg, 3),
+            "growth_ratio": round(tg / rg, 3),
+        }
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND") or (
+        sys.argv[3] if len(sys.argv) > 3 else "x"
+    )
+    summary = {"metric": "two_point_scaling", "reps": REPS, "queries": out}
+    with open(os.path.join(here, f"BENCH_SCALE_r{rnd}.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+        f.write("\n")
+    for name, r in sorted(out.items(), key=lambda kv: -kv[1]["growth_ratio"]):
+        print(
+            f"{name:34s} {r['sec_small']:7.2f}s -> {r['sec_big']:7.2f}s  "
+            f"time x{r['time_growth']:.2f} / rows x{r['row_growth']:.2f}"
+            f"  ratio {r['growth_ratio']:.2f}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
