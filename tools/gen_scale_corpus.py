@@ -8,7 +8,9 @@ embeddings.parquet (the only tables the expensive headline queries
 read) at arbitrary scale, matching the driver testdata's SHAPE: the
 same 30-word vocabulary at near-uniform frequency, ~45-580-char docs
 averaging ~300, the same 5-lang / 20-source mixes, a planted exact-dup
-tail, and unit-free N(0,1) 64-dim float embeddings with 10 labels.
+tail, and UNIT-NORM 64-dim float embeddings with 10 labels (the
+driver's vectors are unit-length; raw N(0,1) components overflow the
+residual tier's +-30000 micro-unit headroom guard).
 Deterministic (numpy PCG, fixed seed). Both scale points come from THIS
 generator, so generation idiosyncrasies cancel out of the growth ratio
 — the driver's own corpora are never compared against these.
@@ -68,7 +70,10 @@ def gen(out_dir: str, n_docs: int, n_vecs: int, seed: int = 1142) -> None:
     )
     pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
 
-    vecs = rng.normal(size=(n_vecs, EMB_DIM)).astype(np.float32)
+    vecs = rng.normal(size=(n_vecs, EMB_DIM))
+    vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(
+        np.float32
+    )
     emb = pa.table(
         {
             "vec_id": pa.array(range(n_vecs), pa.int64()),
