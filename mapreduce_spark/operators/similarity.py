@@ -3686,6 +3686,395 @@ def ann_recall_report_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HIERARCHICAL (two-level) IVF — the n^1.5 BUILD-cost fix (BENCH_SCALE
+# r11). The sqrt-law quantizer made per-QUERY routing ~sqrt(|V|), but a
+# one-shot build still assigns EVERY vector by scoring all K ~ sqrt(|V|)
+# centroids: |V| x K = n^1.5 total work, and the two fused build+serve
+# IVF queries grew at 1.55-1.65x row growth in the two-point scale bench.
+# The fix is FAISS's IMI idea collapsed to one extra level: seed
+# K2 ~ n^0.25 SUPER-centroids (every sm-th centroid seed, sm =
+# ceil(sqrt(cm))), assign each centroid to its nearest super offline
+# (K x K2 = n^0.75, trivia), and route every vector through supers
+# first — K2 cosines to pick a super, then only that super's ~K/K2 =
+# n^0.25 member centroids. Per-vector assignment cost drops from K to
+# K2 + K/K2 ~ 2 n^0.25; total build n^1.25. Queries probe
+# IVF_HIER_SUPER_PROBE supers (recall lever) then nprobe cells as
+# usual. Centroids are the RAW sqrt-law seeds (no Lloyd pass — Lloyd
+# itself is an |V| x K stage, the thing being removed);
+# ivf_hier_recall_report prices the approximation against both the
+# exact baseline and the flat Lloyd-trained tier.
+IVF_HIER_SUPER_PROBE = 2
+
+
+def ivf_hier_sm(cm: int) -> int:
+    """Super-stride sm = ceil(sqrt(cm)) floored at 2, so the super-seed
+    modulus cm * sm keeps K2 = |{vec_id % (cm*sm) == IVF_CENT_REM}| ~
+    n^0.25. Exact for cm < 2^52, matching DuckDB's ceil(sqrt(cm))."""
+    return max(2, math.ceil(math.sqrt(cm)))
+
+
+def _hier_frames(
+    emb: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(embn, centroids, supers): the raw-seed two-level quantizer. The
+    one emb.count() is the build-time sizing scalar (the
+    ivf_centroids_sqrt convention)."""
+    n = emb.count()
+    cm = ivf_cent_mod(n)
+    sm = ivf_hier_sm(cm)
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    cent = embn.filter(F.col("vec_id") % cm == IVF_CENT_REM).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sup = embn.filter(F.col("vec_id") % (cm * sm) == IVF_CENT_REM).select(
+        F.col("vec_id").alias("sid"),
+        F.col("embedding").alias("se"),
+        F.col("nrm").alias("sn"),
+    )
+    return embn, cent, sup
+
+
+def _hier_cent_assigned(cent: DataFrame, sup: DataFrame) -> DataFrame:
+    """(cid, ce, cn, sid): each centroid assigned offline to its nearest
+    super-centroid (rounded cosine, ties to lower sid) — K x K2 work,
+    broadcast-sized output."""
+    scored = cent.crossJoin(F.broadcast(sup)).select(
+        "cid",
+        "ce",
+        "cn",
+        "sid",
+        F.round(
+            cosine_n(F.col("ce"), F.col("se"), F.col("cn"), F.col("sn")), 6
+        ).alias("_c"),
+    )
+    w = Window.partitionBy("cid").orderBy(F.col("_c").desc(), F.col("sid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("cid", "ce", "cn", "sid")
+    )
+
+
+def _hier_assign(embn: DataFrame, cent_a: DataFrame, sup: DataFrame) -> DataFrame:
+    """(vec_id, cid): every vector assigned through the super level —
+    argmax-AGGREGATE over the broadcast supers (map-side partial, only
+    |V| rows shuffle), then a broadcast HASH equi-join on sid brings in
+    only the assigned super's ~n^0.25 member centroids for the final
+    argmax. No stage anywhere touches |V| x K rows."""
+    s1 = embn.crossJoin(F.broadcast(sup)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.struct(
+            F.round(
+                cosine_n(F.col("embedding"), F.col("se"), F.col("nrm"), F.col("sn")),
+                6,
+            ).alias("score"),
+            (-F.col("sid")).alias("negsid"),
+        ).alias("sc"),
+    )
+    vsup = s1.groupBy("vec_id").agg(
+        (-F.max("sc")["negsid"]).alias("sid"),
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
+    )
+    s2 = vsup.join(F.broadcast(cent_a), "sid").select(
+        "vec_id",
+        F.struct(
+            F.round(
+                cosine_n(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn")),
+                6,
+            ).alias("score"),
+            (-F.col("cid")).alias("negcid"),
+        ).alias("sc"),
+    )
+    return s2.groupBy("vec_id").agg((-F.max("sc")["negcid"]).alias("cid"))
+
+
+def _hier_query_probe(
+    embn: DataFrame,
+    cent_a: DataFrame,
+    sup: DataFrame,
+    w_super: int = IVF_HIER_SUPER_PROBE,
+    nprobe: int = SCALED_IVF_NPROBE,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """(query_id, cid): each query routed to its nprobe nearest cells
+    AMONG the centroids of its w_super nearest super-cells — K2 + w x
+    n^0.25 cosines per query."""
+    q = embn.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding", "nrm"
+    )
+    qs = q.crossJoin(F.broadcast(sup)).select(
+        "query_id",
+        "embedding",
+        "nrm",
+        "sid",
+        F.round(
+            cosine_n(F.col("embedding"), F.col("se"), F.col("nrm"), F.col("sn")), 6
+        ).alias("_cs"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("sid"))
+    qsup = (
+        qs.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= w_super)
+        .select("query_id", "embedding", "nrm", "sid")
+    )
+    qc = qsup.join(F.broadcast(cent_a), "sid").select(
+        "query_id",
+        "cid",
+        F.round(
+            cosine_n(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn")), 6
+        ).alias("_cc"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("_cc").desc(), F.col("cid"))
+    return (
+        qc.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+
+
+def ann_ivf_hier_topk(
+    emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Hierarchical IVF top-k: two-level routing for assignment AND
+    query probe, then the usual cid equi-join -> exact cosine -> rank."""
+    embn, cent, sup = _hier_frames(emb)
+    cent_a = _hier_cent_assigned(cent, sup)
+    assign = _hier_assign(embn, cent_a, sup)
+    probe = _hier_query_probe(embn, cent_a, sup, n_queries=n_queries)
+    cand = (
+        F.broadcast(probe)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    scored = _score_pairs(emb, cand)
+    return _rank_topk(scored, k)
+
+
+def _sql_hier_ctes(
+    w_super: int = IVF_HIER_SUPER_PROBE,
+    nprobe: int = SCALED_IVF_NPROBE,
+    n_queries: int = N_QUERIES,
+) -> str:
+    """DuckDB twin of the hierarchical IVF pipeline, ending in
+    hs_assign / hs_qprobe / hs_cand (row_number rn=1 == the Spark
+    argmax-aggregate with ties to the lower id)."""
+    return f"""
+    hs_cm AS (SELECT GREATEST({IVF_CENT_REM + 1},
+                     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cm
+              FROM embeddings),
+    hs_m AS (SELECT cm,
+                    GREATEST(2, CAST(ceil(sqrt(cm)) AS BIGINT)) AS sm
+             FROM hs_cm),
+    hs_cent AS (SELECT vec_id AS cid, embedding AS ce
+                FROM embeddings, hs_m WHERE vec_id % cm = {IVF_CENT_REM}),
+    hs_super AS (SELECT vec_id AS sid, embedding AS se
+                 FROM embeddings, hs_m
+                 WHERE vec_id % (cm * sm) = {IVF_CENT_REM}),
+    hs_c2s AS (
+        SELECT cid, ce, sid FROM (
+            SELECT c.cid, c.ce, s.sid,
+                   row_number() OVER (PARTITION BY c.cid
+                       ORDER BY round({sql_cosine_pair('c.ce', 's.se')}, 6)
+                                    DESC, s.sid) AS rn
+            FROM hs_cent c, hs_super s)
+        WHERE rn = 1),
+    hs_vsup AS (
+        SELECT vec_id, sid FROM (
+            SELECT v.vec_id, s.sid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({sql_cosine_pair('v.embedding', 's.se')}, 6)
+                                    DESC, s.sid) AS rn
+            FROM embeddings v, hs_super s)
+        WHERE rn = 1),
+    hs_assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({sql_cosine_pair('v.embedding', 'c.ce')}, 6)
+                                    DESC, c.cid) AS rn
+            FROM embeddings v
+            JOIN hs_vsup u ON u.vec_id = v.vec_id
+            JOIN hs_c2s c ON c.sid = u.sid)
+        WHERE rn = 1),
+    hs_qsup AS (
+        SELECT query_id, sid FROM (
+            SELECT q.vec_id AS query_id, s.sid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({sql_cosine_pair('q.embedding', 's.se')}, 6)
+                                    DESC, s.sid) AS rn
+            FROM embeddings q, hs_super s WHERE q.vec_id < {n_queries})
+        WHERE rn <= {w_super}),
+    hs_qprobe AS (
+        SELECT query_id, cid FROM (
+            SELECT u.query_id, c.cid,
+                   row_number() OVER (PARTITION BY u.query_id
+                       ORDER BY round({sql_cosine_pair('q.embedding', 'c.ce')}, 6)
+                                    DESC, c.cid) AS rn
+            FROM hs_qsup u
+            JOIN embeddings q ON q.vec_id = u.query_id
+            JOIN hs_c2s c ON c.sid = u.sid)
+        WHERE rn <= {nprobe}),
+    hs_cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id
+        FROM hs_qprobe p JOIN hs_assign a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id)"""
+
+
+@register(
+    "similarity_ann_ivf_hier",
+    oracle=f"""
+    WITH {_sql_hier_ctes()},
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6)
+                 AS cosine
+        FROM hs_cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id)
+    {_SQL_RANK}
+    """,
+)
+def similarity_ann_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with HIERARCHICAL routing (the BENCH_SCALE r11 fix):
+    assignment and query routing both pass through K2 ~ n^0.25
+    super-centroids, so the one-shot build's total work is n^1.25 —
+    down from the flat sqrt-law tier's n^1.5 (which the two-point scale
+    bench measured at 1.55x row growth) — and nothing in the plan
+    touches |V| x K rows: the only crossJoins have the K2-row super
+    table on the build side, the vector->centroid stage is a broadcast
+    HASH equi-join on sid, and both argmaxes partial-aggregate map-side.
+    ivf_hier_cost_stats pins the routing-work law;
+    ivf_hier_recall_report prices the raw-seed/approximate-assignment
+    recall give-up against the flat Lloyd-trained tier."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ann_ivf_hier_topk(emb)
+
+
+@register(
+    "ivf_hier_recall_report",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK_CTE},
+    {_sql_hier_ctes()},
+    scored_hh AS (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6)
+                 AS cosine
+        FROM hs_cand c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id),
+    topk_hh AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored_hh)
+        WHERE rank <= {TOP_K}),
+    {_sql_refined_cent_cte_sqrt()},
+    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'hf')},
+    base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+             FROM topk_e GROUP BY query_id)
+    {_sql_tier_recall('ivf_flat', 'topk_hf')}
+    UNION ALL
+    {_sql_tier_recall('ivf_hier', 'topk_hh')}
+    """,
+)
+def ivf_hier_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the hierarchical tier AND the flat sqrt-law
+    tier against the exact cosine baseline, in one card — the number
+    that says what the n^1.5 -> n^1.25 build-cost drop costs in recall
+    (two approximations stack: raw seeds instead of Lloyd-trained
+    centroids, and vectors assigned through one super-cell). Read it
+    next to ann_recall_report_scaled before choosing a build tier."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
+    flat = ann_ivf_topk(emb, ivf_centroids_sqrt(emb), SCALED_IVF_NPROBE)
+    hier = ann_ivf_hier_topk(emb)
+    return _tier_recall(exact, "ivf_flat", flat).unionByName(
+        _tier_recall(exact, "ivf_hier", hier)
+    )
+
+
+@register(
+    "ivf_hier_cost_stats",
+    oracle=f"""
+    WITH {_sql_hier_ctes()},
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM embeddings),
+    kc AS (SELECT CAST(count(*) AS BIGINT) AS k_cents FROM hs_cent),
+    ks AS (SELECT CAST(count(*) AS BIGINT) AS k_super FROM hs_super),
+    cell AS (SELECT sid, CAST(count(*) AS BIGINT) AS c
+             FROM hs_c2s GROUP BY sid),
+    probed AS (SELECT CAST(sum(cell.c) AS BIGINT) AS stage2
+               FROM hs_vsup v JOIN cell ON cell.sid = v.sid)
+    SELECT n.n_vectors, kc.k_cents, ks.k_super,
+           CAST(n.n_vectors * kc.k_cents AS BIGINT) AS flat_route_cost,
+           CAST(n.n_vectors * ks.k_super + probed.stage2 AS BIGINT)
+             AS hier_route_cost,
+           round(CAST(n.n_vectors * ks.k_super + probed.stage2 AS DOUBLE)
+                 / (n.n_vectors * kc.k_cents), 6) AS cost_ratio
+    FROM n, kc, ks, probed
+    """,
+)
+def ivf_hier_cost_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The routing-work gauge for the hierarchical build: exact counts
+    of centroid-scoring operations — flat_route_cost = |V| x K (what the
+    flat tier's assignment pays) vs hier_route_cost = |V| x K2 + sum of
+    probed super-cell sizes (what the two-level assignment pays). The
+    ratio is the measured build-cost discount, and its growth law
+    (~n^-0.25) is pinned at two corpus sizes in tests/test_ivf_hier.py.
+    Structural counts, not timings — host weather cannot blur them."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    embn, cent, sup = _hier_frames(emb)
+    cent_a = _hier_cent_assigned(cent, sup)
+    s1 = embn.crossJoin(F.broadcast(sup)).select(
+        "vec_id",
+        F.struct(
+            F.round(
+                cosine_n(F.col("embedding"), F.col("se"), F.col("nrm"), F.col("sn")),
+                6,
+            ).alias("score"),
+            (-F.col("sid")).alias("negsid"),
+        ).alias("sc"),
+    )
+    vsup = s1.groupBy("vec_id").agg((-F.max("sc")["negsid"]).alias("sid"))
+    cell = cent_a.groupBy("sid").agg(F.count(F.lit(1)).alias("c"))
+    stage2 = (
+        vsup.join(F.broadcast(cell), "sid")
+        .agg(F.sum("c").cast("bigint").alias("stage2"))
+    )
+    counts = (
+        embn.agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .crossJoin(cent.agg(F.count(F.lit(1)).cast("bigint").alias("k_cents")))
+        .crossJoin(sup.agg(F.count(F.lit(1)).cast("bigint").alias("k_super")))
+        .crossJoin(stage2)
+    )
+    return counts.select(
+        "n_vectors",
+        "k_cents",
+        "k_super",
+        (F.col("n_vectors") * F.col("k_cents"))
+        .cast("bigint")
+        .alias("flat_route_cost"),
+        (F.col("n_vectors") * F.col("k_super") + F.col("stage2"))
+        .cast("bigint")
+        .alias("hier_route_cost"),
+        F.round(
+            (F.col("n_vectors") * F.col("k_super") + F.col("stage2")).cast(
+                "double"
+            )
+            / (F.col("n_vectors") * F.col("k_cents")),
+            6,
+        ).alias("cost_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # knn_graph under the production geometry + the recall gauges (VERDICT r4
 # #5/#6): k lifted from the demo's {KNN_GRAPH_K} to a curation-grade 10.
 KNN_GRAPH_SCALED_K = 10

@@ -142,10 +142,14 @@ GRADING_PRIORITY = [
     # --- dedup mechanism gauges
     "minhash_signatures", "minhash_band_stats", "allpairs_prefix_stats",
     "dedup_cluster_stats",
-    # --- multimodal family heads
-    "multimodal_ingest", "multimodal_features", "cdc_chunk_stats",
+    # --- hierarchical IVF (the r11 n^1.5 -> n^1.25 build-cost fix,
+    # BENCH_SCALE_r11's finding — graded the round it ships)
+    "similarity_ann_ivf_hier", "ivf_hier_recall_report",
+    "ivf_hier_cost_stats",
+    # --- multimodal family head
+    "cdc_chunk_stats",
     # --- temporal / SCD2 closers (tombstones = VERDICT r10 #5)
-    "stream_scd2_view", "scd2_merge_incremental", "scd2_snapshot_at",
+    "stream_scd2_view", "scd2_merge_incremental",
     "scd2_history_with_deletes",
 ]
 

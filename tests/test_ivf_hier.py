@@ -1,0 +1,124 @@
+"""Hierarchical (two-level) IVF: the n^1.5 build-cost fix from the
+two-point scale bench (BENCH_SCALE_r11).
+
+The flat sqrt-law tier's one-shot build assigns every vector by scoring
+all K ~ sqrt(n) centroids — |V| x K = n^1.5 total routing work. The
+hierarchical tier routes through K2 ~ n^0.25 super-centroids first, so
+per-vector work is K2 + ~K/K2 ~ 2 n^0.25 and the total is n^1.25. These
+tests pin (a) the structural cost law at two corpus sizes via the
+ivf_hier_cost_stats counters (integer counts — host weather cannot blur
+them), (b) that no NLJ in the plan ever carries more than the K2-row
+super table on its build side, and (c) that the two-level router finds
+planted clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from mapreduce_spark.operators.similarity import (
+    IVF_CENT_REM,
+    N_QUERIES,
+    _hier_assign,
+    _hier_cent_assigned,
+    _hier_frames,
+    ann_ivf_hier_topk,
+    ivf_cent_mod,
+    ivf_hier_sm,
+)
+from mapreduce_spark.plans import audit
+
+
+def _corpus(spark, n, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (vid, [float(x) for x in rng.normal(size=dim)]) for vid in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _route_costs(spark, n):
+    emb = _corpus(spark, n)
+    embn, cent, sup = _hier_frames(emb)
+    cent_a = _hier_cent_assigned(cent, sup)
+    k = cent.count()
+    k2 = sup.count()
+    cell = {r["sid"]: r["c"] for r in
+            cent_a.groupBy("sid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    vsup = _hier_assign(embn, cent_a, sup)  # not used for cost; sanity only
+    assert vsup.count() == n
+    # stage-2 cost: sum over vectors of their assigned super's cell size
+    s1 = embn.crossJoin(F.broadcast(sup)).select(
+        "vec_id",
+        F.struct(
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, se, (x, y) -> x * y),"
+                    " 0D, (acc, v) -> acc + v)"
+                )
+                / (F.col("nrm") * F.col("sn")),
+                6,
+            ).alias("score"),
+            (-F.col("sid")).alias("negsid"),
+        ).alias("sc"),
+    )
+    per_vec_sid = s1.groupBy("vec_id").agg((-F.max("sc")["negsid"]).alias("sid"))
+    stage2 = sum(cell[r["sid"]] for r in per_vec_sid.collect())
+    return {"flat": n * k, "hier": n * k2 + stage2, "k": k, "k2": k2}
+
+
+def test_hier_cost_law_two_sizes(spark):
+    """16x the corpus: flat routing work grows ~16^1.5 = 64x; the
+    hierarchical routing work must grow far below it (~16^1.25 = 32x)."""
+    c_small = _route_costs(spark, 256)
+    c_big = _route_costs(spark, 4096)
+    flat_growth = c_big["flat"] / c_small["flat"]
+    hier_growth = c_big["hier"] / c_small["hier"]
+    assert flat_growth >= 48, (c_small, c_big)
+    assert hier_growth <= flat_growth * 0.75, (flat_growth, hier_growth)
+    assert c_big["hier"] < c_big["flat"] * 0.5, c_big
+
+
+def test_hier_plan_nlj_build_sides_are_k2(spark):
+    """Every NLJ build side in the full hier top-k plan is the K2-row
+    super table — never the corpus, never the K-row centroid table (the
+    vector->centroid stage is a broadcast HASH equi-join on sid)."""
+    n = 1024
+    emb = _corpus(spark, n)
+    cm = ivf_cent_mod(n)
+    sm = ivf_hier_sm(cm)
+    k2 = sum(1 for v in range(n) if v % (cm * sm) == IVF_CENT_REM)
+    topk = ann_ivf_hier_topk(emb)
+    build_rows = audit.nlj_build_rows(topk)
+    assert build_rows and all(r == k2 for r in build_rows), (build_rows, k2)
+
+
+def test_hier_router_finds_planted_clusters(spark):
+    """A tight planted cluster around each query must surface through
+    the two-level routing: the query and its planted neighbors share a
+    nearest centroid (both route by the same cosine argmax), so the
+    cell probe recovers them."""
+    rng = np.random.default_rng(17)
+    dim = 16
+    rows = []
+    n = 512
+    centers = {q: rng.normal(size=dim) for q in range(N_QUERIES)}
+    planted = {q: set() for q in range(N_QUERIES)}
+    for vid in range(n):
+        q = vid % N_QUERIES
+        if vid < N_QUERIES or vid < 60:
+            v = centers[q] + 0.03 * rng.normal(size=dim)
+            if vid >= N_QUERIES:
+                planted[q].add(vid)
+        else:
+            v = rng.normal(size=dim)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    hits = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_ivf_hier_topk(emb).collect()
+    }
+    for q in range(N_QUERIES):
+        found = {v for qq, v in hits if qq == q} & planted[q]
+        assert len(found) >= 3, (q, sorted(found), sorted(planted[q]))
