@@ -145,8 +145,11 @@ HEADLINE = [
     "funnel_latency_stats",
     # round-11: the tombstone-aware SCD2 history (CDC deletes — same
     # one-shuffle shape as scd2_history, benched so the generalized
-    # interval assembly stays pinned to it)
+    # interval assembly stays pinned to it) and the hierarchical IVF
+    # tier (benched against its flat sqrt-law sibling above so the
+    # n^1.25-build claim stays a measured number, not a docstring)
     "scd2_history_with_deletes",
+    "similarity_ann_ivf_hier",
 ]
 
 # Queries whose driver function does EAGER work (checkpointed training

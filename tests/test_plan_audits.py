@@ -205,6 +205,9 @@ CARTESIAN_OK = {
     "similarity_index_attached",  # same routing NLJ, re-attached catalog
     "vindex_cell_stats",  # same broadcast-centroid assignment NLJ
     "token_pmi",  # broadcasts the two 1-row token/pair-total aggregates
+    "similarity_ann_ivf_hier",  # broadcast K2-row SUPER-centroid NLJs only
+    "ivf_hier_recall_report",  # hier K2 NLJs + flat centroid NLJ + baseline
+    "ivf_hier_cost_stats",  # same K2 NLJs + 1-row gauge crossJoins
 }
 
 # Streaming queries and iterative/pipe operators execute on call — skip

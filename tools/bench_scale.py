@@ -34,6 +34,7 @@ QUERIES = {
     "similarity_graph_beam_routed": "embeddings",
     "similarity_graph_beam": "embeddings",
     "similarity_ann_ivf_scaled": "embeddings",
+    "similarity_ann_ivf_hier": "embeddings",
     "knn_graph_scaled": "embeddings",
     "cdc_chunk_stats": "documents",
     "cc_star_components": "documents",
