@@ -3635,7 +3635,8 @@ def similarity_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed volume (nprobe x |V|/K) BOTH grow ~sqrt(|V|) while nprobe
     stays constant — vs the old |V|/25 convention whose routing was
     linear in the corpus. tests/test_ivf_sqrt.py pins the sqrt law via
-    the centroid-NLJ SQLMetrics at two corpus sizes. tests/test_ann_scaled.py asserts recall >= 0.9 on a planted
+    the centroid-NLJ SQLMetrics at two corpus sizes;
+    tests/test_ann_scaled.py asserts recall >= 0.9 on a planted
     clustered corpus and that training strictly improves the spherical
     quantization objective."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
