@@ -82,6 +82,18 @@ SCALED_LSH_PLANES = 8
 SCALED_LSH_TABLES = 32
 SCALED_IVF_CENT_MOD = 25
 SCALED_IVF_NPROBE = 4
+# Hierarchical routing: supers probed per query/vector at the two-level
+# tiers (the recall lever of the n^1.25 build path; see the HIERARCHICAL
+# IVF block below).
+IVF_HIER_SUPER_PROBE = 2
+# Lloyd training sample: ~IVF_TRAIN_PER_CENT points per centroid
+# (stride = max(1, cm // 64), so |S| ~ 64 K and training costs ~64 n —
+# LINEAR; FAISS warns below ~39 points/centroid and this first attempt
+# at an n^0.75 sample sat at ~4.5/centroid and measurably degraded the
+# residual tier's quantization, caught by
+# tests/test_ivfpq_residual.py's MSE-drop law). At the test corpora the
+# stride is 1: small corpora train on everything.
+IVF_TRAIN_PER_CENT = 64
 
 
 def _rank_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -535,16 +547,29 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cid", "pos")
 
 
-def _lloyd_c2(emb: DataFrame, cent_mod: int, rem: int) -> DataFrame:
+def _lloyd_c2(
+    emb: DataFrame, cent_mod: int, rem: int, stride: int | None = None
+) -> DataFrame:
     """(cid, pos, n, c): ONE Lloyd iteration from the vec_id % cent_mod
     == rem seeds at an arbitrary modulus — assignment by argmax aggregate
     over broadcast seeds, mean update in exact integer micro-units, each
     component c the exact ratio s/n/1e6 (one IEEE division chain,
     bit-identical on both engines). Shared by kmeans_refine (the oracled
     one-step query) and refined_centroids (the trained-quantizer input
-    to the production IVF registration)."""
+    to the production IVF registration). With ``stride`` set, the
+    assignment/update runs over the vec_id % stride == 0 SAMPLE only
+    (FAISS's train-on-a-sample posture): at stride ~ n^0.25 the Lloyd
+    pass costs |S| x K ~ n^1.25 instead of |V| x K ~ n^1.5 — the
+    training half of the two-level build-cost fix (BENCH_SCALE r11).
+    Seeds still come from the FULL corpus; seed cells with no sample
+    member drop out (refined_centroids already tolerates shrinkage)."""
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
-    cent = embn.filter(F.col("vec_id") % cent_mod == rem).select(
+    if stride is not None:
+        embn = embn.filter(F.col("vec_id") % stride == 0)
+        cent_src = emb.withColumn("nrm", norm(F.col("embedding")))
+    else:
+        cent_src = embn
+    cent = cent_src.filter(F.col("vec_id") % cent_mod == rem).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cn"),
@@ -571,13 +596,16 @@ def _lloyd_c2(emb: DataFrame, cent_mod: int, rem: int) -> DataFrame:
     return q.select("cid", "pos", "n", (F.col("s") / F.col("n") / 1e6).alias("c"))
 
 
-def refined_centroids(emb: DataFrame, cent_mod: int, rem: int) -> DataFrame:
+def refined_centroids(
+    emb: DataFrame, cent_mod: int, rem: int, stride: int | None = None
+) -> DataFrame:
     """(cid, ce, cn): the TRAINED coarse quantizer — one Lloyd iteration
     from the deterministic seeds, reassembled to per-centroid double
     arrays with precomputed norms, ready to plug into ann_ivf_topk.
     Components are exact integer ratios (s/n/1e6), so both engines hold
-    bit-identical centroid doubles and every downstream cosine agrees."""
-    c2 = _lloyd_c2(emb, cent_mod, rem)
+    bit-identical centroid doubles and every downstream cosine agrees.
+    ``stride`` trains on the vec_id % stride == 0 sample (_lloyd_c2)."""
+    c2 = _lloyd_c2(emb, cent_mod, rem, stride)
     carr = c2.groupBy("cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))),
@@ -3483,10 +3511,12 @@ def _sql_lsh_topk_ctes(bprefix: str, suffix: str, k: int = TOP_K) -> str:
         WHERE rank <= {k})"""
 
 
-def _sql_refined_cent_body(seed_sql: str) -> str:
+def _sql_refined_cent_body(seed_sql: str, assign_extra: str = "") -> str:
     """The Lloyd-iteration CTE chain ending in rcent(cid, ce), over an
     arbitrary seed CTE body — shared by the fixed-modulus and sqrt-law
-    seeders so the refinement SQL exists exactly once."""
+    seeders so the refinement SQL exists exactly once. ``assign_extra``
+    appends FROM/WHERE text to the assignment stage (the sampled trainer
+    restricts it to the vec_id % sm == 0 sample)."""
     return f"""
     rc_cent AS ({seed_sql}),
     rc_assign AS (
@@ -3495,7 +3525,7 @@ def _sql_refined_cent_body(seed_sql: str) -> str:
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY round({sql_cosine_pair('v.embedding', 'c.ce')}, 6) DESC,
                                 c.cid) AS rn
-            FROM embeddings v, rc_cent c)
+            FROM embeddings v, rc_cent c{assign_extra})
         WHERE rn = 1),
     rc_ex AS (
         SELECT cid, i AS pos, embedding[i + 1] AS x
@@ -3535,6 +3565,110 @@ def _sql_refined_cent_cte_sqrt() -> str:
                 WHERE vec_id % cm = {IVF_CENT_REM}"""
         )
     )
+
+
+def _sql_refined_cent_cte_sqrt_sampled() -> str:
+    """DuckDB twin of ivf_trained_hier's quantizer: sqrt-law seeds from
+    the full corpus, Lloyd assignment/update restricted to the
+    vec_id % ts == 0 SAMPLE (ts = max(1, cm // {IVF_TRAIN_PER_CENT}), so
+    |S| ~ {IVF_TRAIN_PER_CENT} K and training costs ~{IVF_TRAIN_PER_CENT}
+    n — linear; ts = 1 at the test corpora, i.e. full-corpus training).
+    Emits rc_cm AND rc_sm (consumed by the two-level assign/probe CTEs),
+    ending in rcent(cid, ce)."""
+    return (
+        f"""rc_cm AS (SELECT GREATEST({IVF_CENT_REM + 1},
+                     CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cm
+              FROM embeddings),
+    rc_sm AS (SELECT cm, GREATEST(2, CAST(ceil(sqrt(cm)) AS BIGINT)) AS sm
+              FROM rc_cm),
+    rc_ts AS (SELECT GREATEST(1, cm // {IVF_TRAIN_PER_CENT}) AS ts
+              FROM rc_cm),"""
+        + _sql_refined_cent_body(
+            f"""SELECT vec_id AS cid, embedding AS ce FROM embeddings, rc_cm
+                WHERE vec_id % cm = {IVF_CENT_REM}""",
+            assign_extra=", rc_ts WHERE v.vec_id % ts = 0",
+        )
+    )
+
+
+def _sql_hier_topk_ctes(
+    nprobe: int, suffix: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> str:
+    """Two-level (hierarchical) assign/probe/score over the rcent
+    trained quantizer — the drop-in successor of
+    _sql_ivf_refined_topk_ctes: internal stages are ht{suffix}_*, the
+    terminal CTEs keep the flat builder's names (assign_{suffix},
+    probe_{suffix}, cand_{suffix}, scored_{suffix}, topk_{suffix}) so
+    every downstream consumer (the ADC chain, the recall reports, the
+    cell-stats gauge) reads identically. Supers = every sm-th surviving
+    centroid; vectors and queries route super-first, so no stage
+    multiplies |V| by K."""
+    return f"""
+    ht{suffix}_super AS (
+        SELECT cid AS sid, ce AS se FROM rcent, rc_sm
+        WHERE cid % (cm * sm) = {IVF_CENT_REM}),
+    ht{suffix}_c2s AS (
+        SELECT cid, ce, sid FROM (
+            SELECT c.cid, c.ce, s.sid,
+                   row_number() OVER (PARTITION BY c.cid
+                       ORDER BY round({sql_cosine_pair('c.ce', 's.se')}, 6)
+                                    DESC, s.sid) AS rn
+            FROM rcent c, ht{suffix}_super s)
+        WHERE rn = 1),
+    ht{suffix}_vsup AS (
+        SELECT vec_id, sid FROM (
+            SELECT v.vec_id, s.sid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({sql_cosine_pair('v.embedding', 's.se')}, 6)
+                                    DESC, s.sid) AS rn
+            FROM embeddings v, ht{suffix}_super s)
+        WHERE rn = 1),
+    assign_{suffix} AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({sql_cosine_pair('v.embedding', 'c.ce')}, 6)
+                                    DESC, c.cid) AS rn
+            FROM embeddings v
+            JOIN ht{suffix}_vsup u ON u.vec_id = v.vec_id
+            JOIN ht{suffix}_c2s c ON c.sid = u.sid)
+        WHERE rn = 1),
+    ht{suffix}_qsup AS (
+        SELECT query_id, sid FROM (
+            SELECT q.vec_id AS query_id, s.sid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({sql_cosine_pair('q.embedding', 's.se')}, 6)
+                                    DESC, s.sid) AS rn
+            FROM embeddings q, ht{suffix}_super s
+            WHERE q.vec_id < {n_queries})
+        WHERE rn <= {IVF_HIER_SUPER_PROBE}),
+    probe_{suffix} AS (
+        SELECT query_id, cid FROM (
+            SELECT u.query_id, c.cid,
+                   row_number() OVER (PARTITION BY u.query_id
+                       ORDER BY round({sql_cosine_pair('q.embedding', 'c.ce')}, 6)
+                                    DESC, c.cid) AS rn
+            FROM ht{suffix}_qsup u
+            JOIN embeddings q ON q.vec_id = u.query_id
+            JOIN ht{suffix}_c2s c ON c.sid = u.sid)
+        WHERE rn <= {nprobe}),
+    cand_{suffix} AS (
+        SELECT DISTINCT p.query_id, a.vec_id
+        FROM probe_{suffix} p JOIN assign_{suffix} a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id),
+    scored_{suffix} AS (
+        SELECT c.query_id, c.vec_id,
+               round({sql_cosine_pair('eq.embedding', 'ev.embedding')}, 6) AS cosine
+        FROM cand_{suffix} c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings ev ON ev.vec_id = c.vec_id),
+    topk_{suffix} AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id) AS rank
+            FROM scored_{suffix})
+        WHERE rank <= {k})"""
 
 
 def _sql_ivf_refined_topk_ctes(nprobe: int, suffix: str, k: int = TOP_K) -> str:
@@ -3613,8 +3747,8 @@ def similarity_ann_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_ann_ivf_scaled",
     oracle=f"""
-    WITH {_sql_refined_cent_cte_sqrt()},
-    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'si')}
+    WITH {_sql_refined_cent_cte_sqrt_sampled()},
+    {_sql_hier_topk_ctes(SCALED_IVF_NPROBE, 'si')}
     SELECT query_id, vec_id, cosine, rank FROM (
         SELECT query_id, vec_id, cosine,
                CAST(row_number() OVER (PARTITION BY query_id
@@ -3627,21 +3761,23 @@ def similarity_ann_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """similarity_ann_ivf under the PRODUCTION recipe: a sqrt-law coarse
     quantizer (K = ivf_cent_mod(|V|) ~ sqrt(|V|) lists, VERDICT r10 #2)
-    that is TRAINED — one Lloyd iteration from the deterministic seeds
-    via refined_centroids (kmeans_refine's machinery, VERDICT r4 #7)
-    instead of raw seed vectors — probed at nprobe={SCALED_IVF_NPROBE}.
-    Same broadcast-assign / probe / cid-equi-join plan as the demo; at
-    production |V| the per-query routing cost (K cosines) and expected
-    probed volume (nprobe x |V|/K) BOTH grow ~sqrt(|V|) while nprobe
-    stays constant — vs the old |V|/25 convention whose routing was
-    linear in the corpus. tests/test_ivf_sqrt.py pins the sqrt law via
-    the centroid-NLJ SQLMetrics at two corpus sizes;
+    TRAINED on the vec_id % sm == 0 sample (one Lloyd iteration, |S| x K
+    ~ n^1.25) and consumed through TWO-LEVEL routing (ivf_trained_hier,
+    BENCH_SCALE r11's build-cost fix rolled family-wide): vectors and
+    queries score K2 ~ n^0.25 supers first, then only the probed supers'
+    member centroids, so per-query routing AND the whole one-shot build
+    stay sub-linear-per-row — no stage touches |V| x K rows (the flat
+    sqrt tier's n^1.5 term, measured at ratio 1.83 in the two-point
+    bench). nprobe={SCALED_IVF_NPROBE} cells probed as before.
+    tests/test_ivf_sqrt.py pins the sqrt-law seed geometry;
+    tests/test_ivf_hier.py pins the two-level routing law;
     tests/test_ann_scaled.py asserts recall >= 0.9 on a planted
     clustered corpus and that training strictly improves the spherical
     quantization objective."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = ivf_centroids_sqrt(emb)
-    return ann_ivf_topk(emb, cent, SCALED_IVF_NPROBE)
+    cent_a, sup = ivf_trained_hier(emb)
+    cand, _, _ = ivf_candidates_hier(emb, cent_a, sup, SCALED_IVF_NPROBE)
+    return _rank_topk(_score_pairs(emb, cand.select("query_id", "vec_id")))
 
 
 @register(
@@ -3650,8 +3786,8 @@ def similarity_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SQL_EXACT_TOPK_CTE},
     {_SQL_SCALED_BUCKETS_CTE},
     {_sql_lsh_topk_ctes('s', 'sa')},
-    {_sql_refined_cent_cte_sqrt()},
-    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'si')},
+    {_sql_refined_cent_cte_sqrt_sampled()},
+    {_sql_hier_topk_ctes(SCALED_IVF_NPROBE, 'si')},
     base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
              FROM topk_e GROUP BY query_id)
     {_sql_tier_recall('lsh', 'topk_sa')}
@@ -3676,11 +3812,9 @@ def ann_recall_report_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     exact = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
     lsh = ann_lsh_topk(emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES)
-    ivf = ann_ivf_topk(
-        emb,
-        ivf_centroids_sqrt(emb),
-        SCALED_IVF_NPROBE,
-    )
+    cent_a, sup = ivf_trained_hier(emb)
+    cand, _, _ = ivf_candidates_hier(emb, cent_a, sup, SCALED_IVF_NPROBE)
+    ivf = _rank_topk(_score_pairs(emb, cand.select("query_id", "vec_id")))
     return _tier_recall(exact, "lsh", lsh).unionByName(
         _tier_recall(exact, "ivf", ivf)
     )
@@ -3704,7 +3838,8 @@ def ann_recall_report_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # itself is an |V| x K stage, the thing being removed);
 # ivf_hier_recall_report prices the approximation against both the
 # exact baseline and the flat Lloyd-trained tier.
-IVF_HIER_SUPER_PROBE = 2
+# (IVF_HIER_SUPER_PROBE lives in the profile-constants block up top —
+# the trained-hier SQL builders reference it before this block.)
 
 
 def ivf_hier_sm(cm: int) -> int:
@@ -3856,6 +3991,139 @@ def ann_ivf_hier_topk(
     )
     scored = _score_pairs(emb, cand)
     return _rank_topk(scored, k)
+
+
+def ivf_trained_hier(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(cent_a, sup): the PRODUCTION two-level quantizer — sqrt-law
+    seeds Lloyd-trained on the vec_id % ts == 0 SAMPLE (ts = max(1,
+    cm // {IVF_TRAIN_PER_CENT}): ~{IVF_TRAIN_PER_CENT} points per
+    centroid, |S| x K ~ {IVF_TRAIN_PER_CENT} n — LINEAR training;
+    _lloyd_c2's stride path), supers = every sm-th surviving
+    centroid, each centroid assigned offline to its nearest super
+    (cid, ce, cn, sid). Every production IVF/IVFADC consumer and the
+    persisted vector index build through this, so the whole family
+    shares one n^1.25 build geometry (BENCH_SCALE r11's fix rolled
+    family-wide). The one emb.count() is the build-time sizing scalar."""
+    n = emb.count()
+    cm = ivf_cent_mod(n)
+    sm = ivf_hier_sm(cm)
+    ts = max(1, cm // IVF_TRAIN_PER_CENT)
+    cent = refined_centroids(
+        emb, cm, IVF_CENT_REM, stride=ts if ts > 1 else None
+    )
+    sup = cent.filter(F.col("cid") % (cm * sm) == IVF_CENT_REM).select(
+        F.col("cid").alias("sid"),
+        F.col("ce").alias("se"),
+        F.col("cn").alias("sn"),
+    )
+    return _hier_cent_assigned(cent, sup), sup
+
+
+def _sup_from_cent_a(cent_a: DataFrame) -> DataFrame:
+    """Recover the super frame from a STORED (cid, ce, cn, sid) centroid
+    table: supers are centroids that are their own super (the re-attach
+    path — an index reader never re-derives moduli from corpus counts
+    it no longer has)."""
+    return cent_a.filter(F.col("cid") == F.col("sid")).select(
+        F.col("cid").alias("sid"),
+        F.col("ce").alias("se"),
+        F.col("cn").alias("sn"),
+    )
+
+
+def _stored_cent_assign(embn: DataFrame, stored_cent: DataFrame) -> DataFrame:
+    """(vec_id, cid) against a STORED centroid table, routing two-level
+    when the table carries the super layer (a sid column — the
+    production write path) and flat otherwise (explicit-modulus test
+    indexes)."""
+    if "sid" in stored_cent.columns:
+        return _hier_assign(embn, stored_cent, _sup_from_cent_a(stored_cent))
+    return _nearest_cells(embn, stored_cent, "vec_id", 1)
+
+
+def _stored_cent_route(qn: DataFrame, stored_cent: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, cid) x nprobe against a STORED centroid table — the
+    query-side twin of _stored_cent_assign."""
+    if "sid" in stored_cent.columns:
+        return _hier_route_frame(
+            qn,
+            "query_id",
+            stored_cent,
+            _sup_from_cent_a(stored_cent),
+            IVF_HIER_SUPER_PROBE,
+            nprobe,
+        )
+    return _nearest_cells(qn, stored_cent, "query_id", nprobe)
+
+
+def _hier_route_frame(
+    df: DataFrame,
+    id_col: str,
+    cent_a: DataFrame,
+    sup: DataFrame,
+    w_super: int = IVF_HIER_SUPER_PROBE,
+    keep: int = 1,
+) -> DataFrame:
+    """(id_col, cid): two-level routing for an arbitrary (id, embedding,
+    nrm) frame — w_super nearest supers, then the keep nearest cells
+    among those supers' member centroids (broadcast hash equi-join on
+    sid, never an |rows| x K stage). The window form; the corpus-sized
+    keep=1 assignment path uses _hier_assign's argmax aggregates."""
+    s1 = df.crossJoin(F.broadcast(sup)).select(
+        F.col(id_col),
+        "embedding",
+        "nrm",
+        "sid",
+        F.round(
+            cosine_n(F.col("embedding"), F.col("se"), F.col("nrm"), F.col("sn")), 6
+        ).alias("_cs"),
+    )
+    w1 = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("sid"))
+    top_sup = (
+        s1.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= w_super)
+        .select(id_col, "embedding", "nrm", "sid")
+    )
+    qc = top_sup.join(F.broadcast(cent_a), "sid").select(
+        F.col(id_col),
+        "cid",
+        F.round(
+            cosine_n(F.col("embedding"), F.col("ce"), F.col("nrm"), F.col("cn")), 6
+        ).alias("_cc"),
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.col("_cc").desc(), F.col("cid"))
+    return (
+        qc.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= keep)
+        .select(id_col, "cid")
+    )
+
+
+def ivf_candidates_hier(
+    emb: DataFrame,
+    cent_a: DataFrame,
+    sup: DataFrame,
+    nprobe: int,
+    n_queries: int = N_QUERIES,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(cand, assign, probe) under two-level routing: corpus assignment
+    via the argmax-aggregate path, query probes via the window path,
+    candidates from the cid equi-join — ivf_candidates' drop-in for the
+    production tiers (cand carries query_id, vec_id, cid so the
+    residual ADC path can key its per-cell lookup tables)."""
+    embn = emb.withColumn("nrm", norm(F.col("embedding")))
+    assign = _hier_assign(embn, cent_a, sup)
+    probe = _hier_query_probe(
+        embn, cent_a, sup, IVF_HIER_SUPER_PROBE, nprobe, n_queries
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cid")
+        .distinct()
+    )
+    return cand, assign, probe
 
 
 def _sql_hier_ctes(
@@ -5089,13 +5357,22 @@ def ivfpq_adc_topk(
     nprobe: int,
     k: int = TOP_K,
     n_queries: int = N_QUERIES,
+    sup: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC over a (vec_id, embedding) frame and a (cid, ce) centroid
     frame: IVF routing supplies the (query_id, vec_id) candidate pairs,
     the TRAINED PQ book supplies codes + per-query lookup tables, and
     the score is the exact-integer ADC sum over the candidate's codes —
-    the only per-candidate work is {PQ_SUBS} lookup-join rows."""
-    cand = ivf_candidates(emb, cent, nprobe, n_queries)
+    the only per-candidate work is {PQ_SUBS} lookup-join rows. With
+    ``sup`` given, ``cent`` is a (cid, ce, cn, sid) two-level quantizer
+    and routing goes super-first (ivf_candidates_hier — the n^1.25
+    production path); without it, the flat broadcast-argmax routing
+    (tests and the demo geometry)."""
+    if sup is None:
+        cand = ivf_candidates(emb, cent, nprobe, n_queries)
+    else:
+        cand, _, _ = ivf_candidates_hier(emb, cent, sup, nprobe, n_queries)
+        cand = cand.select("query_id", "vec_id")
     pairs = _pq_pairs_trained_frame(_pq_ex_frame(emb))
     codes = pairs.groupBy("vec_id", "sub_idx").agg(
         (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
@@ -5123,8 +5400,8 @@ def ivfpq_adc_topk(
 
 
 _IVFPQ_ADC_SQL = f"""
-    WITH {_sql_refined_cent_cte_sqrt()},
-    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
+    WITH {_sql_refined_cent_cte_sqrt_sampled()},
+    {_sql_hier_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
     {_SQL_PQT_CTES},
     {_SQL_IVFPQ_ADC_CTE}
     SELECT query_id, vec_id, adc_d2, rank FROM (
@@ -5148,8 +5425,10 @@ def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what lets a 1e9-vector index live in memory: the serving state
     is (cid, {PQ_SUBS}-byte code) per vector plus two tiny codebooks.
 
-    Plan shape: routing is the broadcast-centroid argmax + cid
-    equi-join; scoring joins candidates to codes on vec_id and to the
+    Plan shape: routing is TWO-LEVEL (super argmax, then the probed
+    supers' member centroids via a broadcast hash equi-join on sid —
+    ivf_candidates_hier, so the build never touches |V| x K rows) +
+    the cid equi-join; scoring joins candidates to codes on vec_id and to the
     BROADCAST per-query lookup table on (query_id, sub_idx, code), and
     the ADC sum partial-aggregates map-side. Per-query cost tracks
     |probed lists| x {PQ_SUBS} lookups — independent of |V| once list
@@ -5157,15 +5436,15 @@ def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual imbalance). Distances are exact micro-unit BIGINTs, so
     ranking is integer-deterministic across engines."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = ivf_centroids_sqrt(emb)
-    return ivfpq_adc_topk(emb, cent, SCALED_IVF_NPROBE)
+    cent_a, sup = ivf_trained_hier(emb)
+    return ivfpq_adc_topk(emb, cent_a, SCALED_IVF_NPROBE, sup=sup)
 
 
 @register(
     "ivfpq_recall_report",
     oracle=f"""
-    WITH {_sql_refined_cent_cte_sqrt()},
-    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
+    WITH {_sql_refined_cent_cte_sqrt_sampled()},
+    {_sql_hier_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
     {_SQL_PQT_CTES},
     {_SQL_IVFPQ_ADC_CTE},
     l2 AS (
@@ -5291,6 +5570,7 @@ def ivfpq_adc_residual_topk(
     nprobe: int,
     k: int = TOP_K,
     n_queries: int = N_QUERIES,
+    sup: DataFrame | None = None,
 ) -> DataFrame:
     """Residual-encoded IVFADC over a (vec_id, embedding) frame and a
     (cid, ce, cn) centroid frame. Stages: (1) coarse-assign every vector
@@ -5305,7 +5585,11 @@ def ivfpq_adc_residual_topk(
     partial-aggregates map-side. Cites FAISS IndexIVFPQ by_residual
     (public) as the production default this mirrors."""
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
-    assign = _nearest_cells(embn, cent, "vec_id", 1)
+    assign = (
+        _nearest_cells(embn, cent, "vec_id", 1)
+        if sup is None
+        else _hier_assign(embn, cent, sup)
+    )
     cex = _cent_micro(cent)
     ex = _pq_ex_frame(emb)
     res_ex = _residual_ex(ex, assign, cex, "vec_id").select(
@@ -5320,13 +5604,15 @@ def ivfpq_adc_residual_topk(
             "code"
         )
     )
-    probe = _nearest_cells(
-        embn.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), "embedding", "nrm"
-        ),
-        cent,
-        "query_id",
-        nprobe,
+    qframe = embn.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding", "nrm"
+    )
+    probe = (
+        _nearest_cells(qframe, cent, "query_id", nprobe)
+        if sup is None
+        else _hier_route_frame(
+            qframe, "query_id", cent, sup, IVF_HIER_SUPER_PROBE, nprobe
+        )
     )
     q_res = _residual_ex(
         ex.filter(F.col("vec_id") < n_queries).withColumnRenamed(
@@ -5373,22 +5659,53 @@ def ivfpq_adc_residual_topk(
 # seed book -> Lloyd-refined book -> codes -> per-(query, cell) tables ->
 # ADC. Mirrors _SQL_PQT_CTES stage for stage, sourced from residuals.
 _SQL_RSD_CTES = f"""
-    {_sql_refined_cent_cte_sqrt()},
+    {_sql_refined_cent_cte_sqrt_sampled()},
+    rsd_super AS (
+        SELECT cid AS sid, ce AS se FROM rcent, rc_sm
+        WHERE cid % (cm * sm) = {IVF_CENT_REM}),
+    rsd_c2s AS (
+        SELECT cid, ce, sid FROM (
+            SELECT c.cid, c.ce, s.sid,
+                   row_number() OVER (PARTITION BY c.cid
+                       ORDER BY round({sql_cosine_pair('c.ce', 's.se')}, 6) DESC,
+                                s.sid) AS rn
+            FROM rcent c, rsd_super s)
+        WHERE rn = 1),
+    rsd_vsup AS (
+        SELECT vec_id, sid FROM (
+            SELECT v.vec_id, s.sid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY round({sql_cosine_pair('v.embedding', 's.se')}, 6) DESC,
+                                s.sid) AS rn
+            FROM embeddings v, rsd_super s)
+        WHERE rn = 1),
     rsd_assign AS (
         SELECT vec_id, cid FROM (
             SELECT v.vec_id, c.cid,
                    row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY round({sql_cosine_pair('v.embedding', 'c.ce')}, 6) DESC,
                                 c.cid) AS rn
-            FROM embeddings v, rcent c)
+            FROM embeddings v
+            JOIN rsd_vsup u ON u.vec_id = v.vec_id
+            JOIN rsd_c2s c ON c.sid = u.sid)
         WHERE rn = 1),
+    rsd_qsup AS (
+        SELECT query_id, sid FROM (
+            SELECT q.vec_id AS query_id, s.sid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round({sql_cosine_pair('q.embedding', 's.se')}, 6) DESC,
+                                s.sid) AS rn
+            FROM embeddings q, rsd_super s WHERE q.vec_id < {N_QUERIES})
+        WHERE rn <= {IVF_HIER_SUPER_PROBE}),
     rsd_probe AS (
         SELECT query_id, cid FROM (
-            SELECT q.vec_id AS query_id, c.cid,
-                   row_number() OVER (PARTITION BY q.vec_id
+            SELECT u.query_id, c.cid,
+                   row_number() OVER (PARTITION BY u.query_id
                        ORDER BY round({sql_cosine_pair('q.embedding', 'c.ce')}, 6) DESC,
                                 c.cid) AS rn
-            FROM embeddings q, rcent c WHERE q.vec_id < {N_QUERIES})
+            FROM rsd_qsup u
+            JOIN embeddings q ON q.vec_id = u.query_id
+            JOIN rsd_c2s c ON c.sid = u.sid)
         WHERE rn <= {SCALED_IVF_NPROBE}),
     rsd_cex AS (
         SELECT cid, i AS pos,
@@ -5488,9 +5805,9 @@ def embedding_pq_codes_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivfpq_residual.py asserts the mean strictly drops; the
     recall gain is priced by ivfpq_residual_recall_report."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = ivf_centroids_sqrt(emb)
+    cent, sup = ivf_trained_hier(emb)
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
-    assign = _nearest_cells(embn, cent, "vec_id", 1)
+    assign = _hier_assign(embn, cent, sup)
     res_ex = _residual_ex(
         _pq_ex_frame(emb), assign, _cent_micro(cent), "vec_id"
     ).select("vec_id", "sub_idx", "pos", "xq")
@@ -5527,15 +5844,15 @@ def similarity_ivfpq_adc_residual(spark: SparkSession, sf_dir: str) -> DataFrame
     still trivia. ivfpq_residual_recall_report measures what the
     re-centering buys at the same bytes."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = ivf_centroids_sqrt(emb)
-    return ivfpq_adc_residual_topk(emb, cent, SCALED_IVF_NPROBE)
+    cent_a, sup = ivf_trained_hier(emb)
+    return ivfpq_adc_residual_topk(emb, cent_a, SCALED_IVF_NPROBE, sup=sup)
 
 
 @register(
     "ivfpq_residual_recall_report",
     oracle=f"""
     WITH {_SQL_RSD_CTES},
-    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
+    {_sql_hier_topk_ctes(SCALED_IVF_NPROBE, 'ip')},
     {_SQL_PQT_CTES},
     {_SQL_IVFPQ_ADC_CTE},
     l2 AS (
@@ -5661,9 +5978,12 @@ def vector_index_write(
     """Build and persist the IVFADC index ``name``: codes for ``emb`` as
     cid-partitioned parquet (one directory per coarse cell — at a
     production 32k-cell geometry that is 32k directories, each holding
-    that cell's (vec_id, {PQ_SUBS}-byte code) rows), the trained coarse
-    quantizer as ``{{name}}_centroids`` and the trained PQ book as
-    ``{{name}}_book`` (both broadcast-sized tables). ``train`` is the
+    that cell's (vec_id, {PQ_SUBS}-byte code) rows), the trained
+    TWO-LEVEL coarse quantizer as ``{{name}}_centroids`` — (cid, ce, cn,
+    sid) rows, each centroid carrying its super assignment so appends
+    and probes route super-first from the stored table alone — and the
+    trained PQ book as ``{{name}}_book`` (both broadcast-sized
+    tables). ``train`` is the
     TRAINING corpus for both codebooks (default: ``emb`` itself) — in
     production the quantizer trains on a sample while data arrives
     incrementally, so the two are distinct by design (and
@@ -5679,9 +5999,13 @@ def vector_index_write(
             spark,
             f"{_vindex_codes_path(spark, name).removesuffix('_codes')}_{suffix}",
         )
-    if cent_mod is None:  # sqrt-law default: K ~ sqrt(|train|) lists
-        cent_mod = ivf_cent_mod(train.count())
-    cent = refined_centroids(train, cent_mod, rem)
+    if cent_mod is None:
+        # production default: sample-trained sqrt-law quantizer WITH its
+        # super routing layer — the stored (cid, ce, cn, sid) table lets
+        # append/probe route two-level without re-deriving any modulus
+        cent, _ = ivf_trained_hier(train)
+    else:
+        cent = refined_centroids(train, cent_mod, rem)
     cent.write.mode("overwrite").format("parquet").saveAsTable(
         f"{name}_centroids"
     )
@@ -5711,7 +6035,7 @@ def vector_index_append(new_emb: DataFrame, name: str) -> None:
     stored_cent = spark.table(f"{name}_centroids")
     stored_book = spark.table(f"{name}_book")
     embn = new_emb.withColumn("nrm", norm(F.col("embedding")))
-    assign = _nearest_cells(embn, stored_cent, "vec_id", 1)
+    assign = _stored_cent_assign(embn, stored_cent)
     pairs = _pq_sub_arrays(_pq_ex_frame(new_emb)).join(
         F.broadcast(stored_book), "sub_idx"
     ).select("vec_id", "sub_idx", "seed_id", F.expr(_PQ_D2).alias("d2"))
@@ -5761,7 +6085,7 @@ def vector_index_probe(
     qn = queries.withColumn("nrm", norm(F.col("embedding"))).select(
         F.col("vec_id").alias("query_id"), "embedding", "nrm"
     )
-    route = _nearest_cells(qn, cent, "query_id", nprobe)
+    route = _stored_cent_route(qn, cent, nprobe)
     qtab = (
         _pq_sub_arrays(_pq_ex_frame(queries))
         .join(F.broadcast(book), "sub_idx")
@@ -5794,8 +6118,8 @@ def vector_index_probe(
 @register(
     "vindex_cell_stats",
     oracle=f"""
-    WITH {_sql_refined_cent_cte_sqrt()},
-    {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'vs')},
+    WITH {_sql_refined_cent_cte_sqrt_sampled()},
+    {_sql_hier_topk_ctes(SCALED_IVF_NPROBE, 'vs')},
     per AS (SELECT cid, CAST(count(*) AS BIGINT) AS c
             FROM assign_vs GROUP BY cid)
     SELECT CAST(count(*) AS BIGINT) AS n_cells,
@@ -5817,14 +6141,15 @@ def vindex_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). tests/test_vector_index.py gates balance on the testdata so a
     quantizer change that degenerates cells fails CI, not a cluster.
 
-    Plan shape: the broadcast-centroid argmax assignment (shared with
-    every IVF consumer), a cid partial-agg, then a 1-row rollup —
-    strictly cheaper than any probe it prices."""
+    Plan shape: the two-level assignment (shared with every production
+    IVF consumer — super argmax, then the assigned super's member
+    centroids), a cid partial-agg, then a 1-row rollup — strictly
+    cheaper than any probe it prices."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = ivf_centroids_sqrt(emb)
+    cent_a, sup = ivf_trained_hier(emb)
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
     per = (
-        _nearest_cells(embn, cent, "vec_id", 1)
+        _hier_assign(embn, cent_a, sup)
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -6035,14 +6360,15 @@ def vector_index_write_residual(
             spark,
             f"{_vindex_codes_path(spark, name).removesuffix('_codes')}_{suffix}",
         )
-    if cent_mod is None:  # sqrt-law default: K ~ sqrt(|train|) lists
-        cent_mod = ivf_cent_mod(train.count())
-    cent = refined_centroids(train, cent_mod, rem)
+    if cent_mod is None:
+        cent, _ = ivf_trained_hier(train)
+    else:
+        cent = refined_centroids(train, cent_mod, rem)
     cent.write.mode("overwrite").format("parquet").saveAsTable(
         f"{name}_centroids"
     )
     embn = train.withColumn("nrm", norm(F.col("embedding")))
-    assign = _nearest_cells(embn, cent, "vec_id", 1)
+    assign = _stored_cent_assign(embn, cent)
     res_ex = _residual_ex(
         _pq_ex_frame(train), assign, _cent_micro(cent), "vec_id"
     ).select("vec_id", "sub_idx", "pos", "xq")
@@ -6062,7 +6388,7 @@ def vector_index_append_residual(new_emb: DataFrame, name: str) -> None:
     stored_cent = spark.table(f"{name}_centroids")
     stored_book = spark.table(f"{name}_book")
     embn = new_emb.withColumn("nrm", norm(F.col("embedding")))
-    assign = _nearest_cells(embn, stored_cent, "vec_id", 1)
+    assign = _stored_cent_assign(embn, stored_cent)
     res_ex = _residual_ex(
         _pq_ex_frame(new_emb), assign, _cent_micro(stored_cent), "vec_id"
     ).select("vec_id", "sub_idx", "pos", "xq")
@@ -6110,7 +6436,7 @@ def vector_index_probe_residual(
     qn = queries.withColumn("nrm", norm(F.col("embedding"))).select(
         F.col("vec_id").alias("query_id"), "embedding", "nrm"
     )
-    route = _nearest_cells(qn, cent, "query_id", nprobe)
+    route = _stored_cent_route(qn, cent, nprobe)
     q_res = _residual_ex(
         _pq_ex_frame(queries).withColumnRenamed("vec_id", "query_id"),
         route,

@@ -122,3 +122,46 @@ def test_hier_router_finds_planted_clusters(spark):
     for q in range(N_QUERIES):
         found = {v for qq, v in hits if qq == q} & planted[q]
         assert len(found) >= 3, (q, sorted(found), sorted(planted[q]))
+
+
+def test_trained_hier_production_plan_never_touches_v_times_k(spark):
+    """The PRODUCTION path (sample-trained quantizer + two-level
+    routing, ivf_trained_hier / ivf_candidates_hier — what
+    similarity_ann_ivf_scaled, the IVFADC tiers and the vector index
+    build through): every NLJ build side in the full top-k plan is at
+    most the K0-row seed table (the Lloyd trainer's broadcast side);
+    routing NLJs carry only the K2-row super table. Nothing anywhere
+    multiplies |V| by K."""
+    from mapreduce_spark.operators.similarity import (
+        SCALED_IVF_NPROBE,
+        _rank_topk,
+        _score_pairs,
+        ivf_candidates_hier,
+        ivf_trained_hier,
+    )
+
+    for n in (256, 4096):
+        emb = _corpus(spark, n)
+        cent_a, sup = ivf_trained_hier(emb)
+        cand, _, _ = ivf_candidates_hier(emb, cent_a, sup, SCALED_IVF_NPROBE)
+        topk = _rank_topk(_score_pairs(emb, cand.select("query_id", "vec_id")))
+        cm = ivf_cent_mod(n)
+        k0 = sum(1 for v in range(n) if v % cm == IVF_CENT_REM)
+        rows = audit.nlj_build_rows(topk)
+        assert rows and all(0 < r <= k0 for r in rows), (rows, k0, n)
+
+
+def test_training_stride_law():
+    """Training sample: ~64 points per centroid. Below ~16k vectors the
+    stride is 1 (small corpora train on everything — which is what kept
+    the residual MSE-drop law intact); at 1e9 vectors the stride ~494
+    caps training at |S| x K ~ 64 n."""
+    from mapreduce_spark.operators.similarity import IVF_TRAIN_PER_CENT
+
+    for n in (500, 2000, 10_000):
+        assert max(1, ivf_cent_mod(n) // IVF_TRAIN_PER_CENT) == 1
+    big = max(1, ivf_cent_mod(10**9) // IVF_TRAIN_PER_CENT)
+    assert 400 <= big <= 600, big
+    # |S| x K at 1e9: (1e9 / stride) x (1e9 / cm) ~ 64 x 1e9 — linear
+    k = 10**9 // ivf_cent_mod(10**9)
+    assert (10**9 // big) * k <= 80 * 10**9
