@@ -106,51 +106,53 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # (the r10 notes' "197" double-counted tpch_q12_priority_mix, whose r9
 # FAIL row and r10 PASS row are the same name — VERDICT r10 bookkeeping
 # fix).
-# r11 rotation (VERDICT r10 #1): all 50 slots go to never-graded names
-# again — 106 remained after r10. Priority order follows the verdict:
-# every ANN/dedup recall+cost gauge (the tier-pricing queries the ANN
-# stack's credibility rests on, none ever driver-graded), then the
-# sqrt-law IVF family re-geometried this round (VERDICT r10 #2 — their
-# oracles now compute K = ceil(sqrt(|V|)) in-query), the never-graded
-# ANN serving tiers, the embedding-health cards, dedup mechanism gauges,
-# the multimodal family heads, and the temporal/SCD2 closers including
-# the r11 tombstone-aware history (VERDICT r10 #5's done-condition).
+# r12 rotation (VERDICT r11 #1): all 50 slots go to never-graded names
+# again — exactly 62 remained after r11 (246/308 cumulative official
+# rows). Priority order follows the verdict: the trained-model queries
+# (kmeans/pagerank/NB-classifier — iterative algorithms no driver row
+# has ever touched), hybrid_rrf, the multimodal family, and
+# hard_negatives(_scaled), then the contamination/decontamination
+# suite, span-dedup, curation/mixing/packing, tokenizer/BPE gauges,
+# knn-graph composites, and the r11 SCD2/streaming tombstone queries.
+# The 12 held for r13 are the simple relational/stat gauges
+# (activity_gini, char_ngram_freq, doc_length_histogram, event_ohlc,
+# event_value_histogram, moments_report, quantile_weighted,
+# regression_slope, text_scrub, time_rollup_multi, token_entropy,
+# window_share) — all pass the full typed sweep every seal.
 GRADING_PRIORITY = [
-    # --- ANN / dedup recall + cost gauges (VERDICT r10 #1's named set)
-    "ann_recall_report_scaled", "graph_beam_recall_report",
-    "graph_beam_recall_report_scaled", "graph_beam_routed_recall_report",
-    "multiprobe_recall_report", "pq_recall_report",
-    "pq_recall_report_trained", "ivfpq_recall_report",
-    "hamming_recall_report", "knn_graph_recall_report",
-    "dedup_recall_report", "dedup_recall_report_scaled",
-    "dedup_precision_report", "dedup_precision_report_scaled",
-    "oph_jaccard_report", "dedup_index_attached", "bpe_train_scaled",
-    # --- sqrt-law IVF family (re-geometried this round, VERDICT r10 #2)
-    "similarity_ann_ivf_scaled", "vindex_cell_stats",
-    "similarity_index_attached",
-    # --- ANN serving tiers never officially graded
-    "similarity_ann_lsh_scaled", "similarity_ann_lsh_multiprobe",
-    "similarity_ann_lsh_multiprobe_scaled", "similarity_graph_beam",
-    "similarity_graph_beam_scaled", "similarity_graph_beam_routed_persisted",
-    "similarity_pq_adc", "similarity_pq_adc_trained",
-    "embedding_pq_codes", "embedding_pq_codes_trained",
-    "embedding_sign_codes", "similarity_hamming_topk",
-    "similarity_hamming_rerank", "lsh_bucket_stats",
-    "knn_graph_scaled", "graph_degree_stats",
-    # --- embedding-health cards
-    "embedding_dim_stats", "embedding_outliers", "embedding_centroid",
-    # --- dedup mechanism gauges
-    "minhash_signatures", "minhash_band_stats", "allpairs_prefix_stats",
-    "dedup_cluster_stats",
-    # --- hierarchical IVF (the r11 n^1.5 -> n^1.25 build-cost fix,
-    # BENCH_SCALE_r11's finding — graded the round it ships)
-    "similarity_ann_ivf_hier", "ivf_hier_recall_report",
-    "ivf_hier_cost_stats",
-    # --- multimodal family head
-    "cdc_chunk_stats",
-    # --- temporal / SCD2 closers (tombstones = VERDICT r10 #5)
-    "stream_scd2_view", "scd2_merge_incremental",
-    "scd2_history_with_deletes",
+    # --- trained-model queries (VERDICT r11 #1's named head)
+    "kmeans_train_iters", "kmeans_refine", "pagerank_iters",
+    "quality_nb_classifier", "quality_nb_report",
+    # --- retrieval composites
+    "hybrid_rrf", "hard_negatives", "hard_negatives_scaled",
+    "knn_label", "knn_graph_clusters", "knn_graph_clusters_scaled",
+    "knn_graph_triangles",
+    # --- multimodal family (never driver-graded)
+    "multimodal_ingest", "multimodal_features", "multimodal_resize",
+    "multimodal_frames", "crossmodal_dup_verdict",
+    # --- contamination / decontamination suite
+    "contamination_check", "contamination_gate_bloom",
+    "decontaminate_spans", "source_contamination_matrix",
+    "split_leakage_report", "winnowing_overlap_pairs",
+    # --- span-level dedup
+    "dedup_span_remove", "dedup_span_remove_scaled", "dup_span_stats",
+    # --- curation / mixing / packing
+    "curation_manifest", "curation_pipeline_neardup",
+    "domain_mix_report", "dsir_resample", "mix_temperature_sweep",
+    "mix_weighted_sample", "pack_sequences", "pack_efficiency_stats",
+    "span_corruption_plan",
+    # --- tokenizer / BPE / LM gauges
+    "bpe_pair_merge", "bpe_train_iters", "tokenizer_fertility",
+    "perplexity_trigram_backoff", "ngram_novelty",
+    "lang_confusion_report", "quality_calibration_bins",
+    "filter_agreement_report",
+    # --- embeddings utility tier
+    "embedding_pca_power", "embedding_quantize",
+    # --- relational closers
+    "cross_join", "join_bloom_prefilter",
+    # --- r11 SCD2 / streaming tombstone queries (typed-swept only so far)
+    "scd2_merge_with_deletes", "scd2_snapshot_at",
+    "stream_scd2_view_with_deletes",
 ]
 
 
