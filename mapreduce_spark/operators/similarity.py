@@ -80,6 +80,34 @@ IVF_NPROBE = 2
 # as explicit test geometry.
 SCALED_LSH_PLANES = 8
 SCALED_LSH_TABLES = 32
+# Dynamic plane law for the GRAPH-BUILD tier (VERDICT r11 #2): a fixed
+# plane count makes expected bucket occupancy |V|/2^planes GROW with the
+# corpus, so the graph build's pair volume degenerates toward
+# |V|^2/2^planes (measured: growth ratio 1.26 at 5x rows in
+# BENCH_SCALE_r11). The production law pins occupancy instead: planes =
+# smallest p with (1 << p) * LSH_TARGET_BUCKET >= |V| — an INTEGER
+# range-scan both engines compute bit-identically (no float log2; libm
+# rounding at exact-power-of-two boundaries is engine-dependent, the
+# oracle-exactness rule from the IVF sqrt law). Expected occupancy then
+# sits in (LSH_TARGET_BUCKET/2, LSH_TARGET_BUCKET] at any corpus size,
+# so pair volume stays ~|V| x target — linear. Query-SERVING tiers
+# (similarity_ann_lsh_scaled, multiprobe) keep the static 8x32 profile:
+# their recall contract is tuned to it (tests/test_ann_scaled.py) and
+# their per-query cost is one bucket, not a self-join.
+LSH_TARGET_BUCKET = 8
+LSH_DYN_MIN_PLANES = 4  # fixture floor: never below the demo geometry
+
+
+def lsh_planes_for(n: int) -> int:
+    """Smallest p >= LSH_DYN_MIN_PLANES with (1 << p) * LSH_TARGET_BUCKET
+    >= n — exact-integer twin of the oracle's range-scan CTE
+    (_sql_dyn_buckets_cte). At the sf0.01 corpus (|V|=500) this gives 6
+    planes, at sf0.1 (2000) the legacy 8, at 1e9 vectors 27."""
+    p = LSH_DYN_MIN_PLANES
+    while (1 << p) * LSH_TARGET_BUCKET < n:
+        p += 1
+    return p
+
 SCALED_IVF_CENT_MOD = 25
 SCALED_IVF_NPROBE = 4
 # Hierarchical routing: supers probed per query/vector at the two-level
@@ -312,6 +340,49 @@ def _sql_buckets_cte(
 
 
 _SQL_BUCKETS_CTE = _sql_buckets_cte()
+
+
+def _sql_dyn_buckets_cte(tables: int, prefix: str) -> str:
+    """DuckDB twin of the DYNAMIC-plane bucket derivation (lsh_buckets
+    at lsh_planes_for(|V|)): the plane count comes from an integer
+    range-scan CTE — smallest p in [{LSH_DYN_MIN_PLANES}, 64) with
+    (1 << p) * {LSH_TARGET_BUCKET} >= count(*) — then the static chain
+    (weights / quantized unnest / integer dots / sign packing) runs with
+    plane indices filtered to p < planes. Ends in ``{{prefix}}buckets``
+    with the same shape as _sql_buckets_cte, so graph consumers swap
+    geometry without touching their own CTEs."""
+    wq_expr = md5_long_sql(
+        "CAST(t AS VARCHAR) || '_' || CAST(p AS VARCHAR) || '_' "
+        "|| CAST(d AS VARCHAR)"
+    )
+    return f"""
+    {prefix}np AS (
+        SELECT CAST(min(p) AS BIGINT) AS planes
+        FROM range({LSH_DYN_MIN_PLANES}, 64) _p(p)
+        WHERE (CAST(1 AS BIGINT) << p) * {LSH_TARGET_BUCKET}
+              >= (SELECT count(*) FROM embeddings)),
+    {prefix}wq AS (
+        SELECT t AS table_idx, p AS plane, d AS pos,
+               {wq_expr} % 2001 - 1000 AS wq
+        FROM range({tables}) _t(t), range(64) _p(p),
+             range({EMB_DIM}) _d(d), {prefix}np
+        WHERE p < planes),
+    {prefix}xq_b AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_XQ_SCALE})
+                    AS BIGINT) AS xq
+        FROM embeddings),
+    {prefix}dots AS (
+        SELECT x.vec_id, w.table_idx, w.plane,
+               CAST(sum(x.xq * w.wq) AS BIGINT) AS dq
+        FROM {prefix}xq_b x JOIN {prefix}wq w ON w.pos = x.pos
+        GROUP BY x.vec_id, w.table_idx, w.plane),
+    {prefix}buckets AS (
+        SELECT vec_id, CAST(table_idx AS INTEGER) AS table_idx,
+               CAST(sum(CASE WHEN dq >= 0
+                             THEN CAST(1 AS BIGINT) << plane
+                             ELSE 0 END) AS BIGINT) AS bucket
+        FROM {prefix}dots GROUP BY vec_id, table_idx)"""
 
 
 @register(
@@ -639,9 +710,12 @@ def ivf_centroids_sqrt(emb: DataFrame) -> DataFrame:
     K ~ sqrt(|V|) deterministic seeds (vec_id % ivf_cent_mod(|V|) ==
     IVF_CENT_REM), Lloyd-refine one step exactly as refined_centroids.
     The one emb.count() here is the INDEX-BUILD sizing scalar (the
-    routed_artifacts convention), never a serve-time collect; every
-    production IVF/IVFADC registration and the persisted vector index
-    build through this helper so the whole family shares one geometry."""
+    routed_artifacts convention), never a serve-time collect. This is
+    the FLAT sqrt-law BASELINE tier: after the r11 two-level rollout it
+    feeds only ivf_hier_recall_report's flat comparison arm and the
+    tests; every production IVF/IVFADC registration and the persisted
+    vector index build through ivf_trained_hier instead (the n^1.25
+    two-level quantizer)."""
     return refined_centroids(emb, ivf_cent_mod(emb.count()), IVF_CENT_REM)
 
 
@@ -3612,7 +3686,7 @@ def _sql_hier_topk_ctes(
             SELECT c.cid, c.ce, s.sid,
                    row_number() OVER (PARTITION BY c.cid
                        ORDER BY round({sql_cosine_pair('c.ce', 's.se')}, 6)
-                                    DESC, s.sid) AS rn
+                                    DESC, (c.cid <> s.sid), s.sid) AS rn
             FROM rcent c, ht{suffix}_super s)
         WHERE rn = 1),
     ht{suffix}_vsup AS (
@@ -3874,8 +3948,14 @@ def _hier_frames(
 
 def _hier_cent_assigned(cent: DataFrame, sup: DataFrame) -> DataFrame:
     """(cid, ce, cn, sid): each centroid assigned offline to its nearest
-    super-centroid (rounded cosine, ties to lower sid) — K x K2 work,
-    broadcast-sized output."""
+    super-centroid (rounded cosine, ties to SELF-assignment first, then
+    lower sid) — K x K2 work, broadcast-sized output. The self-first
+    tie-break makes cid == sid an INVARIANT for every super (its cosine
+    with itself is exactly 1.0, so no near-parallel sibling super can
+    steal it at round(cos, 6) = 1.0), which in turn guarantees (a)
+    _sup_from_cent_a recovers exactly the supers the build wrote and
+    (b) every super's member cell is non-empty, so _hier_assign's inner
+    join on sid never drops a vector."""
     scored = cent.crossJoin(F.broadcast(sup)).select(
         "cid",
         "ce",
@@ -3885,7 +3965,9 @@ def _hier_cent_assigned(cent: DataFrame, sup: DataFrame) -> DataFrame:
             cosine_n(F.col("ce"), F.col("se"), F.col("cn"), F.col("sn")), 6
         ).alias("_c"),
     )
-    w = Window.partitionBy("cid").orderBy(F.col("_c").desc(), F.col("sid"))
+    w = Window.partitionBy("cid").orderBy(
+        F.col("_c").desc(), F.col("cid") != F.col("sid"), F.col("sid")
+    )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -3898,7 +3980,11 @@ def _hier_assign(embn: DataFrame, cent_a: DataFrame, sup: DataFrame) -> DataFram
     argmax-AGGREGATE over the broadcast supers (map-side partial, only
     |V| rows shuffle), then a broadcast HASH equi-join on sid brings in
     only the assigned super's ~n^0.25 member centroids for the final
-    argmax. No stage anywhere touches |V| x K rows."""
+    argmax. No stage anywhere touches |V| x K rows. The sid join is
+    INNER, which is lossless because _hier_cent_assigned's self-first
+    tie-break guarantees every super is its own member (cid == sid row
+    present), so no super's member cell is empty and every vector
+    survives assignment; the DuckDB oracles inner-join identically."""
     s1 = embn.crossJoin(F.broadcast(sup)).select(
         "vec_id",
         "embedding",
@@ -4023,7 +4109,11 @@ def _sup_from_cent_a(cent_a: DataFrame) -> DataFrame:
     """Recover the super frame from a STORED (cid, ce, cn, sid) centroid
     table: supers are centroids that are their own super (the re-attach
     path — an index reader never re-derives moduli from corpus counts
-    it no longer has)."""
+    it no longer has). Exact recovery relies on _hier_cent_assigned's
+    self-first tie-break invariant (every super has its cid == sid
+    row even when a near-parallel sibling super ties at
+    round(cosine, 6) = 1.0), mirrored by the (c.cid <> s.sid) sort key
+    in the hs_c2s/ht_c2s/rsd_c2s oracle CTEs."""
     return cent_a.filter(F.col("cid") == F.col("sid")).select(
         F.col("cid").alias("sid"),
         F.col("ce").alias("se"),
@@ -4151,7 +4241,7 @@ def _sql_hier_ctes(
             SELECT c.cid, c.ce, s.sid,
                    row_number() OVER (PARTITION BY c.cid
                        ORDER BY round({sql_cosine_pair('c.ce', 's.se')}, 6)
-                                    DESC, s.sid) AS rn
+                                    DESC, (c.cid <> s.sid), s.sid) AS rn
             FROM hs_cent c, hs_super s)
         WHERE rn = 1),
     hs_vsup AS (
@@ -5668,7 +5758,7 @@ _SQL_RSD_CTES = f"""
             SELECT c.cid, c.ce, s.sid,
                    row_number() OVER (PARTITION BY c.cid
                        ORDER BY round({sql_cosine_pair('c.ce', 's.se')}, 6) DESC,
-                                s.sid) AS rn
+                                (c.cid <> s.sid), s.sid) AS rn
             FROM rcent c, rsd_super s)
         WHERE rn = 1),
     rsd_vsup AS (

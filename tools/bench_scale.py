@@ -53,6 +53,22 @@ EAGER = {
 }
 
 
+def _round_number(repo_root: str) -> int:
+    """Unlabeled-run fallback: max existing BENCH_r*.json round + 1 —
+    the same convention as tools/bench_probe.py, so a run with neither
+    SPARK_GRAFT_ROUND nor argv[3] still lands on the r{N} naming a
+    later labeled run would supersede."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_root, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
 def main() -> int:
     import pyarrow.parquet as pq
 
@@ -104,7 +120,7 @@ def main() -> int:
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rnd = os.environ.get("SPARK_GRAFT_ROUND") or (
-        sys.argv[3] if len(sys.argv) > 3 else "x"
+        sys.argv[3] if len(sys.argv) > 3 else str(_round_number(here))
     )
     summary = {"metric": "two_point_scaling", "reps": REPS, "queries": out}
     with open(os.path.join(here, f"BENCH_SCALE_r{rnd}.json"), "w") as f:
