@@ -96,12 +96,17 @@ SCALED_LSH_TABLES = 32
 # their per-query cost is one bucket, not a self-join.
 LSH_TARGET_BUCKET = 8
 LSH_DYN_MIN_PLANES = 4  # fixture floor: never below the demo geometry
+# Production graph out-degree (lifted from the demo's fixture-sized k=3;
+# label propagation / diversity sampling conventionally use k in 10..50).
+KNN_GRAPH_SCALED_K = 10
 
 
 def lsh_planes_for(n: int) -> int:
     """Smallest p >= LSH_DYN_MIN_PLANES with (1 << p) * LSH_TARGET_BUCKET
     >= n — exact-integer twin of the oracle's range-scan CTE
-    (_sql_dyn_buckets_cte). At the sf0.01 corpus (|V|=500) this gives 6
+    (_sql_dyn_buckets_cte, whose scan stops at p = 56: DuckDB BIGINT
+    shifts RAISE on overflow, and 2^56 x target already covers any
+    conceivable corpus). At the sf0.01 corpus (|V|=500) this gives 6
     planes, at sf0.1 (2000) the legacy 8, at 1e9 vectors 27."""
     p = LSH_DYN_MIN_PLANES
     while (1 << p) * LSH_TARGET_BUCKET < n:
@@ -358,13 +363,13 @@ def _sql_dyn_buckets_cte(tables: int, prefix: str) -> str:
     return f"""
     {prefix}np AS (
         SELECT CAST(min(p) AS BIGINT) AS planes
-        FROM range({LSH_DYN_MIN_PLANES}, 64) _p(p)
+        FROM range({LSH_DYN_MIN_PLANES}, 57) _p(p)
         WHERE (CAST(1 AS BIGINT) << p) * {LSH_TARGET_BUCKET}
               >= (SELECT count(*) FROM embeddings)),
     {prefix}wq AS (
         SELECT t AS table_idx, p AS plane, d AS pos,
                {wq_expr} % 2001 - 1000 AS wq
-        FROM range({tables}) _t(t), range(64) _p(p),
+        FROM range({tables}) _t(t), range(57) _p(p),
              range({EMB_DIM}) _d(d), {prefix}np
         WHERE p < planes),
     {prefix}xq_b AS (
@@ -2197,6 +2202,25 @@ def _knn_graph_profile(
     return knn_graph_edges(emb, planes, tables, k)
 
 
+def knn_graph_edges_scaled(
+    emb: DataFrame, k: int = KNN_GRAPH_SCALED_K
+) -> DataFrame:
+    """THE production k-NN graph: dynamic plane count
+    lsh_planes_for(|V|) x {SCALED_LSH_TABLES} tables — expected bucket
+    occupancy pinned in ({LSH_TARGET_BUCKET}/2, {LSH_TARGET_BUCKET}] at
+    any corpus size, so the build's candidate-pair volume stays
+    ~|V| x target instead of |V|^2/2^planes (BENCH_SCALE_r11's measured
+    1.26 growth ratio under the fixed 8-plane geometry). The one
+    emb.count() is the BUILD-time sizing scalar (the ivf_trained_hier
+    convention); every scaled-graph consumer (knn_graph_scaled, the
+    scaled cluster/beam/recall registrations) builds through this
+    helper so the family shares one geometry, mirrored by
+    _SQL_SDYN_BUCKETS_CTE on the oracle side."""
+    return knn_graph_edges(
+        emb, lsh_planes_for(emb.count()), SCALED_LSH_TABLES, k
+    )
+
+
 def knn_graph_edges(
     emb: DataFrame, planes: int, tables: int, k: int
 ) -> DataFrame:
@@ -3557,6 +3581,11 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SCALED_BUCKETS_CTE = _sql_buckets_cte(
     SCALED_LSH_PLANES, SCALED_LSH_TABLES, "s"
 )
+# The graph-build tier's geometry: DYNAMIC planes (lsh_planes_for's
+# integer law) at the scaled table count, same terminal name `sbuckets`
+# so _sql_knn_graph('s', ...) and every downstream graph CTE are
+# untouched by the swap. Serving-tier oracles keep the static CTE above.
+_SQL_SDYN_BUCKETS_CTE = _sql_dyn_buckets_cte(SCALED_LSH_TABLES, "s")
 
 
 def _sql_lsh_topk_ctes(bprefix: str, suffix: str, k: int = TOP_K) -> str:
@@ -4337,26 +4366,45 @@ def similarity_ann_ivf_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rank <= {TOP_K}),
     {_sql_refined_cent_cte_sqrt()},
     {_sql_ivf_refined_topk_ctes(SCALED_IVF_NPROBE, 'hf')},
+    {_sql_ivf_refined_topk_ctes(IVF_HIER_SUPER_PROBE * SCALED_IVF_NPROBE, 'hm')},
     base AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
              FROM topk_e GROUP BY query_id)
     {_sql_tier_recall('ivf_flat', 'topk_hf')}
+    UNION ALL
+    {_sql_tier_recall('ivf_flat_matched', 'topk_hm')}
     UNION ALL
     {_sql_tier_recall('ivf_hier', 'topk_hh')}
     """,
 )
 def ivf_hier_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{TOP_K} of the hierarchical tier AND the flat sqrt-law
-    tier against the exact cosine baseline, in one card — the number
-    that says what the n^1.5 -> n^1.25 build-cost drop costs in recall
-    (two approximations stack: raw seeds instead of Lloyd-trained
-    centroids, and vectors assigned through one super-cell). Read it
+    """Recall@{TOP_K} of the hierarchical tier AND the Lloyd-trained
+    flat sqrt-law tier against the exact cosine baseline, in one card —
+    the number that says what the n^1.5 -> n^1.25 build-cost drop costs
+    in recall (two approximations stack: raw seeds instead of
+    Lloyd-trained centroids, and vectors assigned through one
+    super-cell). THREE rows so the comparison is a read-off, not two
+    reports apart (VERDICT r11 #4): `ivf_flat` probes
+    {SCALED_IVF_NPROBE} cells (the production serve setting, equal
+    CELLS-probed to the hier tier, whose probe keeps the best
+    {SCALED_IVF_NPROBE} cells among its {IVF_HIER_SUPER_PROBE} nearest
+    supers' members); `ivf_flat_matched` probes {IVF_HIER_SUPER_PROBE} x
+    {SCALED_IVF_NPROBE} cells — the flat tier granted the hier tier's
+    FULL routing budget (supers x nprobe), the upper bound a two-level
+    router could reach if it kept every scored cell. ivf_hier between
+    the two brackets the routing restriction's recall cost. Read it
     next to ann_recall_report_scaled before choosing a build tier."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     exact = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
-    flat = ann_ivf_topk(emb, ivf_centroids_sqrt(emb), SCALED_IVF_NPROBE)
+    cent = ivf_centroids_sqrt(emb)
+    flat = ann_ivf_topk(emb, cent, SCALED_IVF_NPROBE)
+    flat_m = ann_ivf_topk(
+        emb, cent, IVF_HIER_SUPER_PROBE * SCALED_IVF_NPROBE
+    )
     hier = ann_ivf_hier_topk(emb)
-    return _tier_recall(exact, "ivf_flat", flat).unionByName(
-        _tier_recall(exact, "ivf_hier", hier)
+    return (
+        _tier_recall(exact, "ivf_flat", flat)
+        .unionByName(_tier_recall(exact, "ivf_flat_matched", flat_m))
+        .unionByName(_tier_recall(exact, "ivf_hier", hier))
     )
 
 
@@ -4386,9 +4434,20 @@ def ivf_hier_cost_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat tier's assignment pays) vs hier_route_cost = |V| x K2 + sum of
     probed super-cell sizes (what the two-level assignment pays). The
     ratio is the measured build-cost discount, and its growth law
-    (~n^-0.25) is pinned at two corpus sizes in tests/test_ivf_hier.py.
-    Structural counts, not timings — host weather cannot blur them."""
+    (~n^-0.25) is pinned at two corpus sizes in tests/test_ivf_hier.py;
+    the integers themselves are pinned to the EXECUTED assignment
+    plan's SQLMetrics (|V| x K2 = the stage-1 NLJ's output rows, stage2
+    = the sid hash join's output rows) by
+    test_cost_stats_integers_match_executed_plan_metrics. Structural
+    counts, not timings — host weather cannot blur them."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_hier_cost_frame(emb)
+
+
+def ivf_hier_cost_frame(emb: DataFrame) -> DataFrame:
+    """ivf_hier_cost_stats over an arbitrary (vec_id, embedding) frame —
+    the registered query and the SQLMetrics cross-check test share one
+    derivation."""
     embn, cent, sup = _hier_frames(emb)
     cent_a = _hier_cent_assigned(cent, sup)
     s1 = embn.crossJoin(F.broadcast(sup)).select(
@@ -4435,38 +4494,40 @@ def ivf_hier_cost_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # knn_graph under the production geometry + the recall gauges (VERDICT r4
-# #5/#6): k lifted from the demo's {KNN_GRAPH_K} to a curation-grade 10.
-KNN_GRAPH_SCALED_K = 10
+# #5/#6): k = KNN_GRAPH_SCALED_K (constants block) lifted from the
+# demo's fixture-sized 3 to a curation-grade 10.
 KNN_RECALL_SRCS = 50  # recall gauges sample this many source vectors
 
 
 @register(
     "knn_graph_scaled",
     oracle=f"""
-    WITH {_SQL_SCALED_BUCKETS_CTE},
+    WITH {_SQL_SDYN_BUCKETS_CTE},
     {_SQL_SIGN_CTES},
     {_sql_knn_graph('s', KNN_GRAPH_SCALED_K)}
     SELECT src, dst, cosine, rank FROM graph_sg
     """,
 )
 def knn_graph_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """knn_graph under the PRODUCTION profile: the scaled LSH geometry
-    ({SCALED_LSH_PLANES} planes x {SCALED_LSH_TABLES} tables — candidate
-    volume stays ~|V| x bucket_size because planes track log2|V|) and a
-    curation-grade k = {KNN_GRAPH_SCALED_K} (label propagation/diversity
-    sampling conventionally use k in 10..50; the demo's k=3 is
-    fixture-sized). Identical plan to knn_graph — src<dst scoring with a
-    mirrored union, one cosine per unordered pair."""
-    return _knn_graph_profile(
-        spark, sf_dir, SCALED_LSH_PLANES, SCALED_LSH_TABLES, KNN_GRAPH_SCALED_K
-    )
+    """knn_graph under the PRODUCTION profile: DYNAMIC plane count
+    lsh_planes_for(|V|) x {SCALED_LSH_TABLES} tables — candidate volume
+    stays ~|V| x {LSH_TARGET_BUCKET} because the plane count is the
+    smallest p with (1 << p) * {LSH_TARGET_BUCKET} >= |V| (the
+    integer-exact law; the previous fixed 8-plane geometry measured a
+    1.26 time-growth : row-growth ratio at 5x rows, BENCH_SCALE_r11) —
+    and a curation-grade k = {KNN_GRAPH_SCALED_K} (label propagation /
+    diversity sampling conventionally use k in 10..50; the demo's k=3
+    is fixture-sized). Identical plan to knn_graph — src<dst scoring
+    with a mirrored union, one cosine per unordered pair."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn_graph_edges_scaled(emb)
 
 
 @register(
     "knn_graph_recall_report",
     oracle=f"""
     WITH {_SQL_BUCKETS_CTE},
-    {_SQL_SCALED_BUCKETS_CTE},
+    {_SQL_SDYN_BUCKETS_CTE},
     {_SQL_SIGN_CTES},
     {_sql_knn_graph('', KNN_GRAPH_K, str(KNN_RECALL_SRCS))},
     {_sql_knn_graph('s', KNN_GRAPH_SCALED_K, str(KNN_RECALL_SRCS))},
@@ -4554,7 +4615,7 @@ def knn_graph_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_graph_beam_scaled",
     oracle=f"""
-    WITH {_SQL_SCALED_BUCKETS_CTE},
+    WITH {_SQL_SDYN_BUCKETS_CTE},
     {_SQL_SIGN_CTES},
     {_sql_knn_graph('s', KNN_GRAPH_SCALED_K)},
     {_sql_graph_beam_ctes(graph="graph_sg", cent_mod=SCALED_IVF_CENT_MOD)},
@@ -4572,9 +4633,7 @@ def similarity_graph_beam_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     law is unchanged — the configuration whose recall
     graph_beam_recall_report_scaled prices against the exact baseline."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    graph = knn_graph_edges(
-        emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, KNN_GRAPH_SCALED_K
-    )
+    graph = knn_graph_edges_scaled(emb)
     _, beam, _ = graph_beam_topk(
         emb, graph, cent_mod=SCALED_IVF_CENT_MOD
     )
@@ -4585,7 +4644,7 @@ def similarity_graph_beam_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_beam_recall_report_scaled",
     oracle=f"""
     WITH {_SQL_EXACT_TOPK_CTE},
-    {_SQL_SCALED_BUCKETS_CTE},
+    {_SQL_SDYN_BUCKETS_CTE},
     {_SQL_SIGN_CTES},
     {_sql_knn_graph('s', KNN_GRAPH_SCALED_K)},
     {_sql_graph_beam_ctes(graph="graph_sg", cent_mod=SCALED_IVF_CENT_MOD)},
@@ -4617,9 +4676,7 @@ def graph_beam_recall_report_scaled(
     contribution over the denser landmarks, on the graph the curation
     stack actually maintains."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    graph = knn_graph_edges(
-        emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, KNN_GRAPH_SCALED_K
-    )
+    graph = knn_graph_edges_scaled(emb)
     exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
     ent, beam, _ = graph_beam_topk(emb, graph, cent_mod=SCALED_IVF_CENT_MOD)
     return _tier_recall(exact, "entries_only_scaled", ent).unionByName(
@@ -6934,14 +6991,20 @@ def _sql_bucket_stats(src: str, profile: str) -> str:
     "lsh_bucket_stats",
     oracle=f"""
     WITH {_SQL_BUCKETS_CTE},
-    {_SQL_SCALED_BUCKETS_CTE}
+    {_SQL_SCALED_BUCKETS_CTE},
+    {_sql_dyn_buckets_cte(SCALED_LSH_TABLES, 'dy')}
     {_sql_bucket_stats('buckets', 'demo')}
     UNION ALL
     {_sql_bucket_stats('sbuckets', 'scaled')}
+    UNION ALL
+    {_sql_bucket_stats('dybuckets', 'dyn')}
     """,
 )
 def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket-occupancy report for BOTH LSH geometry profiles, per table:
+    """Bucket-occupancy report for all THREE LSH geometry profiles
+    (demo, static scaled, and the graph tier's DYNAMIC-plane geometry —
+    the row that shows occupancy pinned in ({LSH_TARGET_BUCKET}/2,
+    {LSH_TARGET_BUCKET}] at any corpus size), per table:
     bucket count, max occupancy, Σc², and the candidate-pair volume
     Σ c·(c-1)/2 that IS the cost of every bucket-join consumer
     (similarity_ann_lsh, knn_graph, dedup_embedding). The production
@@ -6961,6 +7024,10 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         lsh_bucket_stats_frame(
             emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, "scaled"
+        )
+    ).unionByName(
+        lsh_bucket_stats_frame(
+            emb, lsh_planes_for(emb.count()), SCALED_LSH_TABLES, "dyn"
         )
     )
 
@@ -7061,7 +7128,7 @@ def knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_graph_clusters_scaled",
     oracle=f"""
-    WITH {_SQL_SCALED_BUCKETS_CTE},
+    WITH {_SQL_SDYN_BUCKETS_CTE},
     {_SQL_SIGN_CTES},
     {_sql_knn_graph('s', KNN_GRAPH_SCALED_K)},
     {_sql_knn_clusters('graph_sg')}
@@ -7070,19 +7137,16 @@ def knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_graph_clusters_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """knn_graph_clusters under the PRODUCTION graph: the scaled LSH
-    geometry ({SCALED_LSH_PLANES} planes x {SCALED_LSH_TABLES} tables)
-    at curation-grade k={KNN_GRAPH_SCALED_K} — the registration the
+    """knn_graph_clusters under the PRODUCTION graph: dynamic planes
+    (lsh_planes_for x {SCALED_LSH_TABLES} tables — the pinned-occupancy
+    law) at curation-grade k={KNN_GRAPH_SCALED_K} — the registration the
     planted co-label test (tests/test_knn_clusters.py) already exercises
     frame-level, so the demo and production profiles both carry oracle
     rows (the dedup_minhash_lsh / _scaled pairing applied to the graph
     consumer). Same fixed-depth min-label plan; only the edge profile
     differs."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    edges = knn_graph_edges(
-        emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, KNN_GRAPH_SCALED_K
-    )
-    return knn_cluster_labels(emb, edges)
+    return knn_cluster_labels(emb, knn_graph_edges_scaled(emb))
 
 
 # ---------------------------------------------------------------------------

@@ -206,6 +206,28 @@ def nlj_build_rows(df: DataFrame, execute: bool = True) -> list[int]:
     return out
 
 
+def join_output_rows(df: DataFrame, execute: bool = True) -> dict[str, list[int]]:
+    """Runtime numOutputRows of every JOIN node in the executed plan,
+    keyed by the join's physical class name (BroadcastHashJoinExec,
+    BroadcastNestedLoopJoinExec, SortMergeJoinExec, ...). This is how a
+    cost GAUGE's claimed work integers get cross-checked against what
+    the executed plan actually did (VERDICT r11 #6): the gauge says the
+    two-level assignment scores |V| x K2 + stage2 candidates; those two
+    numbers must literally appear as the stage-1 NLJ's and the stage-2
+    hash join's output-row metrics. -1 = the node carried no
+    numOutputRows metric."""
+    if execute:
+        df.collect()
+    out: dict[str, list[int]] = {}
+    for n in _walk(_executed_tree(df)):
+        name = _simple_name(n)
+        if "Join" not in name and name != "CartesianProductExec":
+            continue
+        rows = _metric_rows(n)
+        out.setdefault(name, []).append(-1 if rows is None else rows)
+    return out
+
+
 def has_partitionless_window(df: DataFrame) -> bool:
     """Plan-only probe (no execution): does the tree contain a Window
     with an empty partitionBy? Used to pre-filter which queries the

@@ -151,6 +151,38 @@ def test_trained_hier_production_plan_never_touches_v_times_k(spark):
         assert rows and all(0 < r <= k0 for r in rows), (rows, k0, n)
 
 
+def test_cost_stats_integers_match_executed_plan_metrics(spark):
+    """VERDICT r11 #6: the gauge's routing-work integers must equal the
+    EXECUTED assignment plan's own SQLMetrics row counts, not formulas —
+    the audit style that caught the r10 routed-tier double-count.
+    |V| x K2 (hier_route_cost's first term) must appear as the stage-1
+    NLJ's output rows, and stage2 (= hier_route_cost - |V| x K2) as a
+    broadcast hash join's output rows, in the executed two-level
+    assignment plan."""
+    from mapreduce_spark.operators.similarity import ivf_hier_cost_frame
+
+    n = 1024
+    emb = _corpus(spark, n)
+    card = ivf_hier_cost_frame(emb).collect()[0]
+    assert card["n_vectors"] == n
+    stage1 = card["n_vectors"] * card["k_super"]
+    stage2 = card["hier_route_cost"] - stage1
+    assert stage2 > 0, card
+
+    embn, cent, sup = _hier_frames(emb)
+    cent_a = _hier_cent_assigned(cent, sup)
+    assign = _hier_assign(embn, cent_a, sup)
+    joins = audit.join_output_rows(assign)
+    nlj = joins.get("BroadcastNestedLoopJoinExec", [])
+    bhj = joins.get("BroadcastHashJoinExec", [])
+    # stage-1 vector->super scoring: exactly |V| x K2 rows flowed out of
+    # the NLJ (the K x K2 centroid->super NLJ is also in this plan)
+    assert stage1 in nlj, (stage1, joins)
+    assert card["k_cents"] * card["k_super"] in nlj, (card, joins)
+    # stage-2: the sid equi-join emitted exactly the probed member rows
+    assert stage2 in bhj, (stage2, joins)
+
+
 def test_training_stride_law():
     """Training sample: ~64 points per centroid. Below ~16k vectors the
     stride is 1 (small corpora train on everything — which is what kept

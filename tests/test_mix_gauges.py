@@ -8,6 +8,11 @@ domain_mix_report.
 
 from __future__ import annotations
 
+from mapreduce_spark.operators.similarity import (
+    LSH_DYN_MIN_PLANES,
+    LSH_TARGET_BUCKET,
+    lsh_planes_for,
+)
 from mapreduce_spark.registry import get_queries
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -20,8 +25,13 @@ def test_bucket_stats_conserve_vectors(spark):
     rows = get_queries()["lsh_bucket_stats"](spark, SF_DIR).collect()
     n_v = {r["n_vectors"] for r in rows}
     assert len(n_v) == 1, f"occupancy not conserved across tables: {n_v}"
-    bounds = {"demo": (4, 2**4), "scaled": (32, 2**8)}
-    seen = {"demo": 0, "scaled": 0}
+    dyn_planes = lsh_planes_for(next(iter(n_v)))
+    bounds = {
+        "demo": (4, 2**4),
+        "scaled": (32, 2**8),
+        "dyn": (32, 2**dyn_planes),
+    }
+    seen = {"demo": 0, "scaled": 0, "dyn": 0}
     for r in rows:
         tables, max_buckets = bounds[r["profile"]]
         seen[r["profile"]] += 1
@@ -30,7 +40,26 @@ def test_bucket_stats_conserve_vectors(spark):
         assert r["sum_sq"] >= r["n_vectors"]
         assert r["cand_pairs"] >= 0
         assert r["cand_pairs"] <= r["sum_sq"] // 2
-    assert seen == {"demo": 4, "scaled": 32}
+    assert seen == {"demo": 4, "scaled": 32, "dyn": 32}
+
+
+def test_dyn_profile_pins_expected_occupancy(spark):
+    """The dynamic-plane law's contract: expected occupancy
+    |V| / 2^planes sits in (TARGET/2, TARGET] for every corpus size the
+    law is evaluated at — checked at the fixture corpus and as a pure
+    integer law across six decades of |V|."""
+    rows = get_queries()["lsh_bucket_stats"](spark, SF_DIR).collect()
+    n = next(r["n_vectors"] for r in rows)
+    planes = lsh_planes_for(n)
+    if (1 << planes) * LSH_TARGET_BUCKET > n * 2:
+        # only the LSH_DYN_MIN_PLANES fixture floor may overshoot
+        assert planes == LSH_DYN_MIN_PLANES
+    for nn in (10**3, 10**4, 10**5, 10**6, 10**7, 10**9):
+        p = lsh_planes_for(nn)
+        assert (1 << p) * LSH_TARGET_BUCKET >= nn
+        assert (1 << (p - 1)) * LSH_TARGET_BUCKET < nn or (
+            p == LSH_DYN_MIN_PLANES
+        )
 
 
 def test_scaled_profile_cuts_pair_volume(spark):
@@ -38,7 +67,7 @@ def test_scaled_profile_cuts_pair_volume(spark):
     the scaled geometry (256 buckets) must be well below the demo's
     (16 buckets) — the all-pairs-degeneration defense, measured."""
     rows = get_queries()["lsh_bucket_stats"](spark, SF_DIR).collect()
-    by = {"demo": [], "scaled": []}
+    by = {"demo": [], "scaled": [], "dyn": []}
     for r in rows:
         by[r["profile"]].append(r["cand_pairs"])
     demo_avg = sum(by["demo"]) / len(by["demo"])

@@ -42,6 +42,20 @@ QUERIES = {
     "bpe_token_count": "documents",
     "dedup_minhash_lsh_scaled": "documents",
     "dedup_span_remove_scaled": "documents",
+    # --- relational / TPC-H / window / SCD2 side (VERDICT r11 #3) —
+    # requires a corpus generated with gen_scale_corpus.py's relational
+    # arguments (argv[4]/argv[5]); queries whose driving table is absent
+    # from the corpus are skipped with a log line, never silently.
+    "tpch_q1_pricing": "lineitem",
+    "groupby_agg": "lineitem",
+    "agg_distinct": "lineitem",
+    "join_broadcast": "lineitem",
+    "zorder_pruned_scan": "lineitem",
+    "window_ntile": "orders",
+    "topk": "orders",
+    "scd2_merge_incremental": "events",
+    "scd2_history_with_deletes": "events",
+    "pagerank_transitions": "events",
 }
 # bench.py's EAGER_BUILD rule: these do their work at DataFrame-
 # construction time, so construction sits inside the timed section
@@ -51,6 +65,14 @@ EAGER = {
     "dedup_index_persisted",
     "bpe_token_count",
 }
+
+# Stored-index PROBE tiers (VERDICT r11 #5): the index is built ONCE per
+# corpus (untimed here — the build law is priced by the in-plan queries
+# above), then the PROBE alone is timed at both scale points. Under
+# two-level routing a probe reads K2 supers + the routed super's member
+# centroids + nprobe cells, so its growth at 5x rows should be far
+# below linear — this is the empirical check on that claim.
+PROBE_TIERS = ("vindex_ivfpq_adc", "vindex_ivfpq_adc_residual")
 
 
 def _round_number(repo_root: str) -> int:
@@ -80,15 +102,25 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = get_queries()
 
+    tables = sorted(set(QUERIES.values()))
     rows = {
         (d, t): pq.read_metadata(os.path.join(d, f"{t}.parquet")).num_rows
         for d in (small, big)
-        for t in ("documents", "embeddings")
+        for t in tables
+        if os.path.exists(os.path.join(d, f"{t}.parquet"))
     }
+    runnable = {
+        n: t
+        for n, t in QUERIES.items()
+        if (small, t) in rows and (big, t) in rows
+    }
+    for name in sorted(set(QUERIES) - set(runnable)):
+        print(f"SKIP {name}: driving table {QUERIES[name]!r} missing "
+              f"from one corpus (regenerate with relational args)")
 
-    times: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
+    times: dict[str, dict[str, float]] = {n: {} for n in runnable}
     for d in (small, big):
-        for name in QUERIES:
+        for name in runnable:
             df = None if name in EAGER else qs[name](spark, d)
             run = (
                 (lambda: qs[name](spark, d))
@@ -103,8 +135,44 @@ def main() -> int:
                 samples.append(time.time() - t0)
             times[name][d] = round(statistics.median(samples), 3)
 
+    # stored-index probe tiers: build once per corpus, time probe only
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.operators import similarity as sim
+    from mapreduce_spark.sources.tables import load_table
+
+    probe_times: dict[str, dict[str, float]] = {n: {} for n in PROBE_TIERS}
+    for tag, d in (("a", small), ("b", big)):
+        emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
+        qv = emb.filter(F.col("vec_id") < sim.N_QUERIES)
+        sim.vector_index_write(emb, f"bs_vindex_{tag}")
+        sim.vector_index_write_residual(emb, f"bs_vindex_rsd_{tag}")
+        probes = {
+            "vindex_ivfpq_adc": lambda: sim.vector_index_probe(
+                spark, f"bs_vindex_{tag}", qv,
+                sim.SCALED_IVF_NPROBE, sim.TOP_K,
+            ),
+            "vindex_ivfpq_adc_residual": (
+                lambda: sim.vector_index_probe_residual(
+                    spark, f"bs_vindex_rsd_{tag}", qv,
+                    sim.SCALED_IVF_NPROBE, sim.TOP_K,
+                )
+            ),
+        }
+        for name in PROBE_TIERS:
+            probes[name]().write.mode("overwrite").format("noop").save()
+            samples = []
+            for _ in range(REPS):
+                t0 = time.time()
+                probes[name]().write.mode("overwrite").format("noop").save()
+                samples.append(time.time() - t0)
+            probe_times[name][d] = round(statistics.median(samples), 3)
+    for name in PROBE_TIERS:
+        runnable[f"probe_{name}"] = "embeddings"
+        times[f"probe_{name}"] = probe_times[name]
+
     out = {}
-    for name, table in QUERIES.items():
+    for name, table in runnable.items():
         rg = rows[(big, table)] / rows[(small, table)]
         tg = times[name][big] / times[name][small]
         out[name] = {
