@@ -151,6 +151,29 @@ def test_trained_hier_production_plan_never_touches_v_times_k(spark):
         assert rows and all(0 < r <= k0 for r in rows), (rows, k0, n)
 
 
+def test_super_self_assignment_invariant(spark):
+    """ADVICE r11: _hier_cent_assigned's self-first tie-break makes
+    cid == sid an invariant for every super — so (a) _sup_from_cent_a
+    recovers EXACTLY the build's super set from a stored centroid
+    table, and (b) every super's member cell is non-empty, so the
+    assignment inner join on sid can never drop a vector."""
+    from mapreduce_spark.operators.similarity import _sup_from_cent_a
+
+    emb = _corpus(spark, 2048)
+    _, cent, sup = _hier_frames(emb)
+    cent_a = _hier_cent_assigned(cent, sup)
+    sids = {r["sid"] for r in sup.select("sid").collect()}
+    self_rows = {
+        r["cid"]
+        for r in cent_a.filter(F.col("cid") == F.col("sid")).collect()
+    }
+    assert self_rows == sids, (sorted(self_rows), sorted(sids))
+    recovered = {r["sid"] for r in _sup_from_cent_a(cent_a).collect()}
+    assert recovered == sids
+    # non-empty cells: every sid referenced by some centroid row
+    assert sids <= {r["sid"] for r in cent_a.select("sid").collect()}
+
+
 def test_cost_stats_integers_match_executed_plan_metrics(spark):
     """VERDICT r11 #6: the gauge's routing-work integers must equal the
     EXECUTED assignment plan's own SQLMetrics row counts, not formulas —
