@@ -308,6 +308,64 @@ def lsh_buckets(emb: DataFrame, planes: int, tables: int) -> DataFrame:
     )
 
 
+def lsh_buckets_np(emb: DataFrame, planes: int, tables: int) -> DataFrame:
+    """lsh_buckets computed as an Arrow-batched int64 MATMUL
+    (mapInPandas) instead of the explode + weight-join + hash-agg plan —
+    bit-identical buckets (same xq = floor(x * {_XQ_SCALE}) quantization
+    in float64, same md5-stream integer weights, exact int64 sums; the
+    equality is pinned frame-for-frame by tests/test_ann_scaled.py).
+
+    Why it exists: the JVM derivation materializes |V| x {EMB_DIM} x
+    tables x planes joined rows, so when the DYNAMIC plane law raises
+    planes with log2|V| the derivation grows n log n with a visible
+    constant — BENCH_SCALE r12's first run measured knn_graph_scaled at
+    growth ratio 1.26 purely from this stage (pair volume itself was
+    already pinned). A dense integer matmul is the one shape Spark's
+    built-in operators can only express as that row explosion, i.e. the
+    legitimate Pandas case; per batch it is (rows x {EMB_DIM}) @
+    ({EMB_DIM} x tables*planes) with no shuffle and no Python
+    per-row loop. Serving tiers keep the JVM derivation: their plane
+    counts are static and their multiprobe variant needs the per-plane
+    |dot| margins inside the same JVM plan."""
+    import numpy as np
+    import pandas as pd
+
+    wq = np.empty((tables * planes, EMB_DIM), dtype=np.int64)
+    for t in range(tables):
+        for p in range(planes):
+            for d, w in enumerate(hyperplane(t, p)):
+                wq[t * planes + p, d] = int(round(w * 1000))
+    shifts = np.array([1 << p for p in range(planes)], dtype=np.int64)
+    n_tables, n_planes = tables, planes
+
+    def derive(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            xq = np.floor(x * _XQ_SCALE).astype(np.int64)
+            dots = xq @ wq.T  # (rows, tables*planes), exact int64
+            bits = (dots >= 0).reshape(-1, n_tables, n_planes)
+            buckets = (bits * shifts).sum(axis=2, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(np.int64), n_tables
+                    ),
+                    "table_idx": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(pdf)
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        derive, "vec_id bigint, table_idx int, bucket bigint"
+    )
+
+
 def _sql_buckets_cte(
     planes: int = LSH_PLANES, tables: int = LSH_TABLES, prefix: str = ""
 ) -> str:
@@ -2215,14 +2273,21 @@ def knn_graph_edges_scaled(
     convention); every scaled-graph consumer (knn_graph_scaled, the
     scaled cluster/beam/recall registrations) builds through this
     helper so the family shares one geometry, mirrored by
-    _SQL_SDYN_BUCKETS_CTE on the oracle side."""
+    _SQL_SDYN_BUCKETS_CTE on the oracle side. Buckets come from the
+    Arrow-matmul derivation (lsh_buckets_np — bit-identical to
+    lsh_buckets, without the n x planes JVM row explosion that grows
+    n log n under the dynamic plane law)."""
     return knn_graph_edges(
-        emb, lsh_planes_for(emb.count()), SCALED_LSH_TABLES, k
+        emb,
+        lsh_planes_for(emb.count()),
+        SCALED_LSH_TABLES,
+        k,
+        bucket_fn=lsh_buckets_np,
     )
 
 
 def knn_graph_edges(
-    emb: DataFrame, planes: int, tables: int, k: int
+    emb: DataFrame, planes: int, tables: int, k: int, bucket_fn=lsh_buckets
 ) -> DataFrame:
     """The profile-parameterized k-NN-graph builder over any
     (vec_id, embedding) frame (fixture corpora in tests, the registered
@@ -2244,9 +2309,15 @@ def knn_graph_edges(
     cosine fold. At production bucket occupancy the shortlist cuts the
     dominant stage's float work by the candidate-to-shortlist ratio;
     sources with fewer candidates than the shortlist width are passed
-    through unchanged (shortlist is a no-op there)."""
+    through unchanged (shortlist is a no-op there).
+
+    bucket_fn picks the bucket DERIVATION (identical output either
+    way): lsh_buckets (JVM plan — the default, right for static demo
+    geometry) or lsh_buckets_np (Arrow matmul — what the dynamic-plane
+    production builder passes, where the JVM derivation's n x planes
+    row explosion would reintroduce a measured n log n term)."""
     cand = bucketed_pairs(
-        lsh_buckets(emb, planes, tables),
+        bucket_fn(emb, planes, tables),
         ["table_idx", "bucket"],
         "vec_id",
         "src",
@@ -6947,13 +7018,16 @@ def hamming_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_bucket_stats_frame(
-    emb: DataFrame, planes: int, tables: int, profile: str
+    emb: DataFrame, planes: int, tables: int, profile: str,
+    bucket_fn=lsh_buckets,
 ) -> DataFrame:
     """Per-table occupancy rollup of one geometry: bucket count, max
     occupancy, Σc² and candidate-pair volume Σ c·(c-1)/2 (exact BIGINTs;
-    c·(c-1) is even so the halving division is lossless)."""
+    c·(c-1) is even so the halving division is lossless). bucket_fn
+    follows knn_graph_edges' convention so each profile is priced on
+    the derivation its consumers actually run."""
     per = (
-        lsh_buckets(emb, planes, tables)
+        bucket_fn(emb, planes, tables)
         .groupBy("table_idx", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -7027,7 +7101,11 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).unionByName(
         lsh_bucket_stats_frame(
-            emb, lsh_planes_for(emb.count()), SCALED_LSH_TABLES, "dyn"
+            emb,
+            lsh_planes_for(emb.count()),
+            SCALED_LSH_TABLES,
+            "dyn",
+            bucket_fn=lsh_buckets_np,
         )
     )
 

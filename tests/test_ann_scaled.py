@@ -37,6 +37,7 @@ from mapreduce_spark.operators.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
     knn_graph_edges,
+    lsh_buckets,
     refined_centroids,
 )
 
@@ -94,6 +95,27 @@ def test_scaled_lsh_recall_at_least_090(paired):
     df, truth = paired
     recall = _lsh_recall(df, truth, SCALED_LSH_PLANES, SCALED_LSH_TABLES)
     assert recall >= 0.9, f"scaled LSH recall {recall:.3f} < 0.9"
+
+
+def test_numpy_bucket_derivation_is_bit_identical(spark, paired):
+    """lsh_buckets_np (the Arrow-matmul derivation the dynamic-plane
+    graph builder uses) must produce EXACTLY the same (vec_id,
+    table_idx, bucket) frame as the JVM derivation — same float64
+    quantization, same md5-stream integer weights, exact int64 sums —
+    at both an odd dynamic plane count and the static scaled one."""
+    from mapreduce_spark.operators.similarity import lsh_buckets_np
+
+    df, _ = paired
+    for planes, tables in ((11, 4), (SCALED_LSH_PLANES, 8)):
+        jvm = {
+            (r["vec_id"], r["table_idx"], r["bucket"])
+            for r in lsh_buckets(df, planes, tables).collect()
+        }
+        npy = {
+            (r["vec_id"], r["table_idx"], r["bucket"])
+            for r in lsh_buckets_np(df, planes, tables).collect()
+        }
+        assert jvm == npy, (planes, tables, len(jvm ^ npy))
 
 
 def test_demo_lsh_misses_planted_neighbors(paired):
