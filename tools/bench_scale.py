@@ -56,6 +56,8 @@ QUERIES = {
     "scd2_merge_incremental": "events",
     "scd2_history_with_deletes": "events",
     "pagerank_transitions": "events",
+    "stream_scd2_view": "events",
+    "stream_scd2_view_with_deletes": "events",
 }
 # bench.py's EAGER_BUILD rule: these do their work at DataFrame-
 # construction time, so construction sits inside the timed section
@@ -64,6 +66,9 @@ EAGER = {
     "cc_star_components",
     "dedup_index_persisted",
     "bpe_token_count",
+    # streaming folds run their micro-batches at construction time
+    "stream_scd2_view",
+    "stream_scd2_view_with_deletes",
 }
 
 # Stored-index PROBE tiers (VERDICT r11 #5): the index is built ONCE per
