@@ -482,6 +482,7 @@ def ann_lsh_topk(
     tables: int,
     k: int = TOP_K,
     n_queries: int = N_QUERIES,
+    bucket_fn=None,
 ) -> DataFrame:
     """Profile-parameterized LSH ANN over a (vec_id, embedding) frame:
     bucket derivation -> (table, bucket) candidate equi-join -> exact
@@ -498,8 +499,14 @@ def ann_lsh_topk(
     above BUCKET_CAP fall back to a salted join so no single
     aggregation group ever materializes O(c^2) pairs (AQE splits
     partitions, not groups). Same candidate SET either way by
-    construction; lsh_bucket_stats is the gauge that prices the cap."""
-    buckets = lsh_buckets(emb, planes, tables)
+    construction; lsh_bucket_stats is the gauge that prices the cap.
+
+    bucket_fn follows knn_graph_edges' convention: lsh_buckets (JVM
+    plan — the default) or lsh_buckets_np (Arrow matmul, bit-identical
+    output — what the production-geometry registrations pass, where
+    the JVM derivation's |V| x dim x tables x planes row explosion is
+    the dominant stage)."""
+    buckets = (bucket_fn or lsh_buckets)(emb, planes, tables)
     cand = bucketed_query_pairs(
         buckets,
         ["table_idx", "bucket"],
@@ -3913,9 +3920,13 @@ def similarity_ann_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood). Same plan as the demo registration — only the profile
     constants differ; tests/test_ann_scaled.py asserts empirical recall
     >= 0.9 on a planted-neighbor corpus and that the demo geometry
-    misses measurably on the same data."""
+    misses measurably on the same data. Buckets come from the
+    Arrow-matmul derivation (bit-identical; the JVM explosion was this
+    query's dominant stage at the 256-weight production geometry)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return ann_lsh_topk(emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES)
+    return ann_lsh_topk(
+        emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, bucket_fn=lsh_buckets_np
+    )
 
 
 @register(
@@ -3985,7 +3996,9 @@ def ann_recall_report_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real embedding corpus."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     exact = similarity_topk(spark, sf_dir).select("query_id", "vec_id")
-    lsh = ann_lsh_topk(emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES)
+    lsh = ann_lsh_topk(
+        emb, SCALED_LSH_PLANES, SCALED_LSH_TABLES, bucket_fn=lsh_buckets_np
+    )
     cent_a, sup = ivf_trained_hier(emb)
     cand, _, _ = ivf_candidates_hier(emb, cent_a, sup, SCALED_IVF_NPROBE)
     ivf = _rank_topk(_score_pairs(emb, cand.select("query_id", "vec_id")))
