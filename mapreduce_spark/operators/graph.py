@@ -319,7 +319,17 @@ def cc_star(edges: DataFrame, nodes: DataFrame) -> tuple[DataFrame, int]:
     never sits in one task's memory, it streams through a map-side-
     combined min and a skew-splittable join. Each round's output is
     localCheckpointed to cut lineage; convergence is a scalar
-    count+hash-sum compare, not a plan-growing anti-join."""
+    count+hash-sum compare, not a plan-growing anti-join.
+
+    Shuffle budget per round is exactly four exchanges (mins groupBy,
+    s⋈mins, mins2 groupBy — which Catalyst reuses for large⋈mins2 — and
+    the final distinct): the loop maintains the invariant that ``cur``
+    is duplicate-free and oriented child > parent (small-star's output
+    re-points everything at a strict minimum), so re-symmetrizing via
+    union needs NO distinct, and ``large`` flows to its two consumers
+    undeduplicated — min() is duplicate-insensitive and the row volume
+    is bounded by |s| (one output row per surviving s-row) until the
+    final distinct restores the set."""
     sym = (
         edges.select(F.col("a").alias("child"), F.col("b").alias("parent"))
         .unionByName(
@@ -331,16 +341,22 @@ def cc_star(edges: DataFrame, nodes: DataFrame) -> tuple[DataFrame, int]:
     )
     prev = _edge_digest(sym)
     cur = sym
+    cur_symmetric = True  # round 1's input already holds both orientations
     rounds = 0
     for _ in range(CC_STAR_MAX_ITERS):
         rounds += 1
         # large-star: group the SYMMETRIC adjacency by u; every strictly
         # larger neighbor re-points to m(u) = min(N(u) ∪ {u}).
-        s = cur.unionByName(
-            cur.select(
-                F.col("parent").alias("child"), F.col("child").alias("parent")
+        if cur_symmetric:
+            s = cur
+        else:
+            s = cur.unionByName(
+                cur.select(
+                    F.col("parent").alias("child"),
+                    F.col("child").alias("parent"),
+                )
             )
-        ).distinct()
+        cur_symmetric = False
         mins = (
             s.groupBy("child")
             .agg(F.min("parent").alias("mn"))
@@ -350,7 +366,6 @@ def cc_star(edges: DataFrame, nodes: DataFrame) -> tuple[DataFrame, int]:
             s.join(mins, "child")
             .filter(F.col("parent") > F.col("child"))
             .select(F.col("parent").alias("child"), F.col("m").alias("parent"))
-            .distinct()
         )
         # small-star: edges are now all child > parent; group by child,
         # re-point every parent (and the child itself) to the min parent.
