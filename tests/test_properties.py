@@ -180,6 +180,101 @@ def test_minhash_permutation_matches_python_model(spark, hashes):
         assert got[f"sig{i}"] == min((a * h + b) % MINHASH_P for h in hashes)
 
 
+# ---------------------------------------------------------------------------
+# cc_star vs an independent union-find model on random graphs
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def py_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find with min-id labels — the independent model."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(EDGES)
+def test_cc_star_matches_union_find_model(spark, edges):
+    """Star contraction labels every node with its component's minimum
+    id — checked against a pure-Python union-find on random graphs
+    (self-loops, duplicates, and both orientations included by the
+    generator; isolated nodes must come out as singletons)."""
+    from mapreduce_spark.operators.graph import cc_star
+
+    n = 15
+    edf = spark.createDataFrame(
+        edges if edges else [(0, 0)], "a: long, b: long"
+    )
+    ndf = spark.range(n).withColumnRenamed("id", "id")
+    labels, rounds = cc_star(edf, ndf)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == py_components(n, edges)
+    assert 1 <= rounds <= 12
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy merge fold: literal path == frame path == pure-Python model
+
+SYMS = st.lists(
+    st.text(alphabet=st.sampled_from(list("abc")), min_size=1, max_size=2),
+    min_size=1,
+    max_size=12,
+)
+
+
+def py_bpe_merge(symbols: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right merge: whenever the last emitted symbol is
+    `a` and the incoming one is `b`, fuse them into `ab`."""
+    out: list[str] = []
+    for s in symbols:
+        if s == b and out and out[-1] == a:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(SYMS, st.text(alphabet="abc", min_size=1, max_size=2),
+       st.text(alphabet="abc", min_size=1, max_size=2))
+def test_bpe_merge_fold_paths_match_python_model(spark, symbols, a, b):
+    """The codegen'd merge fold equals the Python greedy model, and the
+    driver-elected literal path (checkpointed production loop) produces
+    the same rewrite as the broadcast 1-row frame path (lazy demo loop)
+    for the same rule."""
+    import pyspark.sql.functions as F
+
+    from mapreduce_spark.operators.textops import _bpe_merge_frame
+
+    wf = spark.createDataFrame(
+        [("w", "|" + "|".join(symbols) + "|", 1)], "word string, w string, f long"
+    )
+    expect = "|" + "|".join(py_bpe_merge(symbols, a, b)) + "|"
+    [lit_row] = _bpe_merge_frame(wf, (a, b)).collect()
+    rule = spark.createDataFrame([(a, b)], "a string, b string")
+    [frame_row] = _bpe_merge_frame(wf, rule).collect()
+    assert lit_row["w"] == expect
+    assert frame_row["w"] == expect
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.text(alphabet="abc", min_size=1, max_size=2), min_size=1, max_size=25))
 def test_max_run_length_matches_counter_model(spark, items):
