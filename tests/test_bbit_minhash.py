@@ -15,12 +15,34 @@ from mapreduce_spark.operators.dedup import (
     BBIT_NIBBLE,
     BBIT_PER_WORD,
     BBIT_WORDS,
+    N_PERMS,
     SCALED_PERMS,
     _doc_shingles,
     bbit_jaccard_report,
     minhash_bbit_signatures,
     minhash_sig_array,
+    minhash_sig_array_np,
 )
+
+
+def test_numpy_signature_derivation_is_bit_identical(spark, sf_dir):
+    """minhash_sig_array_np (the Arrow-batched fan-out every scaled-
+    profile consumer derives signatures through) must produce EXACTLY
+    the same (doc_id, sig) frame as the exploded JVM derivation — same
+    md5 base hashes, same (a*h + b) mod P int64 arithmetic — at both
+    graded profiles, so band keys, b-bit words and agreement counts can
+    never diverge between the two paths."""
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sgl") > 0)
+    for n_perms in (N_PERMS, SCALED_PERMS):
+        jvm = {
+            r["doc_id"]: list(r["sig"])
+            for r in minhash_sig_array(sh, n_perms).collect()
+        }
+        npy = {
+            r["doc_id"]: list(r["sig"])
+            for r in minhash_sig_array_np(sh, n_perms).collect()
+        }
+        assert jvm and jvm == npy, n_perms
 
 
 def test_packing_roundtrips_to_the_nibble_vector(spark, sf_dir):
