@@ -13,6 +13,13 @@ BENCH_NOTES before the next round.
     python tools/gen_scale_corpus.py /tmp/scale_a 5000 2000
     python tools/gen_scale_corpus.py /tmp/scale_b 25000 10000
     python tools/bench_scale.py /tmp/scale_a /tmp/scale_b [round]
+
+Focused re-measurement after a single-family replan:
+``SPARK_GRAFT_SCALE_ONLY=q1,q2`` restricts the run to the named
+queries (prefix ``probe_`` names select the stored-index probe tiers)
+and MERGES their rows into the round's existing BENCH_SCALE_r{N}.json
+instead of overwriting it — the record stays whole, only the re-planned
+entries move.
 """
 
 from __future__ import annotations
@@ -41,6 +48,7 @@ QUERIES = {
     "dedup_index_persisted": "documents",
     "bpe_token_count": "documents",
     "dedup_minhash_lsh_scaled": "documents",
+    "bbit_jaccard_report": "documents",
     "dedup_span_remove_scaled": "documents",
     # --- relational / TPC-H / window / SCD2 side (VERDICT r11 #3) —
     # requires a corpus generated with gen_scale_corpus.py's relational
@@ -114,12 +122,22 @@ def main() -> int:
         for t in tables
         if os.path.exists(os.path.join(d, f"{t}.parquet"))
     }
+    only = {
+        n.strip()
+        for n in os.environ.get("SPARK_GRAFT_SCALE_ONLY", "").split(",")
+        if n.strip()
+    }
     runnable = {
         n: t
         for n, t in QUERIES.items()
         if (small, t) in rows and (big, t) in rows
+        and (not only or n in only)
     }
-    for name in sorted(set(QUERIES) - set(runnable)):
+    for name in sorted(
+        n for n, t in QUERIES.items()
+        if n not in runnable and (not only or n in only)
+        and ((small, t) not in rows or (big, t) not in rows)
+    ):
         print(f"SKIP {name}: driving table {QUERIES[name]!r} missing "
               f"from one corpus (regenerate with relational args)")
 
@@ -146,8 +164,11 @@ def main() -> int:
     from mapreduce_spark.operators import similarity as sim
     from mapreduce_spark.sources.tables import load_table
 
-    probe_times: dict[str, dict[str, float]] = {n: {} for n in PROBE_TIERS}
-    for tag, d in (("a", small), ("b", big)):
+    probe_run = tuple(
+        n for n in PROBE_TIERS if not only or f"probe_{n}" in only
+    )
+    probe_times: dict[str, dict[str, float]] = {n: {} for n in probe_run}
+    for tag, d in (("a", small), ("b", big)) if probe_run else ():
         emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
         qv = emb.filter(F.col("vec_id") < sim.N_QUERIES)
         sim.vector_index_write(emb, f"bs_vindex_{tag}")
@@ -164,7 +185,7 @@ def main() -> int:
                 )
             ),
         }
-        for name in PROBE_TIERS:
+        for name in probe_run:
             probes[name]().write.mode("overwrite").format("noop").save()
             samples = []
             for _ in range(REPS):
@@ -172,7 +193,7 @@ def main() -> int:
                 probes[name]().write.mode("overwrite").format("noop").save()
                 samples.append(time.time() - t0)
             probe_times[name][d] = round(statistics.median(samples), 3)
-    for name in PROBE_TIERS:
+    for name in probe_run:
         runnable[f"probe_{name}"] = "embeddings"
         times[f"probe_{name}"] = probe_times[name]
 
@@ -195,8 +216,15 @@ def main() -> int:
     rnd = os.environ.get("SPARK_GRAFT_ROUND") or (
         sys.argv[3] if len(sys.argv) > 3 else str(_round_number(here))
     )
+    path = os.path.join(here, f"BENCH_SCALE_r{rnd}.json")
     summary = {"metric": "two_point_scaling", "reps": REPS, "queries": out}
-    with open(os.path.join(here, f"BENCH_SCALE_r{rnd}.json"), "w") as f:
+    if only and os.path.exists(path):
+        # focused re-measurement: move only the re-planned entries,
+        # keep the rest of the round's record intact
+        with open(path) as f:
+            summary = json.load(f)
+        summary["queries"].update(out)
+    with open(path, "w") as f:
         json.dump(summary, f, indent=1)
         f.write("\n")
     for name, r in sorted(out.items(), key=lambda kv: -kv[1]["growth_ratio"]):
