@@ -288,3 +288,58 @@ def test_max_run_length_matches_counter_model(spark, items):
         _max_run_length(F.array_sort("xs")).alias("m")
     ).collect()[0]["m"]
     assert got == max(Counter(items).values())
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched 144-perm signature fan-out vs a pure-python md5 model
+
+SHINGLES = st.lists(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=9,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+def py_minhash_sig(sgl: list[str], n_perms: int) -> list[int]:
+    """Independent model: md5-hex-prefix base hash, (a*h + b) mod P min."""
+    from mapreduce_spark.operators.dedup import MINHASH_P, _perm_coeffs
+
+    hs = [
+        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+        for s in sgl
+    ]
+    return [
+        min((a * h + b) % MINHASH_P for h in hs)
+        for a, b in (_perm_coeffs(i) for i in range(n_perms))
+    ]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(SHINGLES)
+def test_numpy_signature_fanout_matches_python_model(
+    spark, monkeypatch, docs
+):
+    """minhash_sig_array_np == the pure-python md5 model on generated
+    shingle sets — with MH_NP_SLAB pinned to 2 so the slab-split min
+    fold (the bounded-memory path a million-shingle document takes) is
+    exercised on every example."""
+    from mapreduce_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "MH_NP_SLAB", 2)
+    df = spark.createDataFrame(
+        [(i, sgl) for i, sgl in enumerate(docs)],
+        "doc_id: long, sgl: array<string>",
+    )
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in dedup.minhash_sig_array_np(df, 7).collect()
+    }
+    assert got == {i: py_minhash_sig(sgl, 7) for i, sgl in enumerate(docs)}
