@@ -324,8 +324,9 @@ def lsh_buckets_np(emb: DataFrame, planes: int, tables: int) -> DataFrame:
     built-in operators can only express as that row explosion, i.e. the
     legitimate Pandas case; per batch it is (rows x {EMB_DIM}) @
     ({EMB_DIM} x tables*planes) with no shuffle and no Python
-    per-row loop. Serving tiers keep the JVM derivation: their plane
-    counts are static and their multiprobe variant needs the per-plane
+    per-row loop. Single-probe consumers (the dynamic-plane graph tier
+    and the static-geometry serving tier) derive buckets here; only
+    multiprobe keeps the JVM derivation, because it needs the per-plane
     |dot| margins inside the same JVM plan."""
     import numpy as np
     import pandas as pd
