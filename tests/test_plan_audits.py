@@ -476,3 +476,30 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_arrow_integer_kernels_stay_inside_scan_partitions(spark, sf_dir):
+    """The two Arrow int64 kernels (the 144-perm MinHash signature
+    fan-out and the LSH hyperplane bucket matmul) exist to DELETE the
+    row-explosion exchange their JVM twins pay — so their output frames
+    must plan with ZERO exchanges: scan -> per-row projection ->
+    mapInPandas, nothing shuffles before or inside the kernel."""
+    from mapreduce_spark.operators.dedup import (
+        SCALED_PERMS,
+        _doc_shingles,
+        minhash_sig_array_np,
+    )
+    from mapreduce_spark.operators.similarity import lsh_buckets_np
+    from mapreduce_spark.sources.tables import load_table
+
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("sgl") > 0)
+    sig = minhash_sig_array_np(sh, SCALED_PERMS)
+    assert audit.exchange_count(sig) == 0, audit.simple_plan(sig)
+    assert "InPandas" in audit.simple_plan(sig)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bk = lsh_buckets_np(emb, 8, 2)
+    assert audit.exchange_count(bk) == 0, audit.simple_plan(bk)
+    assert "InPandas" in audit.simple_plan(bk)
