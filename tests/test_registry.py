@@ -105,3 +105,23 @@ def test_2c_queries_run_and_return_rows(spark, sf_dir, name):
     rows = df.limit(1).collect()
     if name not in MAY_BE_EMPTY:
         assert len(rows) == 1, f"{name} returned no rows"
+
+
+def test_plans_report_covers_every_registered_query():
+    """PLANS.md (the generated physical-plan audit) must have a row per
+    registered query — it went stale for two rounds when new
+    registrations weren't followed by a tools/plan_report.py rerun."""
+    import os
+    import re
+
+    from mapreduce_spark.registry import get_queries
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rows = set()
+    with open(os.path.join(here, "PLANS.md")) as f:
+        for ln in f:
+            m = re.match(r"\| ([a-z0-9_]+) \|", ln)
+            if m and m.group(1) != "query":
+                rows.add(m.group(1))
+    missing = sorted(set(get_queries()) - rows)
+    assert not missing, f"rerun tools/plan_report.py > PLANS.md: {missing}"
