@@ -1,0 +1,36 @@
+"""Build-artifact materialization for multiply-consumed derived frames.
+
+Spark plans recompute a DataFrame subtree once PER REFERENCE in the
+consuming physical plan: there is no common-subexpression elimination
+across joins/unions, and exchange reuse did not fire on these shapes —
+the r12-start executed plan of ``similarity_ivfpq_adc_residual`` carried
+194 shuffle exchanges, 127 broadcast builds, 134 parquet scans and ZERO
+``ReusedExchange`` nodes, i.e. the in-plan Lloyd quantizer training ran
+dozens of times per execution (plans/r12/*_before.txt). The guide's
+remedies are §3.3 "materialising an intermediate result truncates the
+plan" and §1.2 step 1 "don't compute things you throw away": checkpoint
+the small trained artifact once and let every consumer read it.
+
+``materialize`` eagerly ``localCheckpoint``s the frame: the subtree runs
+exactly once, on the executors (MEMORY_AND_DISK — never the driver),
+and the returned frame scans that materialization. Values are
+unchanged — the subtree is deterministic and the oracle gate re-verifies
+every consumer. Lifetime is the query invocation that built it: every
+bench rep and every driver grading call re-derives the artifact from the
+parquet inputs (the EAGER_BUILD discipline in bench.py times it per
+rep), so nothing persists across runs.
+
+At 100 TB the same cut is what an index/tokenizer/quantizer BUILD is:
+train once, serve many. A consumer plan that re-derives the quantizer
+k times multiplies the n^1.25 training term by k; materialization makes
+it 1x and leaves the serve path's cost law untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint a (small) derived frame; see module doc."""
+    return df.localCheckpoint(eager=True)

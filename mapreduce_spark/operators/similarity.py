@@ -30,6 +30,7 @@ from mapreduce_spark.functions.vectors import (
     norm,
     sql_cosine_pair,
 )
+from mapreduce_spark.operators.artifacts import materialize
 from mapreduce_spark.operators.pairing import (
     bucketed_pairs,
     bucketed_query_pairs,
@@ -2352,11 +2353,27 @@ def knn_graph_edges(
         .cast("bigint")
         .alias("hamming"),
     )
-    hboth = hhalf.unionByName(
-        hhalf.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "hamming"
-        )
-    )
+    # mirror each unordered pair IN-TASK (explode of a 2-struct array)
+    # instead of a self-union: the union form planned hhalf — and the
+    # whole bucket derivation + sign joins under it — TWICE (guide §2.4:
+    # remove duplicate subtree execution; values identical, Hamming is
+    # symmetric)
+    hboth = hhalf.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("src"),
+                    F.col("dst").alias("dst"),
+                    F.col("hamming").alias("hamming"),
+                ),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("hamming").alias("hamming"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.hamming")
     wh = Window.partitionBy("src").orderBy("hamming", "dst")
     short = (
         hboth.withColumn("hrank", F.row_number().over(wh))
@@ -2473,10 +2490,19 @@ def _beam_walk(
     """The walk stage shared by every beam tier: from a scored entry set,
     ``rounds`` iterations of expand-the-frontier's-out-edges, score only
     NEW (query, vec) pairs, keep the best ``beam`` as the next frontier.
-    Returns (top-k of the visited set, the visited set itself)."""
+    Returns (top-k of the visited set, the visited set itself).
+
+    The entry set and each round's newly-scored pairs are MATERIALIZED
+    (operators/artifacts.py; every frame is beam-law-bounded — <= |Q| x
+    (|entries| + rounds x beam x k) rows): the visited/frontier chain
+    references each round's frame 3+ times across the anti-join, the
+    union and the next frontier, and before r12 each reference re-ran
+    the full upstream derivation — entry scoring AND the k-NN-graph
+    build — blowing the routed tier's executed plan up to 208 broadcast
+    builds / 208 scans with zero ReusedExchange (plans/r12/)."""
     edges = graph.select("src", "dst")
-    visited = scored0
-    frontier = _beam_frontier(scored0, beam)
+    visited = materialize(scored0)
+    frontier = _beam_frontier(visited, beam)
     for _ in range(rounds):
         # The WALK's frontier/visited frames broadcast: past the entry
         # stage they are bounded by the beam law (<= |Q| x (|entries| +
@@ -2493,7 +2519,7 @@ def _beam_walk(
             .distinct()
             .join(F.broadcast(visited), ["query_id", "vec_id"], "left_anti")
         )
-        scored_r = _score_pairs(emb, cand, broadcast_cand=True)
+        scored_r = materialize(_score_pairs(emb, cand, broadcast_cand=True))
         visited = visited.unionByName(scored_r)
         frontier = _beam_frontier(scored_r, beam)
     return _rank_topk(visited, k), visited
@@ -2586,7 +2612,9 @@ def similarity_graph_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     priced by graph_beam_recall_report; visited-growth and cost-law
     contracts are pinned in tests/test_graph_beam.py."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    graph = materialize(
+        knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    )
     _, beam, _ = graph_beam_topk(emb, graph)
     return beam
 
@@ -2655,7 +2683,11 @@ def routed_artifacts(
         .filter(F.col("member_rank") <= cap)
         .select("vec_id", "cid")
     )
-    return cent, members
+    # the member table is the expensive artifact (the |V| x K offline
+    # assignment NLJ sits above it) and downstream beam plans reference
+    # the entry set it feeds several times — materialize it once
+    # (operators/artifacts.py; <= K x cap rows)
+    return cent, materialize(members)
 
 
 def routed_entry_from(
@@ -2809,7 +2841,9 @@ def similarity_graph_beam_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graph_beam.py; entry volume is graded by
     graph_beam_routed_entry_stats."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    graph = materialize(
+        knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    )
     _, beam, _ = graph_beam_topk_routed(emb, graph)
     return beam
 
@@ -2898,7 +2932,9 @@ def graph_beam_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query beam contract makes this the cheapest serving tier to
     gauge: both rankings come from one visited-set lineage."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    graph = materialize(
+        knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    )
     exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
     ent, beam, _ = graph_beam_topk(emb, graph)
     return _tier_recall(exact, "entries_only", ent).unionByName(
@@ -2951,7 +2987,9 @@ def graph_beam_routed_recall_report(
     its recall row matches the landmark report's; fall back to more
     nprobe/cap where it doesn't."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    graph = materialize(
+        knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    )
     exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
     ent, beam, _ = graph_beam_topk_routed(emb, graph)
     return _tier_recall(exact, "routed_entries_only", ent).unionByName(
@@ -4193,7 +4231,9 @@ def ann_ivf_hier_topk(
     return _rank_topk(scored, k)
 
 
-def ivf_trained_hier(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+def ivf_trained_hier(
+    emb: DataFrame, eager: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(cent_a, sup): the PRODUCTION two-level quantizer — sqrt-law
     seeds Lloyd-trained on the vec_id % ts == 0 SAMPLE (ts = max(1,
     cm // {IVF_TRAIN_PER_CENT}): ~{IVF_TRAIN_PER_CENT} points per
@@ -4203,7 +4243,18 @@ def ivf_trained_hier(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     (cid, ce, cn, sid). Every production IVF/IVFADC consumer and the
     persisted vector index build through this, so the whole family
     shares one n^1.25 build geometry (BENCH_SCALE r11's fix rolled
-    family-wide). The one emb.count() is the build-time sizing scalar."""
+    family-wide). The one emb.count() is the build-time sizing scalar.
+
+    DEFAULT is lazy (r12 optimization round, measured both ways): an
+    unconditional eager materialization was tried and reverted — the
+    flat consumers' few quantizer references execute concurrently on
+    idle cores, so the monolithic plan's wall-clock tracks its critical
+    path and the barrier jobs regressed them up to 1.8x at sf0.1
+    (OPTIMIZATION_r12.md). ``eager=True`` materializes the trained
+    table once (operators/artifacts.py) and recovers the super frame
+    from it (exact by the cid == sid self-assignment invariant) — the
+    residual-ADC path opts in, where the quantizer subtree is
+    referenced ~5x per plan and the cut measured 0.55x."""
     n = emb.count()
     cm = ivf_cent_mod(n)
     sm = ivf_hier_sm(cm)
@@ -4216,6 +4267,9 @@ def ivf_trained_hier(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("ce").alias("se"),
         F.col("cn").alias("sn"),
     )
+    if eager:
+        cent_a = materialize(_hier_cent_assigned(cent, sup))
+        return cent_a, _sup_from_cent_a(cent_a)
     return _hier_cent_assigned(cent, sup), sup
 
 
@@ -4718,7 +4772,7 @@ def similarity_graph_beam_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     law is unchanged — the configuration whose recall
     graph_beam_recall_report_scaled prices against the exact baseline."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    graph = knn_graph_edges_scaled(emb)
+    graph = materialize(knn_graph_edges_scaled(emb))
     _, beam, _ = graph_beam_topk(
         emb, graph, cent_mod=SCALED_IVF_CENT_MOD
     )
@@ -4761,7 +4815,7 @@ def graph_beam_recall_report_scaled(
     contribution over the denser landmarks, on the graph the curation
     stack actually maintains."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    graph = knn_graph_edges_scaled(emb)
+    graph = materialize(knn_graph_edges_scaled(emb))
     exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
     ent, beam, _ = graph_beam_topk(emb, graph, cent_mod=SCALED_IVF_CENT_MOD)
     return _tier_recall(exact, "entries_only_scaled", ent).unionByName(
@@ -4866,7 +4920,11 @@ def _pq_pairs_trained_frame(ex: DataFrame) -> DataFrame:
     seed sub-vectors (entries reassembled to pos-ordered arrays for the
     same 8-element integer fold — see _pq_sub_arrays). Same packed-
     argmin headroom: |cq| <= max|xq|, so per-sub d2 keeps the
-    d2 * PQ_PACK + seed_id bound."""
+    d2 * PQ_PACK + seed_id bound. Stays lazy (r12: an eager book
+    materialization was tried and reverted — it regressed the trained-PQ
+    consumers ~1.5x at sf0.1 because the two book references execute
+    concurrently and the barrier job costs more than the duplication it
+    removes; OPTIMIZATION_r12.md)."""
     book = _pq_refined_book_frame(ex).groupBy("sub_idx", "seed_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "cq"))),
@@ -5815,19 +5873,30 @@ def ivfpq_adc_residual_topk(
     shape matches ivfpq_adc_topk: the book, centroid table and per-query
     tables broadcast; candidates join codes on vec_id; the ADC sum
     partial-aggregates map-side. Cites FAISS IndexIVFPQ by_residual
-    (public) as the production default this mirrors."""
+    (public) as the production default this mirrors.
+
+    The four multiply-consumed build artifacts — cell assignment (2
+    refs), residual training set (4 refs: book seeds, assignment,
+    refinement, corpus coding), trained residual book (2 refs) and the
+    query probe (2 refs) — are MATERIALIZED (operators/artifacts.py):
+    before r12 each reference re-ran its subtree in-plan, multiplying
+    the one-shot build into 194 executed exchanges / 134 scans with
+    zero ReusedExchange (plans/r12/similarity_ivfpq_adc_residual_*.txt
+    is the before/after evidence)."""
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
-    assign = (
+    assign = materialize(
         _nearest_cells(embn, cent, "vec_id", 1)
         if sup is None
         else _hier_assign(embn, cent, sup)
     )
     cex = _cent_micro(cent)
     ex = _pq_ex_frame(emb)
-    res_ex = _residual_ex(ex, assign, cex, "vec_id").select(
-        "vec_id", "sub_idx", "pos", "xq"
+    res_ex = materialize(
+        _residual_ex(ex, assign, cex, "vec_id").select(
+            "vec_id", "sub_idx", "pos", "xq"
+        )
     )
-    book_arr = _book_arrays(_pq_refined_book_frame(res_ex))
+    book_arr = materialize(_book_arrays(_pq_refined_book_frame(res_ex)))
     corpus_pairs = _pq_sub_arrays(res_ex).join(
         F.broadcast(book_arr), "sub_idx"
     ).select("vec_id", "sub_idx", "seed_id", F.expr(_PQ_D2).alias("d2"))
@@ -5839,7 +5908,7 @@ def ivfpq_adc_residual_topk(
     qframe = embn.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding", "nrm"
     )
-    probe = (
+    probe = materialize(
         _nearest_cells(qframe, cent, "query_id", nprobe)
         if sup is None
         else _hier_route_frame(
@@ -6037,12 +6106,16 @@ def embedding_pq_codes_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivfpq_residual.py asserts the mean strictly drops; the
     recall gain is priced by ivfpq_residual_recall_report."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent, sup = ivf_trained_hier(emb)
+    cent, sup = ivf_trained_hier(emb, eager=True)
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
     assign = _hier_assign(embn, cent, sup)
-    res_ex = _residual_ex(
-        _pq_ex_frame(emb), assign, _cent_micro(cent), "vec_id"
-    ).select("vec_id", "sub_idx", "pos", "xq")
+    # the residual training set is read 4x downstream (book seeds,
+    # assignment, refinement, corpus coding) — materialized once
+    res_ex = materialize(
+        _residual_ex(
+            _pq_ex_frame(emb), assign, _cent_micro(cent), "vec_id"
+        ).select("vec_id", "sub_idx", "pos", "xq")
+    )
     book_arr = _book_arrays(_pq_refined_book_frame(res_ex))
     pairs = _pq_sub_arrays(res_ex).join(
         F.broadcast(book_arr), "sub_idx"
@@ -6076,7 +6149,7 @@ def similarity_ivfpq_adc_residual(spark: SparkSession, sf_dir: str) -> DataFrame
     still trivia. ivfpq_residual_recall_report measures what the
     re-centering buys at the same bytes."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_a, sup = ivf_trained_hier(emb)
+    cent_a, sup = ivf_trained_hier(emb, eager=True)
     return ivfpq_adc_residual_topk(emb, cent_a, SCALED_IVF_NPROBE, sup=sup)
 
 
