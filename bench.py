@@ -164,17 +164,16 @@ EAGER_BUILD = {
     "similarity_index_persisted",
     "export_jsonl_shards",
     "zorder_pruned_scan",
-    # r12 optimization round: these six now materialize build artifacts
-    # eagerly at construction (operators/artifacts.py — the shingle
-    # frame, the k-NN graph + beam rounds, the residual-ADC training
-    # artifacts), so construction must sit inside the timed section or
-    # the bench would record only the serve tail. Methodology note
-    # (OPTIMIZATION_r12.md): their r11 numbers timed execution only;
-    # the r12 numbers time strictly MORE work (construction included)
-    # and are still lower.
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_scaled",
-    "dedup_minhash_lsh_oph",
+    # r12 optimization round: these now materialize build artifacts
+    # eagerly at construction (operators/artifacts.py — the k-NN graph
+    # + beam rounds, the residual-ADC training artifacts, the eager
+    # two-level quantizer), so construction must sit inside the timed
+    # section or the bench would record only the serve tail.
+    # Methodology note (OPTIMIZATION_r12.md): their earlier numbers
+    # timed execution only; the r12 numbers time strictly MORE work
+    # (construction included) and are still lower. The dedup LSH trio
+    # is NOT here: its shingle materialization was A/B-measured and
+    # reverted (OPTIMIZATION_r12.md), so its construction is lazy again.
     "similarity_graph_beam",
     "similarity_graph_beam_routed",
     "similarity_ivfpq_adc_residual",

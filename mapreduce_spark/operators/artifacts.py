@@ -28,9 +28,19 @@ it 1x and leaves the serve path's cost law untouched.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
 def materialize(df: DataFrame) -> DataFrame:
-    """Eagerly localCheckpoint a (small) derived frame; see module doc."""
+    """Eagerly localCheckpoint a (small) derived frame; see module doc.
+
+    ``SPARK_GRAFT_NO_MATERIALIZE=1`` turns every call into a no-op —
+    the A/B measurement knob (guide §1: measure both ways under the
+    same host weather). Values are identical either way; only the
+    plan shape (one checkpointed run vs N in-plan re-derivations)
+    changes, so the knob cannot affect the oracle gate."""
+    if os.environ.get("SPARK_GRAFT_NO_MATERIALIZE"):
+        return df
     return df.localCheckpoint(eager=True)

@@ -18,6 +18,7 @@ JVM-side (functions/vectors.py) and bit-reproducible in the DuckDB oracle.
 from __future__ import annotations
 
 import math
+import os
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -4267,7 +4268,7 @@ def ivf_trained_hier(
         F.col("ce").alias("se"),
         F.col("cn").alias("sn"),
     )
-    if eager:
+    if eager and not os.environ.get("SPARK_GRAFT_NO_MATERIALIZE"):
         cent_a = materialize(_hier_cent_assigned(cent, sup))
         return cent_a, _sup_from_cent_a(cent_a)
     return _hier_cent_assigned(cent, sup), sup
@@ -5726,6 +5727,13 @@ def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual imbalance). Distances are exact micro-unit BIGINTs, so
     ranking is integer-deterministic across engines."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # quantizer stays LAZY (r12 optimization round, measured): eager was
+    # tried here — the subtree has ~4 references (assign + probe via
+    # cent_a AND sup) — and LOST the A/B (6.39/7.27 s vs 4.87/4.43 s at
+    # sf0.1): all four references execute concurrently inside the one
+    # monolithic job, so idle cores absorb the duplication and the
+    # checkpoint barrier only adds wall-clock (OPTIMIZATION_r12.md).
+    # Contrast the residual tier, whose refs span SERIAL build stages.
     cent_a, sup = ivf_trained_hier(emb)
     return ivfpq_adc_topk(emb, cent_a, SCALED_IVF_NPROBE, sup=sup)
 
@@ -6307,7 +6315,11 @@ def vector_index_write(
     if cent_mod is None:
         # production default: sample-trained sqrt-law quantizer WITH its
         # super routing layer — the stored (cid, ce, cn, sid) table lets
-        # append/probe route two-level without re-deriving any modulus
+        # append/probe route two-level without re-deriving any modulus.
+        # Stays lazy (r12 optimization round, measured): eager lost the
+        # similarity_index_persisted A/B (12.68/8.31 s vs 7.00/7.06 s)
+        # — the quantizer is consumed by ONE write action whose two
+        # subtree references run concurrently (OPTIMIZATION_r12.md)
         cent, _ = ivf_trained_hier(train)
     else:
         cent = refined_centroids(train, cent_mod, rem)
@@ -6666,7 +6678,11 @@ def vector_index_write_residual(
             f"{_vindex_codes_path(spark, name).removesuffix('_codes')}_{suffix}",
         )
     if cent_mod is None:
-        cent, _ = ivf_trained_hier(train)
+        # eager (r12 optimization round, measured): the lazy quantizer
+        # subtree re-ran in BOTH the centroid-write action and the
+        # book-write action (assign + _cent_micro reference cent);
+        # eager trains once and both actions read the checkpoint
+        cent, _ = ivf_trained_hier(train, eager=True)
     else:
         cent = refined_centroids(train, cent_mod, rem)
     cent.write.mode("overwrite").format("parquet").saveAsTable(

@@ -98,10 +98,18 @@ def test_beam_cost_law(spark, sf_dir):
     assert visited.count() == visited.select("query_id", "vec_id").distinct().count()
 
 
-def test_persisted_graph_beam_matches_in_memory(spark, sf_dir):
+def test_persisted_graph_beam_matches_in_memory(spark, sf_dir, monkeypatch):
     """The stored src-bucketed graph serves the identical ranking, and
     the serve-side plan contains no graph re-derivation (no LSH bucket
-    explode — the stored scan replaces the whole build)."""
+    explode — the stored scan replaces the whole build).
+
+    The plan pin is asserted on the LAZY form (SPARK_GRAFT_NO_MATERIALIZE
+    — the r12 A/B knob): the production path eagerly checkpoints each
+    beam round (operators/artifacts.py), which truncates the visible
+    lineage, so only the un-materialized plan can PROVE the serve path
+    reads the stored scan and derives nothing. The rows comparison
+    crosses the two modes (materialized in-memory walk vs lazy stored
+    walk), pinning that materialization is value-neutral here."""
     from mapreduce_spark.operators.similarity import (
         GRAPH_INDEX_TABLE,
         graph_index_write,
@@ -110,13 +118,15 @@ def test_persisted_graph_beam_matches_in_memory(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     graph_index_write(emb)
     stored = spark.table(GRAPH_INDEX_TABLE)
-    _, beam_disk, _ = graph_beam_topk(emb, stored)
+    with monkeypatch.context() as m:
+        m.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
+        _, beam_disk, _ = graph_beam_topk(emb, stored)
+        disk_rows = sorted(map(tuple, beam_disk.collect()))
+        plan = beam_disk._jdf.queryExecution().executedPlan().toString()
     graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
     _, beam_mem, _ = graph_beam_topk(emb, graph)
-    disk_rows = sorted(map(tuple, beam_disk.collect()))
     mem_rows = sorted(map(tuple, beam_mem.collect()))
     assert disk_rows == mem_rows
-    plan = beam_disk._jdf.queryExecution().executedPlan().toString()
     # serve path never re-derives the graph: no bucket posexplode of the
     # corpus, no sign-code bit packing — just the stored scan
     assert "posexplode" not in plan.lower()
@@ -227,13 +237,20 @@ def test_appended_vectors_discoverable(spark):
         assert (q, 33) in hits, q
 
 
-def test_routed_persisted_serves_from_stored_artifacts(spark, sf_dir):
+def test_routed_persisted_serves_from_stored_artifacts(spark, sf_dir, monkeypatch):
     """The fully-persisted routed tier: identical rows to the in-plan
     routed form, and the serve plan contains NO routing derivation —
     no |V| x K nearest-centroid assignment (the member_rank window
     exists only at build time), no graph re-derivation. This is the
     r10 probe-bench lesson pinned: the in-plan routed probe re-derived
-    the assignment at ~4x the landmark probe's latency."""
+    the assignment at ~4x the landmark probe's latency.
+
+    All plan pins run under SPARK_GRAFT_NO_MATERIALIZE (the r12 A/B
+    knob): the production path eagerly checkpoints the beam rounds and
+    the member table, which truncates the visible lineage — only the
+    lazy plans can carry (or prove the absence of) the derivation
+    markers. The final row comparison crosses modes (materialized
+    routed walk vs the lazy forms), pinning value-neutrality."""
     from mapreduce_spark.operators.similarity import (
         BEAM_ROUNDS,
         BEAM_WIDTH,
@@ -246,21 +263,32 @@ def test_routed_persisted_serves_from_stored_artifacts(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     graph_index_write_routed(emb, "t_graph_rt")
-    scored0, _ = routed_entry_from(
-        emb, spark.table("t_graph_rt_cent"), spark.table("t_graph_rt_members")
-    )
-    beam_disk, _ = _beam_walk(
-        emb, spark.table("t_graph_rt"), scored0, BEAM_ROUNDS, BEAM_WIDTH, TOP_K
-    )
-    graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
-    _, beam_mem, _ = graph_beam_topk_routed(emb, graph)
-    assert sorted(map(tuple, beam_disk.collect())) == sorted(
-        map(tuple, beam_mem.collect())
-    )
-    plan = beam_disk._jdf.queryExecution().executedPlan().toString()
+    with monkeypatch.context() as m:
+        m.setenv("SPARK_GRAFT_NO_MATERIALIZE", "1")
+        scored0, _ = routed_entry_from(
+            emb,
+            spark.table("t_graph_rt_cent"),
+            spark.table("t_graph_rt_members"),
+        )
+        beam_disk, _ = _beam_walk(
+            emb,
+            spark.table("t_graph_rt"),
+            scored0,
+            BEAM_ROUNDS,
+            BEAM_WIDTH,
+            TOP_K,
+        )
+        disk_rows = sorted(map(tuple, beam_disk.collect()))
+        plan = beam_disk._jdf.queryExecution().executedPlan().toString()
+        graph = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+        _, beam_mem_lazy, _ = graph_beam_topk_routed(emb, graph)
+        mem_plan = beam_mem_lazy._jdf.queryExecution().executedPlan().toString()
     assert "member_rank" not in plan  # assignment is build-time only
     assert "posexplode" not in plan.lower()  # no graph/bucket re-derivation
     assert "t_graph_rt" in plan
     # and the in-plan form DOES carry the assignment, so the pin is real
-    mem_plan = beam_mem._jdf.queryExecution().executedPlan().toString()
     assert "member_rank" in mem_plan
+    # the production (materialized) routed walk returns the same rows
+    graph2 = knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    _, beam_mem, _ = graph_beam_topk_routed(emb, graph2)
+    assert disk_rows == sorted(map(tuple, beam_mem.collect()))

