@@ -33,6 +33,27 @@ import os
 from pyspark.sql import DataFrame
 
 
+def run_concurrently(*thunks) -> list:
+    """Run independent Spark ACTIONS (e.g. two table writes that share
+    no dependency) from a small thread pool so the second job's tasks
+    back-fill executors freed by the first job's straggler tail — the
+    guide §2.6 overlap pattern. Spark's scheduler runs concurrent jobs
+    FIFO, which is exactly the back-fill behavior wanted; results come
+    back in argument order and exceptions propagate.
+
+    ``SPARK_GRAFT_SERIAL_BUILD=1`` runs the thunks serially instead —
+    the A/B measurement knob (and the conservative posture for
+    memory-tight clusters, where two concurrent jobs' peak state may
+    not co-reside)."""
+    if os.environ.get("SPARK_GRAFT_SERIAL_BUILD") or len(thunks) == 1:
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly localCheckpoint a (small) derived frame; see module doc.
 

@@ -31,7 +31,7 @@ from mapreduce_spark.functions.vectors import (
     norm,
     sql_cosine_pair,
 )
-from mapreduce_spark.operators.artifacts import materialize
+from mapreduce_spark.operators.artifacts import materialize, run_concurrently
 from mapreduce_spark.operators.pairing import (
     bucketed_pairs,
     bucketed_query_pairs,
@@ -2757,12 +2757,16 @@ def graph_beam_topk_routed(
     n_queries: int = N_QUERIES,
     nprobe: int = ROUTED_NPROBE,
     cap: int = ROUTED_ENTRY_CAP,
+    scored0: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(entry-only top-k, beam top-k, visited set) with the ROUTED entry:
     the serve path whose per-query exact-cosine count is
     K + nprobe x cap + rounds x beam x k ~ sqrt(|V|) + O(1) — sub-linear
-    in the corpus, unlike graph_beam_topk's landmark entry."""
-    scored0, _, _ = routed_entry(emb, nprobe, cap, n_queries)
+    in the corpus, unlike graph_beam_topk's landmark entry. ``scored0``
+    lets a caller pre-build the routed entry set concurrently with the
+    graph (the §2.6 overlap in the registered routed queries)."""
+    if scored0 is None:
+        scored0, _, _ = routed_entry(emb, nprobe, cap, n_queries)
     beam_topk, visited = _beam_walk(emb, graph, scored0, rounds, beam, k)
     return _rank_topk(scored0, k), beam_topk, visited
 
@@ -2842,10 +2846,16 @@ def similarity_graph_beam_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graph_beam.py; entry volume is graded by
     graph_beam_routed_entry_stats."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    graph = materialize(
-        knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    # the graph checkpoint and the routed-entry build (which checkpoints
+    # the member table) share no dependency — overlap them (guide §2.6;
+    # A/B-measured, OPTIMIZATION_r12.md)
+    graph, (scored0, _, _) = run_concurrently(
+        lambda: materialize(
+            knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+        ),
+        lambda: routed_entry(emb),
     )
-    _, beam, _ = graph_beam_topk_routed(emb, graph)
+    _, beam, _ = graph_beam_topk_routed(emb, graph, scored0=scored0)
     return beam
 
 
@@ -2988,11 +2998,15 @@ def graph_beam_routed_recall_report(
     its recall row matches the landmark report's; fall back to more
     nprobe/cap where it doesn't."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    graph = materialize(
-        knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+    # same §2.6 overlap as similarity_graph_beam_routed
+    graph, (scored0, _, _) = run_concurrently(
+        lambda: materialize(
+            knn_graph_edges(emb, LSH_PLANES, LSH_TABLES, KNN_GRAPH_K)
+        ),
+        lambda: routed_entry(emb),
     )
     exact = _exact_topk(spark, sf_dir).select("query_id", "vec_id")
-    ent, beam, _ = graph_beam_topk_routed(emb, graph)
+    ent, beam, _ = graph_beam_topk_routed(emb, graph, scored0=scored0)
     return _tier_recall(exact, "routed_entries_only", ent).unionByName(
         _tier_recall(exact, "graph_beam_routed", beam)
     )
@@ -5892,35 +5906,49 @@ def ivfpq_adc_residual_topk(
     zero ReusedExchange (plans/r12/similarity_ivfpq_adc_residual_*.txt
     is the before/after evidence)."""
     embn = emb.withColumn("nrm", norm(F.col("embedding")))
-    assign = materialize(
-        _nearest_cells(embn, cent, "vec_id", 1)
-        if sup is None
-        else _hier_assign(embn, cent, sup)
-    )
     cex = _cent_micro(cent)
     ex = _pq_ex_frame(emb)
-    res_ex = materialize(
-        _residual_ex(ex, assign, cex, "vec_id").select(
-            "vec_id", "sub_idx", "pos", "xq"
-        )
+    qframe = embn.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding", "nrm"
     )
-    book_arr = materialize(_book_arrays(_pq_refined_book_frame(res_ex)))
+
+    def _corpus_side() -> tuple[DataFrame, DataFrame, DataFrame]:
+        # dependent chain: assignment -> residual training set -> book
+        assign = materialize(
+            _nearest_cells(embn, cent, "vec_id", 1)
+            if sup is None
+            else _hier_assign(embn, cent, sup)
+        )
+        res = materialize(
+            _residual_ex(ex, assign, cex, "vec_id").select(
+                "vec_id", "sub_idx", "pos", "xq"
+            )
+        )
+        return assign, res, materialize(
+            _book_arrays(_pq_refined_book_frame(res))
+        )
+
+    def _probe_side() -> DataFrame:
+        return materialize(
+            _nearest_cells(qframe, cent, "query_id", nprobe)
+            if sup is None
+            else _hier_route_frame(
+                qframe, "query_id", cent, sup, IVF_HIER_SUPER_PROBE, nprobe
+            )
+        )
+
+    # the corpus-side build chain and the query probe share only the
+    # quantizer — overlap the two checkpoint chains (guide §2.6;
+    # A/B-measured, OPTIMIZATION_r12.md)
+    (assign, res_ex, book_arr), probe = run_concurrently(
+        _corpus_side, _probe_side
+    )
     corpus_pairs = _pq_sub_arrays(res_ex).join(
         F.broadcast(book_arr), "sub_idx"
     ).select("vec_id", "sub_idx", "seed_id", F.expr(_PQ_D2).alias("d2"))
     codes = corpus_pairs.groupBy("vec_id", "sub_idx").agg(
         (F.min(F.col("d2") * PQ_PACK + F.col("seed_id")) % PQ_PACK).alias(
             "code"
-        )
-    )
-    qframe = embn.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "embedding", "nrm"
-    )
-    probe = materialize(
-        _nearest_cells(qframe, cent, "query_id", nprobe)
-        if sup is None
-        else _hier_route_frame(
-            qframe, "query_id", cent, sup, IVF_HIER_SUPER_PROBE, nprobe
         )
     )
     q_res = _residual_ex(
@@ -6323,9 +6351,6 @@ def vector_index_write(
         cent, _ = ivf_trained_hier(train)
     else:
         cent = refined_centroids(train, cent_mod, rem)
-    cent.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{name}_centroids"
-    )
     book = _pq_refined_book_frame(_pq_ex_frame(train)).groupBy(
         "sub_idx", "seed_id"
     ).agg(
@@ -6334,7 +6359,19 @@ def vector_index_write(
             lambda e: e["cq"],
         ).alias("sqa")
     )
-    book.write.mode("overwrite").format("parquet").saveAsTable(f"{name}_book")
+    # the quantizer write and the book write share no dependency (the
+    # book trains on raw sub-vectors, not on cells): overlap the two
+    # jobs so one back-fills the other's tail (guide §2.6; A/B-measured
+    # in the r12 optimization round, OPTIMIZATION_r12.md). The codes
+    # append below reads BOTH stored tables, so it stays after the join.
+    run_concurrently(
+        lambda: cent.write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_centroids"),
+        lambda: book.write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_book"),
+    )
     fs_delete(spark, _vindex_codes_path(spark, name))
     vector_index_append(emb, name)
 
@@ -6685,16 +6722,23 @@ def vector_index_write_residual(
         cent, _ = ivf_trained_hier(train, eager=True)
     else:
         cent = refined_centroids(train, cent_mod, rem)
-    cent.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{name}_centroids"
-    )
     embn = train.withColumn("nrm", norm(F.col("embedding")))
     assign = _stored_cent_assign(embn, cent)
     res_ex = _residual_ex(
         _pq_ex_frame(train), assign, _cent_micro(cent), "vec_id"
     ).select("vec_id", "sub_idx", "pos", "xq")
     book = _book_arrays(_pq_refined_book_frame(res_ex))
-    book.write.mode("overwrite").format("parquet").saveAsTable(f"{name}_book")
+    # both writes read the checkpointed quantizer (eager above), so
+    # they are independent jobs — overlap them (guide §2.6; the codes
+    # append reads both stored tables and stays after the join)
+    run_concurrently(
+        lambda: cent.write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_centroids"),
+        lambda: book.write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{name}_book"),
+    )
     fs_delete(spark, _vindex_codes_path(spark, name))
     vector_index_append_residual(emb, name)
 
