@@ -171,12 +171,17 @@ EAGER_BUILD = {
     # section or the bench would record only the serve tail.
     # Methodology note (OPTIMIZATION_r12.md): their earlier numbers
     # timed execution only; the r12 numbers time strictly MORE work
-    # (construction included) and are still lower. The dedup LSH trio
-    # is NOT here: its shingle materialization was A/B-measured and
-    # reverted (OPTIMIZATION_r12.md), so its construction is lazy again.
+    # (construction included) and are still lower.
     "similarity_graph_beam",
     "similarity_graph_beam_routed",
     "similarity_ivfpq_adc_residual",
+    # r13: the dedup LSH trio now materializes the shingle-FINGERPRINT
+    # table at construction (the guide-§8 stored pass over int64 hashes
+    # — NOT the r12-reverted string-frame checkpoint), so construction
+    # sits inside the timed section (OPTIMIZATION_r13.md).
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_scaled",
+    "dedup_minhash_lsh_oph",
 }
 
 
@@ -231,8 +236,11 @@ def main() -> int:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    from mapreduce_spark.operators.artifacts import release_local_checkpoints
+
     for name in names:
         qs[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+        release_local_checkpoints(spark)
 
     calib_before = _calibration(spark)
 
@@ -254,6 +262,13 @@ def main() -> int:
             samples.append(time.time() - t0)
         medians[name] = round(statistics.median(samples), 3)
         bests[name] = round(min(samples), 3)
+        # Artifact lifecycle (VERDICT r12 #8, OUTSIDE the timed section):
+        # release the finished query's localCheckpoints so executor
+        # storage stays bounded at ONE query's artifact sets instead of
+        # accumulating all 63 queries' across the run. Safe here: the
+        # query's frames are dead, the next query rebuilds from parquet
+        # (timing methodology unchanged — the timed work is identical).
+        release_local_checkpoints(spark)
 
     calib_after = _calibration(spark)
 
@@ -294,7 +309,17 @@ def main() -> int:
         if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     this_round = (max(rounds) + 1) if rounds else 0
-    for name in ("BENCH_QUERIES.json", f"BENCH_QUERIES_r{this_round:02d}.json"):
+    # Subset (bisect-knob) runs keep their per-query data in a separate
+    # file: only a FULL headline run may claim the official sidecars —
+    # an A/B subset arm overwriting BENCH_QUERIES_r{N}.json would
+    # masquerade as the round's record (r13 fix: a subset arm clobbered
+    # the driver's 8-core sidecar).
+    sidecars = (
+        ("BENCH_QUERIES.json", f"BENCH_QUERIES_r{this_round:02d}.json")
+        if not subset
+        else ("BENCH_QUERIES_SUBSET.json",)
+    )
+    for name in sidecars:
         with open(os.path.join(here, name), "w") as f:
             json.dump(payload, f, indent=1)
             f.write("\n")

@@ -31,9 +31,13 @@ def test_no_registered_query_returns_non_scalar_columns(spark, sf_dir):
         # object(datetime.date) but DuckDB dates as datetime64 — identical
         # values, mismatched driver hash (caught pre-driver on dau_wau by
         # tools/check_correctness.py --typed). Emit TIMESTAMP_NTZ instead.
+        # BinaryType joins the ban (r12): DuckDB BLOBs reach pandas as
+        # bytearray cells, which the driver's sort_values cannot hash —
+        # multimodal_ingest's official r12 ERR. Graded projections carry
+        # bytes as hex (injective, both engines uppercase) instead.
         bad = [
             f.name for f in df.schema.fields
-            if isinstance(f.dataType, NON_SCALAR + (T.DateType,))
+            if isinstance(f.dataType, NON_SCALAR + (T.DateType, T.BinaryType))
         ]
         if bad:
             offenders[name] = bad
