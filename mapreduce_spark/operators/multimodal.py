@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from mapreduce_spark.registry import register
-from mapreduce_spark.sources.tables import load_table
+from mapreduce_spark.sources.tables import fan_out, load_table
 
 FRAME_BYTES = 16     # fake "frame" size for frame sampling
 FRAME_STRIDE = 4     # keep every 4th frame
@@ -54,14 +54,26 @@ _SQL_MEDIA_CTE = """
 # both uppercase), so window identity is byte identity, exactly.
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_table(spark: SparkSession, sf_dir: str, fan: bool = True) -> DataFrame:
     """The ingest shape: (doc_id, media_type, payload binary, meta struct).
 
     Real pipelines read payload bytes from object storage via
     ``spark.read.format("binaryFile")``; here payloads are synthesized
     from text so the whole path is self-contained and oracle-checkable.
+
+    fan_out (r13): nearly every consumer of this frame runs CPU-heavy
+    per-row work (CDC chunk hashing, SimHash grams, Arrow decode/feature
+    batches), and a single-file corpus scans as ONE task — the 25x
+    32-vs-8-core bench measured cdc_chunk_stats core-insensitive at
+    111 s because the whole md5 pass sat on the scan's row-group tasks;
+    spread, it dropped to 6.3 s (and 4.6 -> 1.3 s at sf0.1). The guarded
+    repartition is a no-op at real multi-file scale. ``fan=False`` is
+    for the one consumer with NO per-row compute (the ingest
+    projection), where a repartition would only shuffle payload bytes.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if fan:
+        docs = fan_out(docs)
     media_type = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -100,7 +112,7 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes; both engines' hex() are uppercase. The raw binary
     ingest shape itself is unchanged (``media_table``) and stays
     exercised by every downstream multimodal stage."""
-    m = media_table(spark, sf_dir)
+    m = media_table(spark, sf_dir, fan=False)
     return m.select(
         "doc_id",
         "media_type",

@@ -38,7 +38,7 @@ from mapreduce_spark.operators.pairing import (
 )
 from mapreduce_spark.operators.textops import BM25_SQL, BM25_TOP_K
 from mapreduce_spark.registry import register
-from mapreduce_spark.sources.tables import load_table
+from mapreduce_spark.sources.tables import fan_out, load_table
 
 N_QUERIES = 5        # query set: vec_id < N_QUERIES
 EMB_DIM = 64         # embeddings.embedding width (TESTDATA.md contract)
@@ -364,9 +364,13 @@ def lsh_buckets_np(emb: DataFrame, planes: int, tables: int) -> DataFrame:
                 }
             )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        derive, "vec_id bigint, table_idx int, bucket bigint"
-    )
+    # fan_out (r13, guide §2.5): the matmul runs per input partition and
+    # a single-file corpus scans as one task — spread it across the
+    # cores first (1 MB/task density: tiny corpora stay
+    # un-repartitioned; no-op at multi-file scale).
+    return fan_out(
+        emb.select("vec_id", "embedding"), bytes_per_task=1 << 20
+    ).mapInPandas(derive, "vec_id bigint, table_idx int, bucket bigint")
 
 
 def _sql_buckets_cte(
@@ -1663,7 +1667,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrap silently at N ~ 1.4e7 (w*1e3) and N ~ 9e10 (Gram) vectors;
     38 digits are exact past N = 1e20. Only the bounded quotients
     (gs <= N*1e4, vq <= 1e3) return to BIGINT."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out (r13, guide §2.5): the d(d+1)/2-products explode is the
+    # data-proportional pass and ran on the scan's row-group tasks (25x
+    # bench: core-insensitive at ~20 s, 6x faster spread). 1 MB/task
+    # density: tiny corpora stay un-repartitioned; no-op at multi-file
+    # scale.
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), bytes_per_task=1 << 20)
     q = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * PCA_XQ_SCALE).cast("bigint"),

@@ -28,7 +28,7 @@ from mapreduce_spark.functions.hashing import (
 )
 from mapreduce_spark.functions.text import SQL_TOKENS, shingles, sql_shingles, tokens
 from mapreduce_spark.registry import register
-from mapreduce_spark.sources.tables import load_table
+from mapreduce_spark.sources.tables import fan_out, load_table
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Shared constant keeps the Spark plan and the oracle in sync.
@@ -1545,7 +1545,14 @@ def _span_remove_over(d: DataFrame, span_n: int) -> DataFrame:
     """Keep-first span excision over a PREBUILT (doc_id, toks) frame —
     the unit of 'toks' is the caller's choice (word tokens for the Lee
     profiles, whole sentences for the C4 profile); the election,
-    excision and reassembly are unit-agnostic."""
+    excision and reassembly are unit-agnostic.
+
+    fan_out (r13): the span explode + md5 pass is the dominant per-row
+    stage and ran on the SCAN's row-group tasks (guide §2.5 — the 25x
+    32-vs-8-core bench measured dedup_span_remove_scaled
+    core-insensitive at ~90 s); the guarded repartition spreads it
+    across the cores and disappears at multi-file scale."""
+    d = fan_out(d)
     sp = hashed_spans(d, span_n)
     occ_key = F.col("doc_id") * F.lit(SPAN_POS_CAP) + F.col("st")
     dup_h = (
@@ -1700,7 +1707,13 @@ def perplexity_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     per table from runtime sizes — at 100 TB the trigram table shuffles
     while unigrams broadcast) plus a 1-row stats broadcast; the final
     rollup is per-doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out (r13, guide §2.5): five tokenize+shingle-explode passes
+    # read this frame and all ran on the scan's row-group tasks (25x
+    # bench: core-insensitive at ~10 s, 2.4x faster spread). The 1 MB/
+    # task density keeps tiny corpora un-repartitioned (the blanket
+    # spread cost +1.5 s at sf0.1 — exchange fixed costs dominate
+    # there); no-op at multi-file scale.
+    docs = fan_out(load_table(spark, sf_dir, "documents"), bytes_per_task=1 << 20)
     t = docs.select("doc_id", tokens("text").alias("toks"))
     m = t.filter(F.col("doc_id") % 2 == 0)
     tri = (

@@ -119,40 +119,46 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # event_value_histogram, moments_report, quantile_weighted,
 # regression_slope, text_scrub, time_rollup_multi, token_entropy,
 # window_share) — all pass the full typed sweep every seal.
+# r13 rotation (VERDICT r12 #9): the 12 relational/stat gauges held out
+# of r12 — the LAST never-officially-graded names, closing the
+# cumulative backlog at 308/308 — plus the multimodal_ingest RE-grade
+# (its r12 row was an official ERR from the driver-canon BLOB defect,
+# fixed this round: the graded projection is now hex(payload)). The
+# remaining 37 slots re-grade the queries whose plans round 13 touched
+# (the stored-fingerprint LSH trio and every consumer of the shared
+# dedup derivations, cc_star's knobbed loop) and the headline
+# optimization flagships whose r12 plan rewrites deserve fresh official
+# rows under the new code. Every rotated-out name keeps its official
+# PASS row in a prior CORRECTNESS_r{N}.json and stays pinned by the
+# full-registry sweep + tests/test_exact_rows.py.
 GRADING_PRIORITY = [
-    # --- trained-model queries (VERDICT r11 #1's named head)
-    "kmeans_train_iters", "kmeans_refine", "pagerank_iters",
-    "quality_nb_classifier", "quality_nb_report",
-    # --- retrieval composites
-    "hybrid_rrf", "hard_negatives", "hard_negatives_scaled",
-    "knn_label", "knn_graph_clusters", "knn_graph_clusters_scaled",
-    "knn_graph_triangles",
-    # --- multimodal family (never driver-graded)
-    "multimodal_ingest", "multimodal_features", "multimodal_resize",
-    "multimodal_frames", "crossmodal_dup_verdict",
-    # --- contamination / decontamination suite
-    "contamination_check", "contamination_gate_bloom",
-    "decontaminate_spans", "source_contamination_matrix",
-    "split_leakage_report", "winnowing_overlap_pairs",
-    # --- span-level dedup
-    "dedup_span_remove", "dedup_span_remove_scaled", "dup_span_stats",
-    # --- curation / mixing / packing
-    "curation_manifest", "curation_pipeline_neardup",
-    "domain_mix_report", "dsir_resample", "mix_temperature_sweep",
-    "mix_weighted_sample", "pack_sequences", "pack_efficiency_stats",
-    "span_corruption_plan",
-    # --- tokenizer / BPE / LM gauges
-    "bpe_pair_merge", "bpe_train_iters", "tokenizer_fertility",
-    "perplexity_trigram_backoff", "ngram_novelty",
-    "lang_confusion_report", "quality_calibration_bins",
-    "filter_agreement_report",
-    # --- embeddings utility tier
-    "embedding_pca_power", "embedding_quantize",
-    # --- relational closers
-    "cross_join", "join_bloom_prefilter",
-    # --- r11 SCD2 / streaming tombstone queries (typed-swept only so far)
-    "scd2_merge_with_deletes", "scd2_snapshot_at",
-    "stream_scd2_view_with_deletes",
+    # --- the 12 held-out gauges (last never-graded names)
+    "activity_gini", "char_ngram_freq", "doc_length_histogram",
+    "event_ohlc", "event_value_histogram", "moments_report",
+    "quantile_weighted", "regression_slope", "text_scrub",
+    "time_rollup_multi", "token_entropy", "window_share",
+    # --- the r12 ERR re-grade (gradability fixed this round)
+    "multimodal_ingest",
+    # --- r13-touched: stored-fingerprint LSH trio + shared-derivation
+    # consumers (typed-swept 22/22 this round; official rows here)
+    "dedup_minhash_lsh", "dedup_minhash_lsh_scaled",
+    "dedup_minhash_lsh_oph", "dedup_recall_report",
+    "dedup_recall_report_scaled", "dedup_recall_report_oph",
+    "dedup_precision_report", "dedup_precision_report_scaled",
+    "minhash_band_stats", "minhash_signatures", "oph_signatures",
+    "oph_jaccard_report", "minhash_bbit_signatures",
+    "bbit_jaccard_report", "split_leakage_report", "cc_star_components",
+    # --- r12/r13 optimization flagships (materialization, overlap,
+    # explode-mirroring, Arrow kernels) under the current code
+    "similarity_ivfpq_adc_residual", "embedding_pq_codes_residual",
+    "similarity_graph_beam", "similarity_graph_beam_routed",
+    "similarity_ivfpq_adc", "ivfpq_recall_report",
+    "similarity_index_persisted", "dedup_index_persisted",
+    "knn_graph", "knn_graph_scaled", "similarity_ann_lsh_scaled",
+    "similarity_ann_ivf_scaled", "similarity_ann_ivf_hier",
+    "cdc_chunk_stats", "dedup_span_remove_scaled", "bpe_token_count",
+    "embedding_pq_codes_trained", "dedup_incremental",
+    "export_jsonl_shards", "zorder_pruned_scan", "semdedup_clusters",
 ]
 
 

@@ -54,6 +54,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
+    """Spread a scan across the cores before a CPU-heavy PER-ROW stage
+    (chunk hashing, shingle explosion, Arrow matmuls) — guide §2.5
+    "input skew: one huge unsplittable file … repartition immediately
+    after the read" / §6.
+
+    Why it exists (r13, measured): parquet splits at row-group
+    granularity, so a single-file corpus scans as ONE task no matter the
+    core count — the 32-vs-8-core bench at the 25x corpus showed the
+    heavy per-row queries at ratio ~1.0 (cdc_chunk_stats 111 s on 32
+    cores == 8 cores: its whole md5 chunking pass ran on the scan's 4
+    row-group tasks). The guard makes this a no-op whenever the scan
+    already yields >= cores partitions — i.e. at any real multi-file
+    scale the repartition disappears and pushdown/pruning still reach
+    the scan (the exchange sits ABOVE it). Apply only where per-row
+    compute dominates the one extra row shuffle; scan->exchange shapes
+    (plain aggregations, joins) must NOT pay a second exchange.
+    ``SPARK_GRAFT_NO_FANOUT=1`` makes every call a no-op (the A/B
+    measurement knob, guide §1).
+
+    ``bytes_per_task`` makes the target SCALE-ADAPTIVE for stages whose
+    per-byte work is moderate (shingle-explode aggregations, Arrow
+    matmuls): partitions = clamp(input_bytes / bytes_per_task, current,
+    cores), so a corpus small enough that exchange fixed costs dominate
+    stays un-repartitioned (measured at sf0.1: the blanket fan-out cost
+    perplexity/ann_lsh +1-1.5 s there while winning 2-6x at 25x) and the
+    fan-out grows in with the data. Sites whose per-row work dwarfs any
+    exchange (CDC chunk-hashing, span md5) pass no target and always
+    spread fully — measured a win at every scale point."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_FANOUT", "").strip().lower() not in (
+        "", "0", "false", "no", "off",
+    ):
+        return df
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    want = parallelism
+    if bytes_per_task:
+        try:
+            total = sum(
+                os.path.getsize(p.removeprefix("file:"))
+                for p in df.inputFiles()
+            )
+            want = min(parallelism, max(1, total // bytes_per_task))
+        except Exception:  # non-local paths: fall back to full spread
+            want = parallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
