@@ -182,6 +182,7 @@ EAGER_BUILD = {
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_scaled",
     "dedup_minhash_lsh_oph",
+    "bbit_jaccard_report",
 }
 
 

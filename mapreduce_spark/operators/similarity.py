@@ -2773,7 +2773,12 @@ def graph_beam_topk_routed(
     K + nprobe x cap + rounds x beam x k ~ sqrt(|V|) + O(1) — sub-linear
     in the corpus, unlike graph_beam_topk's landmark entry. ``scored0``
     lets a caller pre-build the routed entry set concurrently with the
-    graph (the §2.6 overlap in the registered routed queries)."""
+    graph (the §2.6 overlap in the registered routed queries).
+
+    ``nprobe``/``cap``/``n_queries`` are ENTRY-BUILD parameters only
+    (ADVICE r12): when a pre-built ``scored0`` is passed they are
+    unused — entry behavior is whatever parameters built scored0 —
+    so do not combine non-default values with scored0."""
     if scored0 is None:
         scored0, _, _ = routed_entry(emb, nprobe, cap, n_queries)
     beam_topk, visited = _beam_walk(emb, graph, scored0, rounds, beam, k)

@@ -7,6 +7,8 @@ the lemma's edge: a planted pair at EXACTLY the threshold survives.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from mapreduce_spark.operators.dedup import (
@@ -21,6 +23,7 @@ def _pairs(df):
     return {(r["doc_a"], r["doc_b"]) for r in df.select("doc_a", "doc_b").collect()}
 
 
+@pytest.mark.seal
 def test_allpairs_prefix_equals_exhaustive_truth(spark, sf_dir):
     sh = _doc_shingles(spark, sf_dir).filter(F.size("sgl") > 0)
     got = _pairs(allpairs_prefix_pairs(sh))

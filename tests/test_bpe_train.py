@@ -20,6 +20,7 @@ pass) or |a|aa|a|.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from mapreduce_spark.operators.textops import (
     _bpe_merge_frame,
@@ -153,6 +154,7 @@ def test_apply_segments_with_learned_rules(spark, tmp_path):
     }
 
 
+@pytest.mark.seal
 def test_token_count_monotone_nonincreasing_in_depth(spark, tmp_path):
     """Each merge rule rewrites some (>= 0) adjacent pair occurrences
     into single symbols, so the corpus token count under the learned

@@ -196,6 +196,7 @@ def test_new_manager_job_spark_fallback_without_workers(
         assert p.exitcode == 0
 
 
+@pytest.mark.seal
 def test_dead_worker_detected_and_shutdown_still_clean(processes):
     """Reference heartbeat semantics (manager/__main__.py:318-333): a
     worker that stops heartbeating is marked dead after 5 missed 2s
@@ -417,6 +418,7 @@ def test_manager_task_message_sequence(processes, scripted, tmp_path, monkeypatc
     assert p.exitcode == 0
 
 
+@pytest.mark.seal
 def test_dead_worker_task_resend(processes, scripted, tmp_path, monkeypatch):
     """Mirrors reference test_manager_05.py:194-223: two workers; the one
     holding map task 1 stops heartbeating mid-task, so after 5 missed 2 s
@@ -620,6 +622,7 @@ def test_mapper_nonzero_exit_fails_job(processes, tmp_path, monkeypatch):
         assert p.exitcode == 0
 
 
+@pytest.mark.seal
 def test_restarted_worker_reregisters_and_farms(processes, tmp_path, monkeypatch):
     """r4 review finding: a worker restarting on the same (host, port)
     used to leave TWO registry entries; the stale dead one swallowed

@@ -84,6 +84,7 @@ def test_demo_profile_misses_threshold_pairs(sh):
     )
 
 
+@pytest.mark.seal
 def test_incremental_index_scaled_profile_matches_one_shot(spark, sf_dir):
     """The persistable index under the PRODUCTION 144/36 profile must
     reproduce dedup_minhash_lsh_scaled's cross (old, new) pairs exactly —

@@ -18,10 +18,12 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 from mapreduce_spark.registry import GRADING_PRIORITY, load_all
+import pytest
 
 NON_SCALAR = (T.ArrayType, T.MapType, T.StructType)
 
 
+@pytest.mark.seal
 def test_no_registered_query_returns_non_scalar_columns(spark, sf_dir):
     offenders = {}
     window = set(GRADING_PRIORITY)

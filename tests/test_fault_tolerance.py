@@ -15,6 +15,8 @@ from __future__ import annotations
 import subprocess
 import sys
 
+import pytest
+
 _SCRIPT = r"""
 import sys
 sys.path.insert(0, "/root/repo")
@@ -63,6 +65,7 @@ print("FAULT_TOLERANCE_OK")
 """
 
 
+@pytest.mark.seal
 def test_task_failure_is_reexecuted_like_a_dead_worker():
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT],

@@ -92,3 +92,17 @@ def test_fingerprint_trio_frames_match_string_path(spark, sf_dir):
         set_col="hs",
     )
     assert _rows(oph_fp, cols) == _rows(oph_lsh_pairs(sh), cols)
+
+
+def test_release_local_checkpoints_empties_executor_storage(spark, sf_dir):
+    """Artifact lifecycle (VERDICT r12 #8): after a materializing query
+    completes, release_local_checkpoints unpersists every tracked RDD,
+    so repeated invocations (bench reps) cannot accumulate executor
+    storage — the context's persistent-RDD map returns to empty."""
+    from mapreduce_spark.operators.artifacts import release_local_checkpoints
+
+    _doc_shingle_hashes(spark, sf_dir).count()  # materializes a checkpoint
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() > 0
+    released = release_local_checkpoints(spark)
+    assert released > 0
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0

@@ -153,3 +153,18 @@ def test_residual_guard_raises_on_headroom_breach(spark):
         (Py4JJavaError, SparkRuntimeException, ArithmeticException)
     ):
         ivfpq_adc_residual_topk(df, cent, 1, k=1, n_queries=1).collect()
+
+
+def test_residual_guard_message_on_nonzero_norm_corpus(spark):
+    """ADVICE r12: the corpus above reaches an ANSI divide-by-zero
+    (zero-norm centroids) BEFORE the headroom guard, so the guard's
+    raise-not-corrupt contract was only vacuously exercised. This
+    corpus keeps every vector and every centroid at nonzero norm —
+    evaluation reaches the guard itself, and the error must carry the
+    guard's own message."""
+    rows = [(0, [8.0] * 64), (1, [-8.0] * 64), (7, [1.0] + [0.0] * 63)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = refined_centroids(df, SCALED_IVF_CENT_MOD, IVF_CENT_REM)
+    with pytest.raises(Exception) as ei:
+        ivfpq_adc_residual_topk(df, cent, 1, k=1, n_queries=1).collect()
+    assert "residual exceeds" in str(ei.value)

@@ -62,6 +62,7 @@ def test_branch_parity_query_pairs(spark):
         assert q < 6 and v != q
 
 
+@pytest.mark.seal
 def test_hot_bucket_bounded_memory(spark):
     """10^4 ids in ONE bucket: the salted-join branch must stream all
     C(10^4, 2) pairs without a single-group O(c^2) array."""

@@ -232,6 +232,7 @@ PLAN_SWEEP_SKIP = {
 }
 
 
+@pytest.mark.seal
 def test_no_query_degenerates_to_cartesian(spark, sf_dir, qs):
     offenders = []
     for name, fn in sorted(qs.items()):
@@ -252,6 +253,7 @@ def test_no_query_degenerates_to_cartesian(spark, sf_dir, qs):
 NLJ_BUILD_CAP = 64
 
 
+@pytest.mark.seal
 def test_allowlisted_nlj_build_sides_are_bounded(spark, sf_dir, qs):
     offenders = []
     for name in sorted(CARTESIAN_OK):
@@ -300,6 +302,7 @@ PARTITIONLESS_WINDOW_CAPS = {
 WINDOW_GLOBAL_BY_DESIGN: set[str] = set()
 
 
+@pytest.mark.seal
 def test_partitionless_windows_have_bounded_input(spark, sf_dir, qs):
     offenders = []
     for name, fn in sorted(qs.items()):

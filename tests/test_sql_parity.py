@@ -19,6 +19,7 @@ def _canon(rows):
     return sorted(tuple(str(x) for x in r) for r in rows)
 
 
+@pytest.mark.seal
 def test_tpch_oracles_run_unchanged_on_spark_sql(spark, sf_dir):
     oracles, qs = get_oracles(), get_queries()
     names = [n for n in sorted(oracles) if n.startswith("tpch_")]
